@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet loaders for the driver testdata star schema (TESTDATA.md).
+  *
+  * The reference (sfu-bigdata/orx-surgical, `cms_preprocess.py:26-51`) loads
+  * five CSVs eagerly with manual column projection (`usecols=`). Here the
+  * sources are columnar parquet and projection/pushdown is left to Catalyst:
+  * a `select` above the scan prunes columns into the file reader, and
+  * filters become `PushedFilters` — the scan-time optimizations the
+  * reference hand-codes are free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one testdata table from `dir` (e.g. /root/testdata/sf0.01).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as epoch-nanos
+    * long and truncate to a microsecond timestamp — the same ns→µs
+    * truncation DuckDB applies, so oracle comparison stays exact.
+    * Integer `div` (not `/`) — epoch-nanos ≈ 1.7e18 exceeds double's
+    * 2^53 exact-integer range.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Reference semantics: pd.to_numeric(errors='coerce') — bad casts
+      // null out instead of raising (SURVEY.md §1.3).
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.ml.linalg.{SparseVector, Vectors, Vector => MlVector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's feature encoders (SURVEY.md §2.6) as Spark transforms.
+  *
+  * E2/MHE (`cms_preprocess.py:330-336`): per claim a 366×W grid, all zeros
+  * except row `DayOfYear-1` = the claim's W-dim indicator vector. Dense is
+  * 366·W doubles/row (≈1.5 MB at W=516) — sparse is mandatory at scale, so
+  * the canonical output is a `SparseVector(366*W)` with one index per
+  * active code. E1/AOV (`cms_preprocess.py:267-297`) flattens a patient's
+  * per-year indicator rows into one `years × (demo + W)` vector.
+  *
+  * Everything up to the final vector assembly is built-in expressions
+  * (codegen'd); only the `indices → SparseVector` step is a UDF, applied
+  * once per output row on already-aggregated data.
+  */
+object Encoders {
+
+  /** Frozen sorted vocabulary → index map. The reference iterates a Python
+    * `set` (nondeterministic across runs, cms_preprocess.py:227); we freeze
+    * sorted order — documented divergence (SURVEY §2.6 E3). */
+  def freezeVocab(df: DataFrame, codeCol: String): Seq[String] =
+    df.select(col(codeCol).cast("string")).na.drop().distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  /** Map a code column to its frozen vocabulary index (-1 = OOV), via a
+    * broadcast literal map — the reference's `dict.get(x, 0)` recode. */
+  def codeIndex(code: Column, vocab: Seq[String]): Column = {
+    val m = typedlit(vocab.zipWithIndex.toMap)
+    coalesce(try_element_at(m, code.cast("string")), lit(-1))
+  }
+
+  private val toSparse =
+    udf { (width: Int, idx: Seq[Int]) =>
+      val uniq = idx.filter(i => i >= 0 && i < width).distinct.sorted
+      Vectors.sparse(width, uniq.toArray,
+        Array.fill(uniq.length)(1.0)): MlVector
+    }
+
+  /** Multi-hot indicator vector (E3): per row, the set of vocabulary
+    * indices present in `codeIdxs` (array of int, -1 ignored) → sparse
+    * 0/1 vector of `width`. Narrow, no shuffle. */
+  def multiHot(codeIdxs: Column, width: Int): Column =
+    toSparse(lit(width), codeIdxs)
+
+  /** MHE day-grid scatter (E2): flat index (day-1)*width + codeIdx into a
+    * 366*width sparse vector. `dayOfYear` in 1..366. */
+  def mheVector(dayOfYear: Column, codeIdxs: Column, width: Int): Column =
+    toSparse(lit(366 * width),
+      transform(codeIdxs, i => (dayOfYear - 1) * width + i))
+
+  /** AOV flatten (E1): given per-(key, year) rows with an indicator-index
+    * array and demographic columns, emit one row per key with a
+    * `years.size * (demos.size + width)` sparse vector, year-major —
+    * exactly the reference's `3 × (2 + 516)` layout
+    * (cms_preprocess.py:291-293). Single hash aggregate (one shuffle);
+    * the per-year offset arithmetic happens map-side. */
+  def aovFlatten(df: DataFrame, keyCol: String, yearCol: String,
+                 demoCols: Seq[String], idxCol: String,
+                 width: Int, years: Seq[Int]): DataFrame = {
+    val span = demoCols.size + width
+    val yearOff = years.zipWithIndex.toMap
+    val offExpr = element_at(typedlit(yearOff), col(yearCol)) * span
+    // demo value at slot j goes to offset + j; indicator i to
+    // offset + demos + i. Demo values ride along as (index, value) pairs.
+    val demoPairs = array(demoCols.zipWithIndex.map { case (c, j) =>
+      struct((offExpr + j).as("i"), col(c).cast("double").as("v"))
+    }: _*)
+    val indPairs = transform(col(idxCol), i =>
+      struct((offExpr + lit(demoCols.size) + i).as("i"), lit(1.0).as("v")))
+    val pairs = concat(demoPairs, indPairs)
+    val toVec = udf { (ps: Seq[org.apache.spark.sql.Row]) =>
+      val m = ps.map(r => r.getInt(0) -> r.getDouble(1))
+        .filter(_._1 >= 0).distinct.sortBy(_._1)
+      Vectors.sparse(years.size * span, m.map(_._1).toArray,
+        m.map(_._2).toArray): MlVector
+    }
+    df.where(col(yearCol).isin(years.map(Integer.valueOf): _*))
+      .groupBy(keyCol)
+      .agg(flatten(collect_list(pairs)).as("__pairs"))
+      .select(col(keyCol), toVec(col("__pairs")).as("features"))
+  }
+}

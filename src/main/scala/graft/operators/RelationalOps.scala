@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational building blocks mirroring the reference pipeline's
+  * operators (SURVEY.md §2), re-expressed Spark-first.
+  *
+  * Determinism note: the reference seeds every random op (`random_state=42`,
+  * cms_preprocess.py:346,364). Spark's `rand(seed)` is seeded but its values
+  * are partition-dependent and unreproducible in an external oracle, so all
+  * "random" orderings here use a Knuth-style multiplicative mix of a unique
+  * key — deterministic, engine-independent, and uniformly scrambling. At
+  * cluster scale this is also friendlier than `rand`: the key is computed
+  * from row data, so retries/speculative tasks produce identical output.
+  */
+object RelationalOps {
+
+  /** Deterministic pseudo-random permutation key from a unique integer key.
+    * 2654435761 = floor(2^32/phi) (Knuth multiplicative hashing); modulus is
+    * a large prime. Same arithmetic runs unchanged in any SQL engine.
+    */
+  def mixKey(key: Column): Column =
+    (key * lit(2654435761L)) % lit(1000000007L)
+
+  /** Keys of `df` rows whose `yearCol` values cover all of `years` —
+    * the reference's full-enrollment predicate (`cms_preprocess.py:92-93`,
+    * `set(x) >= full_years`). Implemented as a pre-aggregated distinct
+    * count (map-side partial agg, one shuffle) rather than a window over the
+    * fact table: at 100 TB the window form shuffles the whole fact, this
+    * form shuffles one row per (key, year).
+    */
+  def coveringKeys(df: DataFrame, keyCol: String, yearCol: Column,
+                   years: Seq[Int]): DataFrame = {
+    val y = yearCol.as("__y")
+    df.select(col(keyCol), y)
+      .where(col("__y").isin(years.map(Integer.valueOf): _*))
+      .distinct()
+      .groupBy(keyCol)
+      .agg(count("*").as("__ny"))
+      .where(col("__ny") === years.size)
+      .select(keyCol)
+  }
+
+  /** Left-semi join `df` against the keys that cover `years` — the
+    * enrollment filter as a single composable op. */
+  def filterEnrolled(df: DataFrame, keyDf: DataFrame, keyCol: String,
+                     yearCol: Column, years: Seq[Int]): DataFrame =
+    df.join(coveringKeys(keyDf, keyCol, yearCol, years), Seq(keyCol),
+      "left_semi")
+
+  /** Exact stratified split (reference: sklearn `train_test_split(...,
+    * stratify=y)`, `cms_preprocess.py:364`). sklearn is exact per stratum,
+    * so we use the window row_number form, not the approximate `sampleBy`.
+    * Adds `is_train` (1/0). `keyCol` must be unique (tie-break + mix seed).
+    */
+  def stratifiedSplit(df: DataFrame, labelCol: String, keyCol: String,
+                      trainFrac: Double): DataFrame = {
+    val w = Window.partitionBy(labelCol).orderBy(mixKey(col(keyCol)),
+      col(keyCol))
+    val wAll = Window.partitionBy(labelCol)
+    df.withColumn("is_train",
+      when(row_number().over(w) <= ceil(lit(trainFrac) * count("*")
+        .over(wAll)), 1).otherwise(0))
+  }
+
+  /** Deterministic k-fold assignment (reference: `KFold(n_splits=5,
+    * shuffle=True, random_state=42)`, ml_models.ipynb cell 2). Adds `fold`
+    * in 1..k via ntile over the mixed key.
+    *
+    * Scale note: a global ntile is a single-partition sort. Fine for fold
+    * assignment of model-training sets (≤ millions of rows); for billions
+    * prefer `pmod(mixKey, k)` which is shuffle-free (approximately equal
+    * folds). Both are exposed; the oracle checks the exact form.
+    */
+  def kfoldAssign(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.withColumn("fold",
+      ntile(k).over(Window.orderBy(mixKey(col(keyCol)), col(keyCol))))
+
+  /** Shuffle-free fold assignment for very large inputs. */
+  def hashFold(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.withColumn("fold", (pmod(mixKey(col(keyCol)), lit(k)) + 1)
+      .cast("int"))
+
+  /** Order-independent exact sum of a double column: route through
+    * decimal(18,2) so partial-aggregate order cannot perturb the result
+    * (needed for bit-exact cross-engine verification), then back to double.
+    */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+      .cast("double")
+}

@@ -1,0 +1,438 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Named relational operator queries (SURVEY.md §2.2-§2.5, §2.7 metrics),
+  * each with a DuckDB oracle. Role mapping per FIXTURES.md §B:
+  * customer≈ben, orders≈ip claim header, lineitem≈code slots,
+  * part≈crosswalk, events≈dated events.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - no `rand()`: deterministic multiplicative mix keys
+  *    ([[RelationalOps.mixKey]]);
+  *  - double sums go through decimal ([[RelationalOps.exactSum]]) so
+  *    aggregation order can't perturb bits;
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - int-ish outputs are cast to the same width on both sides.
+  */
+object RelationalQueries {
+  import RelationalOps._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** orders.label: TJR-claim analog (`cms_preprocess.py:202` DRG 469/470 →
+    * 1). Here: urgent/high priority → 1. */
+  private def orderLabel = when(
+    col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+
+  private val orderLabelSql =
+    "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END"
+
+  /** Deterministic stand-in for a model score in the metric queries. */
+  private def orderScore = (col("o_orderkey") % 100) / lit(100.0)
+  private val orderScoreSql = "(o_orderkey % 100) / 100.0"
+
+  val defs: Map[String, QDef] = Map(
+
+    // ----- §2.1/§2.2 scans, projections, casts, filters -----------------
+
+    // S1: projection pruned into the scan (ref cms_preprocess.py:45-49).
+    "scan_project" -> QDef(
+      (s, d) => t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+      "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice " +
+        "FROM lineitem"),
+
+    // P1: to_numeric(errors='coerce') ≡ try_cast (ref cms_preprocess.py:72).
+    "cast_coerce" -> QDef(
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
+          .as("prio_num"),
+        expr("try_cast(o_orderstatus AS BIGINT)").as("status_num")),
+      "SELECT o_orderkey, " +
+        "TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num, " +
+        "TRY_CAST(o_orderstatus AS BIGINT) AS status_num FROM orders"),
+
+    // P2: dropna(subset=...) ≡ na.drop (ref cms_preprocess.py:75).
+    "dropna_filter" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .withColumn("v", when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_totalprice")))
+        .na.drop(Seq("v"))
+        .select("o_orderkey", "v"),
+      "SELECT o_orderkey, v FROM (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v " +
+        "FROM orders) WHERE v IS NOT NULL"),
+
+    // P4: date → year (ref cms_preprocess.py:79).
+    "year_extract" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year " +
+        "FROM orders"),
+
+    // P6: range predicate (ref cms_preprocess.py:83). Pushed to the scan.
+    "range_filter" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .where(year(col("o_orderdate")).between(1996, 1998))
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE year(o_orderdate) BETWEEN 1996 AND 1998"),
+
+    // P7: equality predicate (ref cms_preprocess.py:86, SP_RA_OA == 1).
+    "eq_filter" -> QDef(
+      (s, d) => t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal"),
+      "SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE c_mktsegment = 'BUILDING'"),
+
+    // P8: negated compound IN predicate (ref cms_preprocess.py:89).
+    "not_in_filter" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .where(!(year(col("o_orderdate")).isin(1995, 1996) &&
+          col("o_orderstatus").isin("F", "P")))
+        .select("o_orderkey", "o_orderstatus"),
+      "SELECT o_orderkey, o_orderstatus FROM orders " +
+        "WHERE NOT (year(o_orderdate) IN (1995, 1996) " +
+        "AND o_orderstatus IN ('F', 'P'))"),
+
+    // P9: age via date difference / 365.0 (ref cms_preprocess.py:96-99).
+    "age_datediff" -> QDef(
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            / lit(365.0)).as("age_years")),
+      "SELECT l_orderkey, l_linenumber, " +
+        "date_diff('day', CAST(o_orderdate AS DATE), " +
+        "CAST(l_shipdate AS DATE)) / 365.0 AS age_years " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
+
+    // P10: strip quotes + truncate at dot (ref cms_preprocess.py:119-121);
+    // the dirt is synthesized because testdata is clean.
+    "str_clean" -> QDef(
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        substring_index(
+          regexp_replace(concat(lit("'"), col("p_type"), lit(".x'")),
+            "^'|'$", ""),
+          ".", 1).as("clean_type")),
+      "SELECT p_partkey, " +
+        "split_part(trim('''' || p_type || '.x''', ''''), '.', 1) " +
+        "AS clean_type FROM part"),
+
+    // P12: regex blank → sentinel (ref cms_preprocess.py:125).
+    "regex_replace" -> QDef(
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_replace(
+          when(col("doc_id") % 5 === 0, lit("   ")).otherwise(col("lang")),
+          "^\\s*$", "None").as("lang_clean")),
+      "SELECT doc_id, regexp_replace(" +
+        "CASE WHEN doc_id % 5 = 0 THEN '   ' ELSE lang END, " +
+        "'^\\s*$', 'None') AS lang_clean FROM documents"),
+
+    // P15: binary label derivation (ref cms_preprocess.py:202).
+    "label_case_when" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), orderLabel.as("label")),
+      s"SELECT o_orderkey, $orderLabelSql AS label FROM orders"),
+
+    // P18: day-of-year extract (ref cms_preprocess.py:320-321).
+    "dayofyear_extract" -> QDef(
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"), dayofyear(col("ts")).as("doy")),
+      "SELECT event_id, CAST(dayofyear(ts) AS INT) AS doy FROM events"),
+
+    // ----- §2.3 joins ---------------------------------------------------
+
+    // J1: small dim ⋈ big fact — broadcast hash join, no shuffle of the
+    // fact side (ref cms_preprocess.py:69 pd.merge(ben, ip)).
+    "join_ben_ip" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+          col("o_totalprice")),
+      "SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey"),
+
+    // J3: chained 3-way join over broadcast dims (ref modelling CNN.ipynb
+    // cell 3 ben⋈pde⋈ip variant).
+    "join_3way" -> QDef(
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count("*").as("n_cust")),
+      "SELECT r_name, COUNT(*) AS n_cust FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+
+    // J2: dictionary recode = broadcast left join + default (ref
+    // cms_preprocess.py:158,191-195 dict.get(x, 0)).
+    "dict_recode" -> QDef(
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("p_brand"), lit("UNK")).as("brand_code")),
+      "SELECT l_orderkey, l_linenumber, " +
+        "COALESCE(p_brand, 'UNK') AS brand_code FROM lineitem " +
+        "LEFT JOIN part ON l_partkey = p_partkey"),
+
+    // J4/A2: left-semi join against the qualifying-key set.
+    "semi_join_enrolled" -> QDef(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        filterEnrolled(c, t(s, d, "orders")
+          .select(col("o_custkey").as("c_custkey"),
+            col("o_orderdate")),
+          "c_custkey", year(col("o_orderdate")), Seq(1996, 1997, 1998))
+          .select("c_custkey", "c_name")
+      },
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (" +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) IN " +
+        "(1996, 1997, 1998) GROUP BY o_custkey " +
+        "HAVING COUNT(DISTINCT year(o_orderdate)) = 3)"),
+
+    // A2: the enrollment filter applied to the fact table itself (ref
+    // cms_preprocess.py:92-93): keep claims of fully-enrolled patients.
+    "enrollment_filter" -> QDef(
+      (s, d) => {
+        val o = t(s, d, "orders")
+        filterEnrolled(o, o.select(col("o_custkey"), col("o_orderdate")),
+          "o_custkey", year(col("o_orderdate")), Seq(1996, 1997, 1998))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year"))
+      },
+      "SELECT o_orderkey, o_custkey, CAST(year(o_orderdate) AS INT) " +
+        "AS o_year FROM orders WHERE o_custkey IN (" +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) IN " +
+        "(1996, 1997, 1998) GROUP BY o_custkey " +
+        "HAVING COUNT(DISTINCT year(o_orderdate)) = 3)"),
+
+    // ----- §2.4 aggregation ---------------------------------------------
+
+    // A1: hash groupBy + max/count/sum (ref cms_preprocess.py:286).
+    "groupby_max" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+        .agg(max(col("o_totalprice")).as("max_price"),
+          count("*").as("n_orders"),
+          exactSum(col("o_totalprice")).as("sum_price")),
+      "SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS o_year, " +
+        "MAX(o_totalprice) AS max_price, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS sum_price FROM orders GROUP BY o_custkey, year(o_orderdate)"),
+
+    // A3: distinct (ref cms_preprocess.py:159 unique()).
+    "distinct_ccs" -> QDef(
+      (s, d) => t(s, d, "part").select("p_brand").distinct(),
+      "SELECT DISTINCT p_brand FROM part"),
+
+    // A4/E3: set-membership indicators — which categories appear per group
+    // (ref cms_preprocess.py:229-236 np.isin). collect_set + array_contains
+    // keeps it one hash aggregate.
+    "multi_hot" -> QDef(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_returnflag")).as("flags"))
+        .select(col("l_orderkey"),
+          array_contains(col("flags"), "A").cast("int").as("has_a"),
+          array_contains(col("flags"), "N").cast("int").as("has_n"),
+          array_contains(col("flags"), "R").cast("int").as("has_r")),
+      "SELECT l_orderkey, " +
+        "MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS has_a, " +
+        "MAX(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS has_n, " +
+        "MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r " +
+        "FROM lineitem GROUP BY l_orderkey"),
+
+    // ----- §2.5 sort / limit / split ------------------------------------
+
+    // O1: global sort desc with unique tie-break (ref :313).
+    "sort_desc" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")),
+      "SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey"),
+
+    // O2: sort+limit fuses to TakeOrderedAndProject — one reduce, no
+    // global sort (ref :313-314 rebalance-by-head).
+    "topk_limit" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+      "SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    // O3: seeded shuffle via deterministic permutation key (ref :317).
+    "shuffled" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          mixKey(col("o_orderkey")).as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("o_orderkey")),
+      "SELECT o_orderkey, (o_orderkey * 2654435761) % 1000000007 " +
+        "AS shuffle_key FROM orders " +
+        "ORDER BY shuffle_key, o_orderkey"),
+
+    // O4: exact stratified split (ref :364-365, sklearn stratify).
+    "stratified_split" -> QDef(
+      (s, d) => stratifiedSplit(
+        t(s, d, "orders").select(col("o_orderkey"), orderLabel.as("label")),
+        "label", "o_orderkey", 0.8)
+        .select("o_orderkey", "label", "is_train"),
+      "SELECT o_orderkey, label, CASE WHEN " +
+        "row_number() OVER (PARTITION BY label ORDER BY " +
+        "(o_orderkey * 2654435761) % 1000000007, o_orderkey) <= " +
+        "CEIL(0.8 * COUNT(*) OVER (PARTITION BY label)) THEN 1 ELSE 0 END " +
+        s"AS is_train FROM (SELECT o_orderkey, $orderLabelSql AS label " +
+        "FROM orders)"),
+
+    // O5: deterministic 5-fold assignment (ref ml_models.ipynb KFold).
+    "kfold_assign" -> QDef(
+      (s, d) => kfoldAssign(
+        t(s, d, "orders").select("o_orderkey"), "o_orderkey", 5)
+        .select("o_orderkey", "fold"),
+      "SELECT o_orderkey, CAST(ntile(5) OVER (ORDER BY " +
+        "(o_orderkey * 2654435761) % 1000000007, o_orderkey) AS INT) " +
+        "AS fold FROM orders"),
+
+    // ----- §2.6/E1 pivot ------------------------------------------------
+
+    // E1: AOV flatten = groupBy + fixed-year conditional aggregation (ref
+    // cms_preprocess.py:267-297). One shuffle; pivot list is fixed so no
+    // pivot-discovery job.
+    "aov_pivot" -> QDef(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+            col("o_totalprice"))
+        o.groupBy("o_custkey").agg(
+          coalesce(exactSum(when(col("y") === 1996,
+            col("o_totalprice"))), lit(0.0)).as("total_1996"),
+          coalesce(exactSum(when(col("y") === 1997,
+            col("o_totalprice"))), lit(0.0)).as("total_1997"),
+          coalesce(exactSum(when(col("y") === 1998,
+            col("o_totalprice"))), lit(0.0)).as("total_1998"),
+          count(when(col("y") === 1996, 1)).as("n_1996"),
+          count(when(col("y") === 1997, 1)).as("n_1997"),
+          count(when(col("y") === 1998, 1)).as("n_1998"))
+      },
+      "SELECT o_custkey, " +
+        "COALESCE(CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) " +
+        "AS total_1996, " +
+        "COALESCE(CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) " +
+        "AS total_1997, " +
+        "COALESCE(CAST(SUM(CASE WHEN year(o_orderdate) = 1998 THEN " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) " +
+        "AS total_1998, " +
+        "COUNT(CASE WHEN year(o_orderdate) = 1996 THEN 1 END) AS n_1996, " +
+        "COUNT(CASE WHEN year(o_orderdate) = 1997 THEN 1 END) AS n_1997, " +
+        "COUNT(CASE WHEN year(o_orderdate) = 1998 THEN 1 END) AS n_1998 " +
+        "FROM orders GROUP BY o_custkey"),
+
+    // ----- events: batch analog of the streaming hourly window ----------
+
+    "window_hourly" -> QDef(
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count("*").as("n_events"),
+          exactSum(col("value"), 6).as("sum_value")),
+      "SELECT event_type, date_trunc('hour', ts) AS hour_start, " +
+        "COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY event_type, date_trunc('hour', ts)"),
+
+    // S5: profile summary — exact stats per numeric column (ref
+    // dataprep_report.py EDA; full profiling out of scope, SURVEY §2.1).
+    "profile_summary" -> QDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def stat(c: String): DataFrame = li.agg(
+          count(col(c)).as("n"),
+          min(col(c)).cast("double").as("min_v"),
+          max(col(c)).cast("double").as("max_v"))
+          .select(lit(c).as("col_name"), col("n"), col("min_v"),
+            col("max_v"))
+        stat("l_quantity")
+          .unionByName(stat("l_extendedprice"))
+          .unionByName(stat("l_discount"))
+      },
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"SELECT '$c' AS col_name, COUNT($c) AS n, " +
+          s"CAST(MIN($c) AS DOUBLE) AS min_v, " +
+          s"CAST(MAX($c) AS DOUBLE) AS max_v FROM lineitem"
+      }.mkString(" UNION ALL ")),
+
+    // ----- §2.7 metric queries ------------------------------------------
+
+    // M6: confusion matrix.
+    "confusion_matrix" -> QDef(
+      (s, d) => MetricsOps.confusionMatrix(
+        t(s, d, "orders"), orderLabel,
+        when(col("o_totalprice") > 250000.0, 1).otherwise(0)),
+      s"SELECT $orderLabelSql AS label, " +
+        "CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END " +
+        "AS prediction, COUNT(*) AS n FROM orders " +
+        "GROUP BY label, prediction"),
+
+    // M11: accuracy.
+    "accuracy_agg" -> QDef(
+      (s, d) => MetricsOps.accuracy(
+        t(s, d, "orders"), orderLabel,
+        when(col("o_totalprice") > 250000.0, 1).otherwise(0)),
+      s"SELECT CAST(SUM(CASE WHEN ($orderLabelSql) = " +
+        "(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END) " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy " +
+        "FROM orders"),
+
+    // M10: MSE of a deterministic score against the label.
+    "mse_agg" -> QDef(
+      (s, d) => MetricsOps.mse(
+        t(s, d, "orders"), orderLabel, orderScore),
+      s"SELECT CAST(SUM(CAST((($orderLabelSql) - ($orderScoreSql)) * " +
+        s"(($orderLabelSql) - ($orderScoreSql)) AS DECIMAL(18,8))) " +
+        "AS DOUBLE) / COUNT(*) AS mse FROM orders"),
+
+    // M5: weighted-F1 threshold sweep.
+    "f1_threshold_sweep" -> QDef(
+      (s, d) => MetricsOps.weightedF1Sweep(s,
+        t(s, d, "orders")
+          .select(orderLabel.as("label"), orderScore.as("score"))),
+      "WITH lab AS (SELECT " + orderLabelSql + " AS label, " +
+        orderScoreSql + " AS score FROM orders), " +
+        "th AS (SELECT i / 100.0 AS threshold FROM range(0, 100) r(i)), " +
+        "c AS (SELECT threshold, " +
+        "SUM(CASE WHEN label = 1 AND score > threshold THEN 1 ELSE 0 END) " +
+        "AS tp, " +
+        "SUM(CASE WHEN label = 0 AND score > threshold THEN 1 ELSE 0 END) " +
+        "AS fp, " +
+        "SUM(CASE WHEN label = 1 AND score <= threshold THEN 1 ELSE 0 END) " +
+        "AS fn, " +
+        "SUM(CASE WHEN label = 0 AND score <= threshold THEN 1 ELSE 0 END) " +
+        "AS tn FROM lab CROSS JOIN th GROUP BY threshold), " +
+        "f AS (SELECT threshold, " +
+        "((tp + fn) * (CASE WHEN 2*tp + fp + fn = 0 THEN 0.0 ELSE " +
+        "2.0 * tp / (2*tp + fp + fn) END) + " +
+        "(tn + fp) * (CASE WHEN 2*tn + fn + fp = 0 THEN 0.0 ELSE " +
+        "2.0 * tn / (2*tn + fn + fp) END)) / (tp + fn + tn + fp) AS wf1 " +
+        "FROM c) " +
+        "SELECT threshold, ROUND(wf1, 6) AS weighted_f1 FROM f " +
+        "ORDER BY wf1 DESC, threshold LIMIT 1")
+  )
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text-pipeline operators over the `documents` table:
+  * dedup, token counting, quality scoring, language-ID heuristics,
+  * fingerprinting. These go beyond the reference (which has no text
+  * pipeline) per the build brief; all are expressed as codegen-friendly
+  * built-in expression compositions — no UDFs in the hot path.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Word 3-gram shingle set of a text column (for Jaccard dedup).
+    * Pure expression: split → sliding window via transform(sequence) →
+    * distinct. Narrow (no shuffle); codegen except the higher-order fns.
+    */
+  def shingles3(text: Column): Column = {
+    val w = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(w) - 3),
+      i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+  }
+
+  val defs: Map[String, QDef] = Map(
+
+    // Exact dedup: hash-groupBy on content hash; keep lowest doc_id.
+    // At 100 TB the md5 shuffles 16 bytes/row instead of the document.
+    "dedup_exact" -> QDef(
+      (s, d) => docs(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count("*").as("dup_count")),
+      "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, " +
+        "COUNT(*) AS dup_count FROM documents GROUP BY md5(text)"),
+
+    // Near-dup detection: word-3-gram Jaccard with (lang, length-bucket)
+    // blocking. Blocking bounds the pair count — the all-pairs join is
+    // replaced by a per-bucket join, which is the scalable shape (same
+    // idea as LSH banding; MinHashLSH in Dedup.scala is the probabilistic
+    // variant for when buckets are still too big).
+    "dedup_ngram_jaccard" -> QDef(
+      (s, d) => {
+        val base = docs(s, d)
+          .where(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), col("lang"),
+            floor(col("n_chars") / 50).as("len_bucket"),
+            shingles3(col("text")).as("sh"))
+        val a = base.select(col("doc_id").as("a_id"), col("lang"),
+          col("len_bucket"), col("sh").as("a_sh"))
+        val b = base.select(col("doc_id").as("b_id"), col("lang"),
+          col("len_bucket"), col("sh").as("b_sh"))
+        val jac = size(array_intersect(col("a_sh"), col("b_sh"))) /
+          size(array_union(col("a_sh"), col("b_sh")))
+        a.join(b, Seq("lang", "len_bucket"))
+          .where(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), jac.as("jac"))
+          .where(col("jac") >= 0.6)
+          .select(col("a_id"), col("b_id"), round(col("jac"), 6)
+            .as("jaccard"))
+      },
+      "WITH docs AS (SELECT doc_id, lang, n_chars // 50 AS len_bucket, " +
+        "string_split(text, ' ') AS w FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 3), " +
+        "sh AS (SELECT doc_id, lang, len_bucket, " +
+        "list_distinct([array_to_string(w[x:x+2], ' ') " +
+        "FOR x IN range(1, len(w) - 1)]) AS s FROM docs), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_intersect(a.s, b.s)) / " +
+        "len(list_distinct(list_concat(a.s, b.s))) AS jac " +
+        "FROM sh a JOIN sh b ON a.lang = b.lang " +
+        "AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id) " +
+        "SELECT a_id, b_id, ROUND(jac, 6) AS jaccard FROM p " +
+        "WHERE jac >= 0.6"),
+
+    // Token counting: whitespace tokens + BPE-ish regex token count.
+    "token_count" -> QDef(
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens_ws"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .as("n_tokens_re"),
+        length(col("text")).as("n_chars_calc")),
+      "SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) " +
+        "AS INT) AS n_tokens_re, " +
+        "CAST(length(text) AS INT) AS n_chars_calc FROM documents"),
+
+    // Quality scoring: length + stopword-ratio heuristic
+    // (C4/Gopher-style rules re-expressed as one projection).
+    "quality_score" -> QDef(
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val nWords = size(w)
+        val stopCnt = size(filter(w, x =>
+          x.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+        val stopRatio = stopCnt / nWords
+        val quality = least(lit(1.0), nWords / lit(200.0)) * 0.5 +
+          stopRatio * 0.5
+        docs(s, d).select(col("doc_id"), nWords.as("n_words"),
+          stopCnt.as("stop_cnt"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(quality, 6).as("quality"))
+      },
+      "WITH q AS (SELECT doc_id, " +
+        "len(string_split(text, ' ')) AS n_words, " +
+        "len(list_filter(string_split(text, ' '), x -> x IN " +
+        stopwords.mkString("('", "','", "')") + ")) AS stop_cnt " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(n_words AS INT) AS n_words, " +
+        "CAST(stop_cnt AS INT) AS stop_cnt, " +
+        "ROUND(stop_cnt / n_words, 6) AS stop_ratio, " +
+        "ROUND(LEAST(1.0, n_words / 200.0) * 0.5 + " +
+        "(stop_cnt / n_words) * 0.5, 6) AS quality FROM q"),
+
+    // Language-ID: stopword-marker scoring with deterministic argmax.
+    // (The heuristic library version with char n-grams lives in
+    // functions.TextFunctions; this is the SQL-checkable core.)
+    "lang_id" -> QDef(
+      (s, d) => {
+        val w = split(col("text"), " ")
+        def score(ms: Seq[String]) =
+          size(filter(w, x => x.isin(ms.map(_.asInstanceOf[Any]): _*)))
+        val sEn = score(Seq("the", "a", "of"))
+        val sFr = score(Seq("le", "la", "et"))
+        val sDe = score(Seq("der", "und", "die"))
+        val sEs = score(Seq("el", "y", "los"))
+        val m = greatest(sEn, sFr, sDe, sEs)
+        val pred = when(sEn === m, "en").when(sFr === m, "fr")
+          .when(sDe === m, "de").otherwise("es")
+        docs(s, d).select(col("doc_id"), sEn.as("s_en"), sFr.as("s_fr"),
+          sDe.as("s_de"), sEs.as("s_es"), pred.as("pred_lang"),
+          (pred === col("lang")).cast("int").as("is_correct"))
+      },
+      "WITH sc AS (SELECT doc_id, lang, " +
+        "len(list_filter(string_split(text,' '), x -> x IN " +
+        "('the','a','of'))) AS s_en, " +
+        "len(list_filter(string_split(text,' '), x -> x IN " +
+        "('le','la','et'))) AS s_fr, " +
+        "len(list_filter(string_split(text,' '), x -> x IN " +
+        "('der','und','die'))) AS s_de, " +
+        "len(list_filter(string_split(text,' '), x -> x IN " +
+        "('el','y','los'))) AS s_es FROM documents), " +
+        "p AS (SELECT *, GREATEST(s_en, s_fr, s_de, s_es) AS m, " +
+        "CASE WHEN s_en = GREATEST(s_en,s_fr,s_de,s_es) THEN 'en' " +
+        "WHEN s_fr = GREATEST(s_en,s_fr,s_de,s_es) THEN 'fr' " +
+        "WHEN s_de = GREATEST(s_en,s_fr,s_de,s_es) THEN 'de' " +
+        "ELSE 'es' END AS pred_lang FROM sc) " +
+        "SELECT doc_id, CAST(s_en AS INT) AS s_en, " +
+        "CAST(s_fr AS INT) AS s_fr, CAST(s_de AS INT) AS s_de, " +
+        "CAST(s_es AS INT) AS s_es, pred_lang, " +
+        "CAST(pred_lang = lang AS INT) AS is_correct FROM p"),
+
+    // Document fingerprinting: content-hash prefix (the rolling-hash
+    // variant is functions.TextFunctions.rollingHash, scalatest-checked).
+    "doc_fingerprint" -> QDef(
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        substring(md5(col("text")), 1, 16).as("fp16")),
+      "SELECT doc_id, substring(md5(text), 1, 16) AS fp16 FROM documents")
+  )
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table
+  * (`Array[Float]`, 64-dim): brute-force cosine top-k as the exact
+  * baseline and blocked near-dup pairing. The LSH-bucketed approximate
+  * variants live in [[Similarity]] (not SQL-expressible → scalatest).
+  */
+object VectorQueries {
+
+  /** Sequential-fold dot product of two double arrays — deliberately the
+    * same left-to-right summation order as DuckDB's `list_dot_product`,
+    * so oracle comparison is bit-exact. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Embeddings with a cast-to-double vector and precomputed L2 norm.
+    * Norms are computed once per row (narrow), not per pair. */
+  def withNorm(emb: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    emb.select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0),
+        (acc, x) => acc + x * x)))
+  }
+
+  val defs: Map[String, QDef] = Map(
+
+    // Exact ANN baseline: brute-force cosine top-10 for a fixed query
+    // subset. The query side is small and broadcast, so the scan side
+    // never shuffles — at scale this is the standard "broadcast the
+    // queries, stream the corpus" exact-knn shape.
+    "knn_cosine" -> QDef(
+      (s, d) => {
+        val e = withNorm(Tables.load(s, d, "embeddings"))
+        val q = e.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            (dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+              .as("cos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        pairs.withColumn("nn_rank", row_number().over(w))
+          .where(col("nn_rank") <= 10)
+          .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
+            round(col("cos"), 6).as("cosine"))
+      },
+      "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm " +
+        "FROM e), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n " +
+        "WHERE vec_id % 50 = 0), " +
+        "p AS (SELECT q_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, v) / (qn * nrm) AS cos " +
+        "FROM q CROSS JOIN n WHERE vec_id <> q_id), " +
+        "r AS (SELECT q_id, neighbor_id, cos, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p) " +
+        "SELECT q_id, neighbor_id, CAST(rnk AS INT) AS nn_rank, " +
+        "ROUND(cos, 6) AS cosine FROM r WHERE rnk <= 10"),
+
+    // Embedding-cosine near-dup pairs with label blocking (the blocked
+    // pair-generation shape; swap the block key for an LSH bucket at
+    // scale — see Similarity.annLsh).
+    "dedup_embed_cosine" -> QDef(
+      (s, d) => {
+        val e = withNorm(Tables.load(s, d, "embeddings"))
+        val a = e.select(col("label"), col("vec_id").as("a_id"),
+          col("v").as("av"), col("nrm").as("an"))
+        val b = e.select(col("label"), col("vec_id").as("b_id"),
+          col("v").as("bv"), col("nrm").as("bn"))
+        a.join(b, Seq("label"))
+          .where(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (dot(col("av"), col("bv")) / (col("an") * col("bn")))
+              .as("cos"))
+          .where(col("cos") >= 0.44)
+          .select(col("a_id"), col("b_id"),
+            round(col("cos"), 6).as("cosine"))
+      },
+      "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "n AS (SELECT vec_id, label, v, " +
+        "sqrt(list_dot_product(v, v)) AS nrm FROM e), " +
+        "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos " +
+        "FROM n a JOIN n b ON a.label = b.label " +
+        "AND a.vec_id < b.vec_id) " +
+        "SELECT a_id, b_id, ROUND(cos, 6) AS cosine FROM p " +
+        "WHERE cos >= 0.44")
+  )
+}
