@@ -14,10 +14,19 @@ object DevSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.entry(spark)
-    println("ENTRY_ROWS=" + df.count())
-    df.show(5, truncate = false)
-    df.explain("formatted")
+    if (args.contains("cms")) {
+      val base = "src/test/resources/cms"
+      val aov = cms.CmsPipeline.aovPipeline(spark, s"$base/ben.csv",
+        s"$base/ip.csv", s"$base/dx.csv", s"$base/pcs.csv")
+      println("AOV_ROWS=" + aov.count())
+      aov.show(5, truncate = false)
+      aov.explain("formatted")
+    } else {
+      val df = SparkEntry.entry(spark)
+      println("ENTRY_ROWS=" + df.count())
+      df.show(5, truncate = false)
+      df.explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared per-suite SparkSession (local, ANSI off to mirror the
+  * reference's coerce-to-null cast semantics). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = {
+    // One session is shared across suites in the forked test JVM; don't
+    // stop it per-suite (scalatest runs suites sequentially by default).
+    super.afterAll()
+  }
+
+  lazy val sfDir = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mixKey is deterministic and injective on small domains") {
+    val keys = (1L to 1000L)
+    val mixed = spark.createDataset(keys).toDF("k")
+      .select(RelationalOps.mixKey(col("k")).as("m"))
+      .as[Long].collect()
+    assert(mixed.distinct.length === keys.size)
+    val again = spark.createDataset(keys).toDF("k")
+      .select(RelationalOps.mixKey(col("k")).as("m"))
+      .as[Long].collect()
+    assert(mixed.toSeq === again.toSeq)
+  }
+
+  test("coveringKeys keeps only keys covering all years") {
+    val df = Seq(
+      ("a", 2008), ("a", 2009), ("a", 2010),
+      ("b", 2008), ("b", 2009),          // missing 2010
+      ("c", 2008), ("c", 2009), ("c", 2010), ("c", 2010), // dup year
+      ("d", 2007), ("d", 2011)           // all outside
+    ).toDF("id", "y")
+    val keys = RelationalOps.coveringKeys(df, "id", col("y"),
+      Seq(2008, 2009, 2010)).as[String].collect().sorted
+    assert(keys.toSeq === Seq("a", "c"))
+  }
+
+  test("filterEnrolled is a left-semi join (no row duplication)") {
+    val fact = Seq(("a", 2008), ("a", 2009), ("a", 2010), ("b", 2008))
+      .toDF("id", "y")
+    val out = RelationalOps.filterEnrolled(fact, fact, "id", col("y"),
+      Seq(2008, 2009, 2010))
+    assert(out.count() === 3)
+    assert(out.columns.toSeq === Seq("id", "y"))
+  }
+
+  test("stratifiedSplit is exact per stratum") {
+    val df = (1 to 100).map(i => (i.toLong, i % 2)).toDF("k", "label")
+    val out = RelationalOps.stratifiedSplit(df, "label", "k", 0.8)
+    val counts = out.groupBy("label", "is_train").count()
+      .as[(Int, Int, Long)].collect().map { case (l, t, n) => (l, t) -> n }
+      .toMap
+    assert(counts((0, 1)) === 40L)
+    assert(counts((0, 0)) === 10L)
+    assert(counts((1, 1)) === 40L)
+    assert(counts((1, 0)) === 10L)
+  }
+
+  test("stratifiedSplit ceils partial strata like sklearn") {
+    val df = (1 to 7).map(i => (i.toLong, 0)).toDF("k", "label")
+    val out = RelationalOps.stratifiedSplit(df, "label", "k", 0.8)
+    // ceil(0.8 * 7) = 6 train, 1 test
+    assert(out.where($"is_train" === 1).count() === 6)
+  }
+
+  test("kfoldAssign balances folds and hashFold covers 1..k") {
+    val df = (1 to 100).map(_.toLong).toDF("k")
+    val folds = RelationalOps.kfoldAssign(df, "k", 5)
+      .groupBy("fold").count().as[(Int, Long)].collect().toMap
+    assert(folds.keySet === Set(1, 2, 3, 4, 5))
+    assert(folds.values.forall(_ === 20L))
+    val hashed = RelationalOps.hashFold(df, "k", 5)
+      .select("fold").distinct().as[Int].collect().toSet
+    assert(hashed.subsetOf(Set(1, 2, 3, 4, 5)))
+  }
+
+  test("exactSum matches plain sum on clean decimals") {
+    val df = Seq(1.25, 2.50, 3.75).toDF("v")
+    val s = df.select(RelationalOps.exactSum(col("v"))).as[Double].head()
+    assert(s === 7.5)
+  }
+}
