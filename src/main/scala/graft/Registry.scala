@@ -24,5 +24,6 @@ object Registry {
     operators.RelationalQueries.defs ++
       operators.TextQueries.defs ++
       operators.VectorQueries.defs ++
-      operators.EncoderQueries.defs
+      operators.EncoderQueries.defs ++
+      operators.ApproxQueries.defs
 }

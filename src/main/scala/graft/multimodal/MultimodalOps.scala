@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/
+  * video payloads as opaque `binary` columns with typed metadata, and the
+  * decode / feature-extract / resize / frame-sample stages as
+  * partition-wise transforms.
+  *
+  * The actual codec work is STUBBED (this container has no image/audio
+  * libraries — see the build brief): `StubCodec` produces deterministic
+  * fake features from the bytes. Everything around it — schema, batch
+  * iteration shape, partitioning, output contract — is the real Spark
+  * plumbing and is tested. Swapping `StubCodec` for a JNI/JavaCV decoder
+  * changes no plan shape: the transform stays a narrow mapPartitions.
+  */
+object MultimodalOps {
+
+  /** Typed metadata carried alongside every binary payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("format", StringType),                 // jpeg|wav|mp4|...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("content", BinaryType)))
+
+  /** STUB decoder: deterministic pseudo-features from content bytes.
+    * Replace with a real codec behind the same signature. */
+  object StubCodec {
+    /** "Decode + feature-extract": `dim` floats derived from a rolling
+      * hash of the payload — deterministic, content-sensitive. */
+    def features(content: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < content.length) {
+        h = 31 * h + content(i)
+        i += 1
+      }
+      var d = 0
+      while (d < dim) {
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        out(d) = ((h % 2000003L).toFloat / 1000001.5f) - 1.0f
+        d += 1
+      }
+      out
+    }
+
+    /** "Resize": stub returns a content-derived thumbnail payload of
+      * `w*h` bytes. */
+    def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h)
+      var i = 0
+      while (i < out.length) {
+        out(i) = content(i % math.max(content.length, 1))
+        i += 1
+      }
+      out
+    }
+
+    /** "Frame-sample": n pseudo-frames from a video payload. */
+    def sampleFrames(content: Array[Byte], n: Int): Seq[Array[Byte]] =
+      (0 until n).map { k =>
+        val slice = content.length / math.max(n, 1)
+        content.slice(k * slice, k * slice + math.max(slice, 1))
+      }
+  }
+
+  /** Feature extraction as a partition-wise batch transform — one codec
+    * instance per partition (codecs are expensive to init), rows streamed
+    * through it. Narrow: no shuffle, parallelism = input partitions.
+    * At 100 TB: repartition upstream by size, not count, so each task
+    * holds O(maxPartitionBytes) of payload, and keep payloads OUT of any
+    * shuffle (extract features first, shuffle the 4-byte floats). */
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("features", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "kind", "content")
+      .mapPartitions { rows =>
+        // per-partition "codec init" happens here (stub: nothing)
+        rows.map { r =>
+          val feats = StubCodec.features(r.getAs[Array[Byte]]("content"),
+            dim)
+          Row(r.getLong(0), r.getString(1), feats.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Thumbnail stage: payload-in, payload-out, metadata updated. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val resizeUdf = udf((c: Array[Byte]) => StubCodec.resize(c, w, h))
+    media.withColumn("content", resizeUdf(col("content")))
+      .withColumn("width", lit(w)).withColumn("height", lit(h))
+  }
+
+  /** Frame sampling: one row per sampled frame, frame index carried.
+    * Explode happens AFTER the narrow sample — a row's payload never
+    * duplicates across the shuffle. */
+  def sampleVideoFrames(media: DataFrame, nFrames: Int): DataFrame = {
+    val sampleUdf = udf((c: Array[Byte]) =>
+      StubCodec.sampleFrames(c, nFrames))
+    media.where(col("kind") === "video")
+      .select(col("media_id"),
+        posexplode(sampleUdf(col("content"))).as(Seq("frame_idx",
+          "frame_bytes")))
+  }
+}

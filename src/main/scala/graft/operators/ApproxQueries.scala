@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic/approximate operators as driver queries. Their hash
+  * functions (xxhash64, murmur, seeded hyperplanes) are engine-specific,
+  * so there is no DuckDB oracle — the driver records rows-only and the
+  * real verification is the recall/precision assertions in
+  * DedupSimilaritySpec (precision is always exact-verified in-pipeline;
+  * recall bounds are the banding guarantees documented on each op).
+  */
+object ApproxQueries {
+
+  val defs: Map[String, QDef] = Map(
+
+    "dedup_minhash_lsh" -> QDef.noOracle(
+      (s, d) => Dedup.minhashDedup(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        threshold = 0.6)
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 6).as("jaccard"))),
+
+    "dedup_simhash" -> QDef.noOracle(
+      (s, d) => Dedup.simhashDedup(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        maxHamming = 10)),
+
+    "ann_lsh" -> QDef.noOracle(
+      (s, d) => {
+        val indexed = Similarity.index(
+          Tables.load(s, d, "embeddings"), nBits = 6, dim = 64,
+          tables = 4)
+        val queries = indexed.where(col("id") % 50 === 0)
+        Similarity.annTopK(indexed, queries, k = 10, nBits = 6)
+          .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
+            round(col("cos"), 6).as("cosine"))
+      })
+  )
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over embedding columns.
+  *
+  * `knn_cosine` (VectorQueries) is the exact brute-force baseline —
+  * broadcast the queries, stream the corpus. That is O(|corpus|·|queries|)
+  * and the right answer up to ~10^4 queries; beyond that, bucket the
+  * corpus so each query only scans slivers:
+  *
+  * Random-hyperplane LSH (Charikar): `nBits` signed projections give a
+  * bucket id; cosine-similar vectors collide per-bit with probability
+  * 1-θ/π. A single table's recall decays as p^nBits, so we use the
+  * standard L-tables construction — `tables` independent hyperplane sets,
+  * a candidate needs to collide in any one — plus multi-probe (each query
+  * also probes every 1-bit-flip of its bucket) to recover quantization
+  * loss without more tables.
+  *
+  * Scale shape: the index is one narrow pass (row → L bucket ids); search
+  * is a join keyed by (table, bucket) with the exploded query side
+  * broadcast. The corpus never replicates and never shuffles.
+  */
+object Similarity {
+
+  private def planes(nBits: Int, dim: Int, seed: Long)
+      : Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket of `v` (array<double>) under one hyperplane set. */
+  private def bucketUdf(nBits: Int, dim: Int, seed: Long) = {
+    val ps = planes(nBits, dim, seed)
+    udf { (v: Seq[Double]) =>
+      var bucket = 0
+      var b = 0
+      while (b < ps.length) {
+        var dot = 0.0
+        val p = ps(b)
+        var i = 0
+        while (i < p.length && i < v.length) { dot += v(i) * p(i); i += 1 }
+        if (dot > 0) bucket |= (1 << b)
+        b += 1
+      }
+      bucket
+    }
+  }
+
+  /** Corpus prepared for bucketed search: one row per (vector, table)
+    * with columns id, v, nrm, tbl, bucket. */
+  def index(emb: DataFrame, nBits: Int, dim: Int, tables: Int = 4,
+            seed: Long = 42L): DataFrame = {
+    val base = VectorQueries.withNorm(emb)
+      .withColumnRenamed("vec_id", "id")
+    val buckets = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        bucketUdf(nBits, dim, seed + t)(col("v")).as("bucket"))
+    }: _*)
+    base.withColumn("tb", explode(buckets))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Approximate top-k for `queries` (rows of the same indexed shape):
+    * each query probes its bucket and all 1-bit neighbors in every
+    * table, exact cosine ranks the probed union. */
+  def annTopK(indexed: DataFrame, queries: DataFrame, k: Int,
+              nBits: Int): DataFrame = {
+    val probes = queries.withColumn("probe", explode(array(
+        col("bucket") +:
+          (0 until nBits).map(b =>
+            col("bucket").bitwiseXOR(lit(1 << b))): _*)))
+      .select(col("tbl"), col("probe"), col("id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = indexed.alias("i").join(broadcast(probes.alias("p")),
+        col("i.tbl") === col("p.tbl") &&
+          col("i.bucket") === col("p.probe") &&
+          col("i.id") =!= col("p.q_id"))
+      .select(col("p.q_id").as("q_id"), col("i.id").as("neighbor_id"),
+        col("p.qv").as("qv"), col("i.v").as("v"),
+        col("p.qn").as("qn"), col("i.nrm").as("nrm"))
+      .dropDuplicates("q_id", "neighbor_id")
+      .select(col("q_id"), col("neighbor_id"),
+        (VectorQueries.dot(col("qv"), col("v")) /
+          (col("qn") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("nn_rank", row_number().over(w))
+      .where(col("nn_rank") <= k)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.cms.CmsPipeline
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Separable synthetic set: label 1 iff feature 0 is high. 200 rows. */
+  private lazy val separable: DataFrame = {
+    val rows = (1 to 200).map { i =>
+      val label = i % 2
+      val f0 = if (label == 1) 2.0 + (i % 10) * 0.1 else (i % 10) * 0.1
+      val f1 = (i % 7) * 0.3 // noise
+      (Vectors.dense(f0, f1), label.toDouble)
+    }
+    rows.toDF("features", "label")
+  }
+
+  test("Lasso separates a separable set; sweep finds a threshold") {
+    val model = Models.lasso().fit(separable)
+    val scored = model.transform(separable).select(
+      col("label").cast("int").as("label"), col("score"))
+    val t = Models.bestThreshold(spark, scored)
+    assert(t > 0.0 && t < 1.0)
+    val ev = Models.evaluate(scored, t).head()
+    assert(ev.getAs[Double]("accuracy") > 0.95)
+    assert(ev.getAs[Double]("auc_binary") > 0.95)
+  }
+
+  test("RandomForest regressor scores and evaluates") {
+    val model = Models.randomForest(numTrees = 20).fit(separable)
+    val scored = model.transform(separable).select(
+      col("label").cast("int").as("label"), col("score"))
+    val t = Models.bestThreshold(spark, scored)
+    val ev = Models.evaluate(scored, t).head()
+    assert(ev.getAs[Double]("accuracy") > 0.95)
+  }
+
+  test("precisionAtRecall is 1.0 on a perfectly ranked set") {
+    val scored = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1))
+      .toDF("label", "score")
+    assert(Models.precisionAtRecall(scored, 0.9) === 1.0)
+  }
+
+  test("precisionAtRecall degrades with interleaved ranking") {
+    val scored = Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.6))
+      .toDF("label", "score")
+    // recall 1.0 reached at k=3 with 2 TP → precision 2/3
+    assert(math.abs(Models.precisionAtRecall(scored, 0.9) - 2.0 / 3) < 1e-9)
+  }
+
+  test("cross-validated Lasso reports a small MSE on separable data") {
+    val (model, mse) = Models.crossValidateLasso(separable)
+    assert(mse < 0.15)
+    assert(model.coefficients.size === 2)
+  }
+
+  test("CMS AOV features train end-to-end (leakage reproduces " +
+    "near-perfect fit, BASELINE.md caveat)") {
+    def res(n: String) = getClass.getResource(s"/cms/$n.csv").getPath
+    val aov = CmsPipeline.aovPipeline(spark, res("ben"), res("ip"),
+      res("dx"), res("pcs"))
+      .select(col("features"), col("label").cast("double").as("label"))
+    val model = Models.lasso(regParam = 0.0001).fit(aov)
+    val scored = model.transform(aov).select(
+      col("label").cast("int").as("label"), col("score"))
+    val t = Models.bestThreshold(spark, scored)
+    val ev = Models.evaluate(scored, t).head()
+    // 2010 features overlap the 2010 label year → near-perfect train fit
+    assert(ev.getAs[Double]("accuracy") >= 0.9)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class MultimodalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDf = {
+    val rows = (1L to 20L).map { i =>
+      val kind = Seq("image", "audio", "video")((i % 3).toInt)
+      val content = Array.tabulate[Byte](100 + i.toInt)(j =>
+        ((i * 31 + j) % 127).toByte)
+      Row(i, kind, "stub", 640, 480, 1000L * i, content)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), MultimodalOps.mediaSchema)
+  }
+
+  test("extractFeatures is deterministic, content-sensitive, and keeps " +
+    "partitioning (narrow)") {
+    val df = mediaDf
+    val a = MultimodalOps.extractFeatures(df, dim = 16)
+    assert(a.rdd.getNumPartitions === df.rdd.getNumPartitions)
+    val feats = a.select("media_id", "features")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(feats.size === 20)
+    assert(feats.values.forall(_.length === 16))
+    // deterministic across runs
+    val b = MultimodalOps.extractFeatures(df, dim = 16)
+      .select("media_id", "features").as[(Long, Seq[Float])]
+      .collect().toMap
+    assert(feats === b)
+    // different payloads → different features
+    assert(feats(1L) !== feats(2L))
+  }
+
+  test("resizeImages rewrites payload and metadata") {
+    val out = MultimodalOps.resizeImages(mediaDf, 8, 8)
+    val r = out.where(col("media_id") === 1).head()
+    assert(r.getAs[Array[Byte]]("content").length === 64)
+    assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
+  }
+
+  test("sampleVideoFrames emits n rows per video with frame indices") {
+    val out = MultimodalOps.sampleVideoFrames(mediaDf, nFrames = 4)
+    val vids = mediaDf.where(col("kind") === "video").count()
+    assert(out.count() === vids * 4)
+    assert(out.select("frame_idx").distinct().count() === 4)
+    assert(out.columns.toSeq ===
+      Seq("media_id", "frame_idx", "frame_bytes"))
+  }
+}

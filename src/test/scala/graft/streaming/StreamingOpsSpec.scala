@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends SparkSpec {
+  import StreamingOps._
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("hourlyCounts over a MemoryStream matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(10), 10, "click", 2.0),
+      Event(3, ts(70), 11, "view", 3.0),
+      Event(4, ts(80), 11, "click", 4.0))
+    mem.addData(events: _*)
+    val q = hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hourly")
+      .select("event_type", "n_events", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    val batch = hourlyCounts(events.toDF())
+      .select("event_type", "n_events", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === batch)
+    assert(got === Set(("click", 2L, 3.0), ("view", 1L, 3.0),
+      ("click", 1L, 4.0)))
+  }
+
+  test("sessionizeBatch splits on the gap and aggregates per session") {
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),   // same session (gap 5m)
+      Event(3, ts(60), 1, "view", 3.0),   // new session (gap 55m)
+      Event(4, ts(0), 2, "view", 5.0)).toDS()
+    val sessions = sessionizeBatch(events, gapMs = 30 * 60000L)
+      .collect().sortBy(s => (s.user_id, s.session_start))
+    assert(sessions.length === 3)
+    assert(sessions(0).n_events === 2 && sessions(0).sum_value === 3.0)
+    assert(sessions(1).n_events === 1 && sessions(1).sum_value === 3.0)
+    assert(sessions(2).user_id === 2)
+  }
+
+  test("sessionize (stateful streaming form) emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(60), 1, "view", 3.0)) // closes the first session
+    val q = sessionize(mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table("sessions").as[Session].collect()
+    assert(closed.length === 1)
+    assert(closed.head.n_events === 2 && closed.head.sum_value === 3.0)
+  }
+
+  test("events parquet flows through the same transform in batch") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val out = hourlyCounts(ev)
+    assert(out.count() > 0)
+    assert(out.columns.toSet ===
+      Set("hour_start", "event_type", "n_events", "sum_value"))
+  }
+}
