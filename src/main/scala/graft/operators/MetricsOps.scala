@@ -46,15 +46,26 @@ object MetricsOps {
                       labelCol: String = "label",
                       scoreCol: String = "score"): DataFrame = {
     val th = spark.range(0, 100).select((col("id") / 100.0).as("threshold"))
-    val lab = col(labelCol)
-    val pred = when(col(scoreCol) > col("threshold"), 1).otherwise(0)
-    val cnt = scored.join(broadcast(th))
+    // Pre-aggregate by (label, score) before the threshold cross-join:
+    // the full pass over the scores happens once, and the 100-way
+    // expansion only touches the (label, distinct-score) histogram.
+    // Integer sums are associative, so the result is bit-identical to
+    // sweeping the raw rows.
+    val hist = scored.groupBy(col(labelCol).as("__l"),
+        col(scoreCol).as("__s"))
+      .agg(count("*").as("__c"))
+    val pred = when(col("__s") > col("threshold"), 1).otherwise(0)
+    val cnt = hist.join(broadcast(th))
       .groupBy("threshold")
       .agg(
-        sum(when(lab === 1 && pred === 1, 1L).otherwise(0L)).as("tp"),
-        sum(when(lab === 0 && pred === 1, 1L).otherwise(0L)).as("fp"),
-        sum(when(lab === 1 && pred === 0, 1L).otherwise(0L)).as("fn"),
-        sum(when(lab === 0 && pred === 0, 1L).otherwise(0L)).as("tn"))
+        sum(when(col("__l") === 1 && pred === 1, col("__c"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__l") === 0 && pred === 1, col("__c"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__l") === 1 && pred === 0, col("__c"))
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__l") === 0 && pred === 0, col("__c"))
+          .otherwise(0L)).as("tn"))
     val f1_1 = when(lit(2) * col("tp") + col("fp") + col("fn") === 0, 0.0)
       .otherwise(lit(2.0) * col("tp") /
         (lit(2) * col("tp") + col("fp") + col("fn")))

@@ -18,14 +18,20 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Word 3-gram shingle set of a text column (for Jaccard dedup).
-    * Pure expression: split → sliding window via transform(sequence) →
-    * distinct. Narrow (no shuffle); codegen except the higher-order fns.
-    */
+    * Pure expression, narrow (no shuffle). Implemented as three shifted
+    * slices zipped pairwise — 5 array ops per row — instead of the
+    * naive `transform(sequence)(i => slice(w, i, 3))`, which issues one
+    * interpreted slice+concat per position (~100× per doc) and dominated
+    * the dedup benchmarks. */
   def shingles3(text: Column): Column = {
     val w = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), size(w) - 3),
-      i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+    val n = greatest(size(w) - 2, lit(0)) // <3 words → empty set
+    val w1 = slice(w, lit(1), n)
+    val w2 = slice(w, lit(2), n)
+    val w3 = slice(w, lit(3), n)
+    array_distinct(zip_with(w1, zip_with(w2, w3,
+      (b, c) => concat(b, lit(" "), c)),
+      (a, bc) => concat(a, lit(" "), bc)))
   }
 
   val defs: Map[String, QDef] = Map(
@@ -49,18 +55,17 @@ object TextQueries {
       (s, d) => {
         val base = docs(s, d)
           .where(size(split(col("text"), " ")) >= 3)
-          .select(col("doc_id"), col("lang"),
+          .select(col("doc_id").as("id"), col("lang"),
             floor(col("n_chars") / 50).as("len_bucket"),
             shingles3(col("text")).as("sh"))
-        val a = base.select(col("doc_id").as("a_id"), col("lang"),
-          col("len_bucket"), col("sh").as("a_sh"))
-        val b = base.select(col("doc_id").as("b_id"), col("lang"),
-          col("len_bucket"), col("sh").as("b_sh"))
-        val jac = size(array_intersect(col("a_sh"), col("b_sh"))) /
-          size(array_union(col("a_sh"), col("b_sh")))
-        a.join(b, Seq("lang", "len_bucket"))
-          .where(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), jac.as("jac"))
+          .withColumn("n", size(col("sh")))
+        // Inverted-index exact join (Dedup.pairIntersectionCounts):
+        // intersection sizes come from a codegen'd join+count over the
+        // exploded shingles, then |A∪B| = |A|+|B|-i. Pairs sharing no
+        // shingle never materialize (they can't pass j ≥ 0.6 anyway).
+        Dedup.pairIntersectionCounts(base, Seq("lang", "len_bucket"))
+          .withColumn("jac",
+            col("i") / (col("a_n") + col("b_n") - col("i")))
           .where(col("jac") >= 0.6)
           .select(col("a_id"), col("b_id"), round(col("jac"), 6)
             .as("jaccard"))
