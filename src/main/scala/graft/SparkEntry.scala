@@ -22,8 +22,11 @@ object SparkEntry {
     val orders = Tables.load(spark, dir, "orders")
     val customer = Tables.load(spark, dir, "customer")
     val enrolled = RelationalOps.filterEnrolled(
-      orders.where(year(col("o_orderdate")).between(1996, 1998)),
-      orders.select(col("o_custkey"), col("o_orderdate")),
+      orders.where(RelationalOps.yearRange(col("o_orderdate"),
+        1996, 1998)),
+      orders.where(RelationalOps.yearRange(col("o_orderdate"),
+        1996, 1998))
+        .select(col("o_custkey"), col("o_orderdate")),
       "o_custkey", year(col("o_orderdate")), Seq(1996, 1997, 1998))
     enrolled
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))

@@ -76,10 +76,11 @@ object RelationalQueries {
       "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year " +
         "FROM orders"),
 
-    // P6: range predicate (ref cms_preprocess.py:83). Pushed to the scan.
+    // P6: range predicate (ref cms_preprocess.py:83), in the
+    // scan-pushable timestamp-range form (see RelationalOps.yearRange).
     "range_filter" -> QDef(
       (s, d) => t(s, d, "orders")
-        .where(year(col("o_orderdate")).between(1996, 1998))
+        .where(yearRange(col("o_orderdate"), 1996, 1998))
         .select("o_orderkey", "o_custkey", "o_totalprice"),
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE year(o_orderdate) BETWEEN 1996 AND 1998"),
@@ -195,6 +196,7 @@ object RelationalQueries {
       (s, d) => {
         val c = t(s, d, "customer")
         filterEnrolled(c, t(s, d, "orders")
+          .where(yearRange(col("o_orderdate"), 1996, 1998))
           .select(col("o_custkey").as("c_custkey"),
             col("o_orderdate")),
           "c_custkey", year(col("o_orderdate")), Seq(1996, 1997, 1998))
@@ -210,7 +212,9 @@ object RelationalQueries {
     "enrollment_filter" -> QDef(
       (s, d) => {
         val o = t(s, d, "orders")
-        filterEnrolled(o, o.select(col("o_custkey"), col("o_orderdate")),
+        filterEnrolled(o, o
+          .where(yearRange(col("o_orderdate"), 1996, 1998))
+          .select(col("o_custkey"), col("o_orderdate")),
           "o_custkey", year(col("o_orderdate")), Seq(1996, 1997, 1998))
           .select(col("o_orderkey"), col("o_custkey"),
             year(col("o_orderdate")).as("o_year"))

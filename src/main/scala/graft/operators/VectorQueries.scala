@@ -11,19 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  /** Sequential-fold dot product of two double arrays — deliberately the
-    * same left-to-right summation order as DuckDB's `list_dot_product`,
-    * so oracle comparison is bit-exact. */
+  /** Dot product of two double arrays via the native codegen'd
+    * expression ([[graft.functions.DoubleDotProduct]]). Left-to-right
+    * summation — same order as DuckDB's `list_dot_product`, so oracle
+    * comparison is bit-exact. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(a, b)
 
   /** Embeddings with a cast-to-double vector and precomputed L2 norm.
     * Norms are computed once per row (narrow), not per pair. */
   def withNorm(emb: DataFrame): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     emb.select(col("vec_id"), col("label"), v.as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0),
-        (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
 
   val defs: Map[String, QDef] = Map(
