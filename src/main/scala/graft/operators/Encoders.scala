@@ -52,6 +52,38 @@ object Encoders {
     toSparse(lit(366 * width),
       transform(codeIdxs, i => (dayOfYear - 1) * width + i))
 
+  /** M4 pooling-first GRU approximation (SURVEY §2.7): pool the day axis
+    * of an MHE grid (366×W flat sparse vector) into [max | mean | min]
+    * blocks of width W — the reference RNN's global max/avg/min pooling
+    * over time (`rnn_model.ipynb:216-226`), computed directly from the
+    * grid instead of a recurrent pass. Narrow per-row transform. */
+  def poolDayGrid(grid: Column, width: Int): Column = {
+    val pool = udf { (v: MlVector) =>
+      val counts = new Array[Int](width)
+      v match {
+        case s: SparseVector =>
+          s.indices.foreach(ix => counts(ix % width) += 1)
+        case d =>
+          d.foreachActive((ix, value) =>
+            if (value != 0.0) counts(ix % width) += 1)
+      }
+      val idx = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      var w = 0
+      while (w < width) {
+        if (counts(w) > 0) {
+          idx += ((w, 1.0))                            // max over days
+          idx += ((width + w, counts(w) / 366.0))      // mean over days
+          if (counts(w) == 366) idx += ((2 * width + w, 1.0)) // min
+        }
+        w += 1
+      }
+      val sorted = idx.sortBy(_._1)
+      Vectors.sparse(3 * width, sorted.map(_._1).toArray,
+        sorted.map(_._2).toArray): MlVector
+    }
+    pool(grid)
+  }
+
   /** AOV flatten (E1): given per-(key, year) rows with an indicator-index
     * array and demographic columns, emit one row per key with a
     * `years.size * (demos.size + width)` sparse vector, year-major —

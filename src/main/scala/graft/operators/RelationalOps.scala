@@ -98,4 +98,26 @@ object RelationalOps {
   def exactSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
       .cast("double")
+
+  /** Two-phase salted aggregation for skewed group keys: phase 1 groups
+    * by (key, salt) so one hot key spreads over `salts` reducers, phase 2
+    * merges the partials. Use when one key holds a disproportionate share
+    * of rows (AQE's skew-join handling doesn't cover aggregations).
+    *
+    * `partials` aggregate raw rows; `merges` combine partial columns
+    * (e.g. partial `count` merges with `sum`, partial `sum` with `sum`,
+    * partial `max` with `max`). The caller names partial columns and
+    * merges by those names.
+    */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
+                partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(salts)))
+    val phase1 = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+    phase1.groupBy(keyCols.map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+  }
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{GraftExtensions, SparkSpec}
+import graft.cms.CmsPipeline
+import graft.ml.Models
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.{SparseVector, Vectors}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class ExtensionsAndPoolingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraftExtensions registers double_dot_product for SQL users") {
+    // getOrCreate reuses any active session (ignoring withExtensions), so
+    // clear the default first — the new session shares the SparkContext
+    // but gets its own state with the extensions applied — then restore.
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-test")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    finally ()
+    try testBody(s2) finally {
+      old.foreach { o =>
+        SparkSession.setDefaultSession(o)
+        SparkSession.setActiveSession(o)
+      }
+    }
+  }
+
+  private def testBody(s2: SparkSession): Unit = {
+    val df = s2.range(1).select(
+      array(lit(1.0), lit(2.0)).as("a"), array(lit(3.0), lit(4.0)).as("b"))
+    df.createOrReplaceTempView("pairs_ext")
+    val r = s2.sql(
+      "SELECT double_dot_product(a, b) AS d FROM pairs_ext").head()
+    assert(r.getDouble(0) === 11.0)
+  }
+
+  test("saltedAgg matches the plain aggregation") {
+    val df = (1 to 1000).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(count("*").as("n"), max("v").as("mx"))
+      .as[(Int, Long, Double)].collect().toSet
+    val salted = RelationalOps.saltedAgg(df, Seq("k"), salts = 8,
+      partials = Seq(count("*").as("pn"), max("v").as("pmx")),
+      merges = Seq(sum("pn").as("n"), max("pmx").as("mx")))
+      .as[(Int, Long, Double)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("poolDayGrid computes max/mean/min blocks from the MHE grid") {
+    val w = 4
+    // code 1 active on day 10, code 3 active on days 10 and 20
+    val grid = Vectors.sparse(366 * w,
+      Array(9 * w + 1, 9 * w + 3, 19 * w + 3), Array(1.0, 1.0, 1.0))
+    val out = Seq(Tuple1(grid)).toDF("grid")
+      .select(Encoders.poolDayGrid(col("grid"), w).as("p"))
+      .head().getAs[SparseVector]("p")
+    assert(out.size === 3 * w)
+    assert(out(1) === 1.0 && out(3) === 1.0)          // max block
+    assert(out(w + 1) === 1.0 / 366)                  // mean block
+    assert(out(w + 3) === 2.0 / 366)
+    assert((2 * w until 3 * w).forall(out(_) === 0.0)) // min block
+  }
+
+  test("M3/M4 paths: MLP on the raw grid and LR on pooled features " +
+    "train on the CMS fixture MHE output") {
+    def res(n: String) = getClass.getResource(s"/cms/$n.csv").getPath
+    val dxMap = CmsPipeline.crosswalkMap(
+      CmsPipeline.loadCrosswalk(spark, res("dx")))
+    val pcsMap = CmsPipeline.crosswalkMap(
+      CmsPipeline.loadCrosswalk(spark, res("pcs")))
+    val w = CmsPipeline.vocabOf(dxMap).size +
+      CmsPipeline.vocabOf(pcsMap).size
+    val claims = CmsPipeline.withLabel(CmsPipeline.recodeClaims(
+      CmsPipeline.arthritisPatientData(
+        CmsPipeline.loadBen(spark, res("ben")),
+        CmsPipeline.loadIp(spark, res("ip")), CmsPipeline.CmsConfig()),
+      dxMap, pcsMap), CmsPipeline.CmsConfig())
+    val mhe = CmsPipeline.mhe(claims, w, rows = 60)
+    // M4: pooled features + demographics → linear head
+    val pooled = mhe.select(col("label").cast("double").as("label"),
+      Encoders.poolDayGrid(col("grid"), w).as("pooled"),
+      col("demographics"))
+      .withColumn("demo_vec", udf((d: Seq[Double]) =>
+        Vectors.dense(d.toArray)).apply(col("demographics")))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("pooled", "demo_vec"))
+      .setOutputCol("features").transform(pooled)
+    val lr = Models.lasso(regParam = 0.0001).fit(assembled)
+    val scored = lr.transform(assembled)
+      .select(col("label").cast("int").as("label"), col("score"))
+    assert(scored.count() === 60)
+    // M3: MLP on the raw flattened grid (CNN-equivalent dense head)
+    val gridDf = mhe.select(col("label").cast("double").as("label"),
+      col("grid").as("features"))
+    val mlp = Models.mlp(inputSize = 366 * w, hidden = 8).fit(gridDf)
+    val preds = mlp.transform(gridDf)
+    assert(preds.select("prediction").distinct().count() <= 2)
+  }
+}
