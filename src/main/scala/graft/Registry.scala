@@ -25,5 +25,6 @@ object Registry {
       operators.TextQueries.defs ++
       operators.VectorQueries.defs ++
       operators.EncoderQueries.defs ++
-      operators.ApproxQueries.defs
+      operators.ApproxQueries.defs ++
+      operators.AnalyticsQueries.defs
 }

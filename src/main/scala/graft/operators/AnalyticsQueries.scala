@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytics operators beyond the reference's surface — window
+  * functions, sessionization, exact percentiles, rollup, set ops — so a
+  * user of the engine has the standard warehouse toolkit, each form
+  * DuckDB-oracle-checked.
+  */
+object AnalyticsQueries {
+
+  val defs: Map[String, QDef] = Map(
+
+    // Running total per customer over order time (frame = unbounded
+    // preceding..current row; decimal-routed so partial order can't
+    // perturb bits).
+    "running_total" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(w).cast("double").as("running_total"))
+      },
+      "SELECT o_orderkey, o_custkey, CAST(SUM(CAST(o_totalprice AS " +
+        "DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY " +
+        "o_orderdate, o_orderkey) AS DOUBLE) AS running_total " +
+        "FROM orders"),
+
+    // Days since the customer's previous order (lag).
+    "lag_diff" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")),
+            to_date(lag(col("o_orderdate"), 1).over(w)))
+            .as("days_since_prev"))
+      },
+      "SELECT o_orderkey, o_custkey, date_diff('day', " +
+        "CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY " +
+        "o_orderdate, o_orderkey) AS DATE), CAST(o_orderdate AS DATE)) " +
+        "AS days_since_prev FROM orders"),
+
+    // Gap-based sessionization of the events stream, batch form. Spark
+    // uses the built-in session_window; the oracle derives identical
+    // sessions with the gaps-and-islands pattern (new session when the
+    // gap from the previous event exceeds 30 min, cumulative-sum the
+    // markers, group). Session identity is (user, first-event ts).
+    "session_agg" -> QDef(
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count("*").as("n_events"),
+          RelationalOps.exactSum(col("value"), 6).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("sum_value")),
+      "WITH marked AS (SELECT user_id, ts, value, CASE WHEN ts - " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > " +
+        "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), " +
+        "islands AS (SELECT user_id, ts, value, SUM(new_s) OVER (" +
+        "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) " +
+        "AS sid FROM marked) " +
+        "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS " +
+        "n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) " +
+        "AS sum_value FROM islands GROUP BY user_id, sid"),
+
+    // Exact interpolated percentiles per market segment.
+    "percentile_agg" -> QDef(
+      (s, d) => Tables.load(s, d, "orders")
+        .join(broadcast(Tables.load(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          count("*").as("n")),
+      "SELECT c_mktsegment, quantile_cont(o_totalprice, 0.5) AS p50, " +
+        "quantile_cont(o_totalprice, 0.9) AS p90, COUNT(*) AS n " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment"),
+
+    // Rollup: per (status, priority) with subtotals and a grand total.
+    "rollup_agg" -> QDef(
+      (s, d) => Tables.load(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count("*").as("n"),
+          RelationalOps.exactSum(col("o_totalprice")).as("total")),
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total FROM orders GROUP BY ROLLUP (o_orderstatus, " +
+        "o_orderpriority)"),
+
+    // Set op: customers with orders but none urgent (EXCEPT).
+    "except_op" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        o.select(col("o_custkey"))
+          .except(o.where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")))
+      },
+      "SELECT o_custkey FROM orders EXCEPT " +
+        "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'")
+  )
+}
