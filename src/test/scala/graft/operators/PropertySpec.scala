@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.ml.linalg.SparseVector
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY §5): encoder invariants, split
+  * fractions, and hash determinism over generated inputs. Uses raw
+  * scalacheck generators with fixed seeds (scalatestplus bridge isn't in
+  * the offline dependency set). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("mixKey is collision-free on generated key sets") {
+    samples(Gen.listOfN(200, Gen.chooseNum(0L, 1000000006L)), 20)
+      .foreach { keys =>
+        val distinct = keys.distinct
+        val mixed = distinct.map(k => (k * 2654435761L) % 1000000007L)
+        assert(mixed.distinct.size === distinct.size)
+      }
+  }
+
+  test("simhash is order-insensitive and self-distance zero") {
+    samples(Gen.listOfN(12, Gen.alphaStr.suchThat(_.nonEmpty)), 25)
+      .foreach { tokens =>
+        val h = Dedup.simhash64(tokens)
+        assert(java.lang.Long.bitCount(h ^ h) === 0)
+        assert(Dedup.simhash64(scala.util.Random.shuffle(tokens)) === h)
+      }
+  }
+
+  test("multiHot nnz equals distinct in-vocab indices (sampled)") {
+    val cases = samples(Gen.listOfN(20, Gen.chooseNum(-2, 9)), 10)
+    val df = cases.zipWithIndex.map { case (l, i) => (i, l) }
+      .toDF("case_id", "idxs")
+      .select(col("case_id"), Encoders.multiHot(col("idxs"), 8).as("v"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[SparseVector]("v")).toMap
+    cases.zipWithIndex.foreach { case (idxs, i) =>
+      val expected = idxs.filter(x => x >= 0 && x < 8).distinct.size
+      assert(df(i).indices.length === expected, s"case $idxs")
+    }
+  }
+
+  test("stratifiedSplit train fraction is ceil(f*n) per stratum " +
+    "for sampled sizes") {
+    samples(Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(1, 40)), 5)
+      .foreach { case (n0, n1) =>
+        val rows = (1 to n0).map(i => (i.toLong, 0)) ++
+          ((n0 + 1) to (n0 + n1)).map(i => (i.toLong, 1))
+        val out = RelationalOps.stratifiedSplit(
+          rows.toDF("k", "label"), "label", "k", 0.8)
+        val train = out.where(col("is_train") === 1)
+          .groupBy("label").count().as[(Int, Long)].collect().toMap
+        assert(train.getOrElse(0, 0L) === math.ceil(0.8 * n0).toLong)
+        assert(train.getOrElse(1, 0L) === math.ceil(0.8 * n1).toLong)
+      }
+  }
+}
