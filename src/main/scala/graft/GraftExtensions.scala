@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftx.DoubleDotProduct
+import org.apache.spark.sql.graftx.{DoubleDotProduct, YearRangePushdown}
 
 /** SparkSessionExtensions entry point: registers the library's native
   * expressions with the SQL function registry, so `spark.sql` queries
@@ -19,6 +19,10 @@ import org.apache.spark.sql.graftx.DoubleDotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // year(ts)-comparison → scan-pushable range rewrite (see the rule's
+    // scaladoc); runs with the operator-optimization batch so the
+    // rewritten predicate flows into PushDownPredicate.
+    ext.injectOptimizerRule(_ => YearRangePushdown)
     ext.injectFunction((
       new FunctionIdentifier("double_dot_product"),
       new ExpressionInfo(classOf[DoubleDotProduct].getName,

@@ -1,0 +1,88 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite comparisons on `year(col)` into raw range
+  * predicates on `col`.
+  *
+  * `year(ts) BETWEEN 1996 AND 1998` is a function of the column, so the
+  * parquet reader can't use row-group statistics and the catalog can't
+  * prune partitions; the equivalent `ts >= '1996-01-01' AND ts <
+  * '1999-01-01'` can. `year` is monotone over date/timestamp, so the
+  * rewrite is exact (nulls propagate identically: both forms evaluate to
+  * null → filter drops the row).
+  *
+  * Handled shapes (plus their commuted forms):
+  *   year(c) =  y   →  c >= y-01-01 AND c < (y+1)-01-01
+  *   year(c) >= y   →  c >= y-01-01
+  *   year(c) >  y   →  c >= (y+1)-01-01
+  *   year(c) <= y   →  c < (y+1)-01-01
+  *   year(c) <  y   →  c < y-01-01
+  *
+  * The original predicate is preserved alongside only when the rewrite
+  * is not exact — here it always is, so the function form is dropped.
+  * Registered through [[graft.GraftExtensions]].
+  */
+object YearRangePushdown extends Rule[LogicalPlan] {
+
+  /** year(c) appears analyzed as Year(c: date) or Year(Cast(c, DateType)).
+    * Returns the underlying column expression if it is attribute-like
+    * (we only rewrite direct column references — arbitrary expressions
+    * gain nothing from pushdown). */
+  private def yearChild(e: Expression): Option[Expression] = e match {
+    case Year(c: Attribute) => Some(c)
+    case Year(Cast(c: Attribute, DateType, _, _)) => Some(c)
+    case _ => None
+  }
+
+  private def lit(col: Expression, year: Int): Expression = {
+    val s = f"$year%04d-01-01"
+    col.dataType match {
+      case DateType => Cast(Literal(s), DateType)
+      case t => Cast(Literal(s), t)
+    }
+  }
+
+  private def intOf(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, IntegerType) => Some(v)
+    case Literal(v: Long, LongType) if v.isValidInt => Some(v.toInt)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees
+        .TreePattern.BINARY_COMPARISON)) {
+      case EqualTo(y, v) if rewritable(y, v) =>
+        val (c, yr) = parts(y, v)
+        And(GreaterThanOrEqual(c, lit(c, yr)), LessThan(c, lit(c, yr + 1)))
+      case EqualTo(v, y) if rewritable(y, v) =>
+        val (c, yr) = parts(y, v)
+        And(GreaterThanOrEqual(c, lit(c, yr)), LessThan(c, lit(c, yr + 1)))
+      case GreaterThanOrEqual(y, v) if rewritable(y, v) =>
+        val (c, yr) = parts(y, v); GreaterThanOrEqual(c, lit(c, yr))
+      case LessThanOrEqual(v, y) if rewritable(y, v) =>
+        val (c, yr) = parts(y, v); GreaterThanOrEqual(c, lit(c, yr))
+      case GreaterThan(y, v) if rewritable(y, v) =>
+        val (c, yr) = parts(y, v); GreaterThanOrEqual(c, lit(c, yr + 1))
+      case LessThan(v, y) if rewritable(y, v) =>
+        val (c, yr) = parts(y, v); GreaterThanOrEqual(c, lit(c, yr + 1))
+      case LessThanOrEqual(y, v) if rewritable(y, v) =>
+        val (c, yr) = parts(y, v); LessThan(c, lit(c, yr + 1))
+      case GreaterThanOrEqual(v, y) if rewritable(y, v) =>
+        val (c, yr) = parts(y, v); LessThan(c, lit(c, yr + 1))
+      case LessThan(y, v) if rewritable(y, v) =>
+        val (c, yr) = parts(y, v); LessThan(c, lit(c, yr))
+      case GreaterThan(v, y) if rewritable(y, v) =>
+        val (c, yr) = parts(y, v); LessThan(c, lit(c, yr))
+    }
+
+  private def rewritable(y: Expression, v: Expression): Boolean =
+    yearChild(y).isDefined && intOf(v).isDefined
+
+  private def parts(y: Expression, v: Expression): (Expression, Int) =
+    (yearChild(y).get, intOf(v).get)
+}

@@ -41,6 +41,24 @@ class ExtensionsAndPoolingSpec extends SparkSpec {
     val r = s2.sql(
       "SELECT double_dot_product(a, b) AS d FROM pairs_ext").head()
     assert(r.getDouble(0) === 11.0)
+
+    // YearRangePushdown: year(ts) predicates become pushed scan ranges
+    val orders = graft.Tables.load(s2, sfDir, "orders")
+    val filtered = orders.where(year(col("o_orderdate")) === 1996 ||
+      (year(col("o_orderdate")) >= 1997 &&
+        year(col("o_orderdate")) <= 1998))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      filtered.explain("formatted")
+    }
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r
+      .findFirstIn(out.toString).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"), pushed)
+    assert(pushed.contains("LessThan(o_orderdate"), pushed)
+    // rewrite must not change results
+    val baseline = graft.Tables.load(spark, sfDir, "orders")
+      .where(year(col("o_orderdate")).between(1996, 1998)).count()
+    assert(filtered.count() === baseline)
   }
 
   test("saltedAgg matches the plain aggregation") {

@@ -65,6 +65,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(closed.head.n_events === 2 && closed.head.sum_value === 3.0)
   }
 
+  test("watermark drops late data and emits finalized windows in " +
+    "append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // batch 1: events in hour 0; advance event time far past the
+    // watermark so hour 0 finalizes
+    mem.addData(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0))
+    val q = hourlyCounts(mem.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("wm")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // nothing emitted yet — window still open
+      assert(spark.table("wm").count() === 0)
+      mem.addData(Event(3, ts(400), 1, "view", 9.0)) // advances watermark
+      q.processAllAvailable()
+      val closed = spark.table("wm")
+        .select("event_type", "n_events", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(closed === Set(("click", 2L, 3.0)))
+      // a straggler inside the finalized window is dropped
+      mem.addData(Event(4, ts(5), 1, "click", 100.0))
+      q.processAllAvailable()
+      assert(spark.table("wm").count() === 1) // unchanged
+    } finally q.stop()
+  }
+
   test("events parquet flows through the same transform in batch") {
     val ev = Tables.load(spark, sfDir, "events")
     val out = hourlyCounts(ev)
