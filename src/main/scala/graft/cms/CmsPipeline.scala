@@ -211,6 +211,26 @@ object CmsPipeline {
         Encoders.mheVector(doy, col("code_idxs"), width).as("grid"))
   }
 
+  /** pde events per patient — the commented ben⋈pde⋈ip variant
+    * (`modelling CNN.ipynb` cell 3): prescription-event counts join the
+    * claim stream as an extra demographic-style feature. pde is a fact
+    * table keyed by patient, so it pre-aggregates to one row per patient
+    * before the (broadcastable) join. */
+  def loadPde(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true")
+      .schema(StructType(Seq(
+        StructField("DESYNPUF_ID", StringType),
+        StructField("PROD_SRVC_ID", StringType))))
+      .csv(path)
+
+  def withPdeCounts(claims: DataFrame, pde: DataFrame): DataFrame = {
+    val counts = pde.groupBy("DESYNPUF_ID")
+      .agg(count("*").as("n_rx"),
+        countDistinct(col("PROD_SRVC_ID")).as("n_rx_distinct"))
+    claims.join(broadcast(counts), Seq("DESYNPUF_ID"), "left")
+      .na.fill(0L, Seq("n_rx", "n_rx_distinct"))
+  }
+
   /** Convenience: full AOV pipeline from raw fixture paths. */
   def aovPipeline(spark: SparkSession, benPath: String, ipPath: String,
                   dxPath: String, pcsPath: String,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** EDA profiling (S5 — the reference's `dataprep_report.py` HTML report,
+  * re-expressed as a DataFrame you can inspect, store, or diff).
+  *
+  * One aggregate job computes every column's stats in a single pass
+  * (all stat expressions ride in one `agg`), then the result is
+  * unpivoted driver-side (the aggregate row is tiny — column count, not
+  * row count). Numeric columns get min/max/mean/stddev; strings get
+  * distinct estimates and length stats; everything gets null counts.
+  */
+object ProfileOps {
+
+  /** Per-column profile: (column, dtype, n, nulls, distinct_approx,
+    * min_v, max_v, mean_v, stddev_v) — numeric stats null for
+    * non-numeric columns. `exactDistinct` switches the distinct count
+    * from HLL (one pass, mergeable, the 100 TB answer) to exact
+    * (adds a shuffle per column — small data only). */
+  def profile(df: DataFrame, exactDistinct: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.schema.fields
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      val distinct =
+        if (exactDistinct) count_distinct(c)
+        else approx_count_distinct(c)
+      Seq(
+        count(c).as(s"${f.name}__n"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        distinct.as(s"${f.name}__distinct")) ++
+        (f.dataType match {
+          case _: NumericType => Seq(
+            min(c).cast("double").as(s"${f.name}__min"),
+            max(c).cast("double").as(s"${f.name}__max"),
+            avg(c).as(s"${f.name}__mean"),
+            stddev(c).as(s"${f.name}__stddev"))
+          case StringType => Seq(
+            min(length(c)).cast("double").as(s"${f.name}__min"),
+            max(length(c)).cast("double").as(s"${f.name}__max"),
+            avg(length(c)).as(s"${f.name}__mean"),
+            stddev(length(c)).as(s"${f.name}__stddev"))
+          case _ => Seq(
+            lit(null).cast("double").as(s"${f.name}__min"),
+            lit(null).cast("double").as(s"${f.name}__max"),
+            lit(null).cast("double").as(s"${f.name}__mean"),
+            lit(null).cast("double").as(s"${f.name}__stddev"))
+        })
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val out = cols.map { f =>
+      def g(suffix: String): Any = row.get(row.fieldIndex(
+        s"${f.name}__$suffix"))
+      (f.name, f.dataType.simpleString,
+        g("n").asInstanceOf[Long], g("nulls").asInstanceOf[Long],
+        g("distinct").asInstanceOf[Long],
+        Option(g("min")).map(_.asInstanceOf[Double]),
+        Option(g("max")).map(_.asInstanceOf[Double]),
+        Option(g("mean")).map(_.asInstanceOf[Double]),
+        Option(g("stddev")).map(_.asInstanceOf[Double]))
+    }
+    out.toSeq.toDF("column", "dtype", "n", "nulls", "distinct_approx",
+      "min_v", "max_v", "mean_v", "stddev_v")
+  }
+}
