@@ -73,6 +73,19 @@ object RelationalOps {
         .over(wAll)), 1).otherwise(0))
   }
 
+  /** Scale-path stratified split: deterministic, shuffle-free, and
+    * approximate (fraction holds in expectation per stratum, not
+    * exactly). [[stratifiedSplit]] is sklearn-exact but needs a
+    * per-stratum global sort — two tasks for a binary label no matter
+    * the cluster size. This form is a pure map: a row trains iff its
+    * mixed key lands under the fraction. Use exact for model-training
+    * sets (≤ millions), this for corpus-scale splits. */
+  def hashStratifiedSplit(df: DataFrame, keyCol: String,
+                          trainFrac: Double): DataFrame =
+    df.withColumn("is_train",
+      (mixKey(col(keyCol)) < lit((trainFrac * 1000000007L).toLong))
+        .cast("int"))
+
   /** Deterministic k-fold assignment (reference: `KFold(n_splits=5,
     * shuffle=True, random_state=42)`, ml_models.ipynb cell 2). Adds `fold`
     * in 1..k via ntile over the mixed key.

@@ -100,6 +100,9 @@ object TextQueries {
 
     // Quality scoring: length + stopword-ratio heuristic
     // (C4/Gopher-style rules re-expressed as one projection).
+    // Quality signals: length, stopword ratio, and word-repetition
+    // ratio (distinct/total — low values flag boilerplate/spam), the
+    // C4/Gopher-style rules as one projection.
     "quality_score" -> QDef(
       (s, d) => {
         val w = split(col("text"), " ")
@@ -107,23 +110,28 @@ object TextQueries {
         val stopCnt = size(filter(w, x =>
           x.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
         val stopRatio = stopCnt / nWords
-        val quality = least(lit(1.0), nWords / lit(200.0)) * 0.5 +
-          stopRatio * 0.5
+        val repRatio = size(array_distinct(w)) / nWords
+        val quality = least(lit(1.0), nWords / lit(200.0)) * 0.4 +
+          stopRatio * 0.3 + repRatio * 0.3
         docs(s, d).select(col("doc_id"), nWords.as("n_words"),
           stopCnt.as("stop_cnt"),
           round(stopRatio, 6).as("stop_ratio"),
+          round(repRatio, 6).as("rep_ratio"),
           round(quality, 6).as("quality"))
       },
       "WITH q AS (SELECT doc_id, " +
         "len(string_split(text, ' ')) AS n_words, " +
         "len(list_filter(string_split(text, ' '), x -> x IN " +
-        stopwords.mkString("('", "','", "')") + ")) AS stop_cnt " +
+        stopwords.mkString("('", "','", "')") + ")) AS stop_cnt, " +
+        "len(list_distinct(string_split(text, ' '))) AS n_distinct " +
         "FROM documents) " +
         "SELECT doc_id, CAST(n_words AS INT) AS n_words, " +
         "CAST(stop_cnt AS INT) AS stop_cnt, " +
         "ROUND(stop_cnt / n_words, 6) AS stop_ratio, " +
-        "ROUND(LEAST(1.0, n_words / 200.0) * 0.5 + " +
-        "(stop_cnt / n_words) * 0.5, 6) AS quality FROM q"),
+        "ROUND(n_distinct / n_words, 6) AS rep_ratio, " +
+        "ROUND(LEAST(1.0, n_words / 200.0) * 0.4 + " +
+        "(stop_cnt / n_words) * 0.3 + (n_distinct / n_words) * 0.3, 6) " +
+        "AS quality FROM q"),
 
     // Language-ID: stopword-marker scoring with deterministic argmax.
     // (The heuristic library version with char n-grams lives in

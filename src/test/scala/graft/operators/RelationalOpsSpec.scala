@@ -69,6 +69,16 @@ class RelationalOpsSpec extends SparkSpec {
     assert(hashed.subsetOf(Set(1, 2, 3, 4, 5)))
   }
 
+  test("hashStratifiedSplit is deterministic and near the fraction") {
+    val df = (1L to 10000L).toDF("k")
+    val a = RelationalOps.hashStratifiedSplit(df, "k", 0.8)
+    val frac = a.where($"is_train" === 1).count() / 10000.0
+    assert(math.abs(frac - 0.8) < 0.02, s"fraction $frac")
+    val b = RelationalOps.hashStratifiedSplit(df, "k", 0.8)
+      .where($"is_train" === 1).count()
+    assert(b === a.where($"is_train" === 1).count())
+  }
+
   test("exactSum matches plain sum on clean decimals") {
     val df = Seq(1.25, 2.50, 3.75).toDF("v")
     val s = df.select(RelationalOps.exactSum(col("v"))).as[Double].head()
