@@ -16,6 +16,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Register every testdata table as a temp view so the engine's full
+    * surface is reachable from `spark.sql(...)` (combine with
+    * [[GraftExtensions]] for the native functions). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   /** Read one testdata table from `dir` (e.g. /root/testdata/sf0.01).
     *
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
