@@ -96,6 +96,30 @@ object AnalyticsQueries {
         "AS total FROM orders GROUP BY ROLLUP (o_orderstatus, " +
         "o_orderpriority)"),
 
+    // As-of join (point-in-time lookup): for each purchase, the user's
+    // latest click value at-or-before the purchase. Spark side is the
+    // union+window form (RelationalOps.asofJoin); the oracle uses
+    // DuckDB's native ASOF JOIN — two independent implementations of
+    // the semantics.
+    "asof_join" -> QDef(
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        RelationalOps.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_value"))
+      },
+      "WITH p AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, value FROM events " +
+        "WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, c.value AS asof_value " +
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
+
     // Set op: customers with orders but none urgent (EXCEPT).
     "except_op" -> QDef(
       (s, d) => {

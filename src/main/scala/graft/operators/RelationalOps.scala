@@ -112,6 +112,49 @@ object RelationalOps {
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
       .cast("double")
 
+  /** As-of join: for each left row, the single latest right row with
+    * `right.ts <= left.ts` on the same key — the standard point-in-time
+    * lookup (features "as of" an event) that Spark's built-in joins
+    * can't express without a range-condition row explosion.
+    *
+    * Implemented with the union-and-window shape: tag both sides, union,
+    * and carry the last right payload forward over a (key)-partitioned
+    * (ts, side)-ordered window. One shuffle on the key, no pair
+    * explosion, and skew follows the key distribution exactly like a
+    * groupBy — the scalable form (a range join would replicate right
+    * rows per left row).
+    *
+    * @param left      left rows; must contain `keyCol` and `tsCol`
+    * @param right     right rows; must contain `keyCol` and `tsCol`
+    * @param payload   right columns to carry (exposed as `asof_<name>`)
+    * @return left rows (all columns) plus the as-of payload columns;
+    *         inner semantics — left rows with no prior right row drop
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val pay = struct((col(tsCol) +: payload.map(col)): _*)
+    val l = left.select(
+      (Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(right.select(pay).schema.fields.head.dataType)
+          .as("__pay")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*)
+    val r = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        pay.as("__pay")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // right rows order before left rows at equal ts → `<=` semantics
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__last", last(col("__pay"), ignoreNulls = true).over(w))
+    carried.where(col("__side") === 1 && col("__last").isNotNull)
+      .select((leftCols.map(col) ++
+        payload.map(p => col(s"__last.$p").as(s"asof_$p"))): _*)
+  }
+
   /** Two-phase salted aggregation for skewed group keys: phase 1 groups
     * by (key, salt) so one hot key spreads over `salts` reducers, phase 2
     * merges the partials. Use when one key holds a disproportionate share

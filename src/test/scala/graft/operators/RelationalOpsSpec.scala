@@ -79,6 +79,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(b === a.where($"is_train" === 1).count())
   }
 
+  test("asofJoin picks the latest right row at-or-before, drops " +
+    "left rows with no prior right") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(30), "p2"),
+      (1L, ts(2), "early"), (2L, ts(10), "lonely"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, ts(5), 100.0), (1L, ts(10), 200.0),
+      (1L, ts(20), 300.0), (3L, ts(1), 999.0))
+      .toDF("k", "ts", "v")
+    val out = RelationalOps.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select("name", "asof_v").as[(String, Double)].collect().toMap
+    // p1 at t10: right t10 qualifies (<=) → 200; p2 at t30 → t20's 300
+    assert(out === Map("p1" -> 200.0, "p2" -> 300.0))
+    // "early" (t2, before any right) and "lonely" (key 2, no rights) drop
+  }
+
   test("exactSum matches plain sum on clean decimals") {
     val df = Seq(1.25, 2.50, 3.75).toDF("v")
     val s = df.select(RelationalOps.exactSum(col("v"))).as[Double].head()
