@@ -28,6 +28,27 @@ object MultimodalOps {
     StructField("duration_ms", LongType),
     StructField("content", BinaryType)))
 
+  /** Ingest a directory of media files through Spark's binaryFile
+    * source into the [[mediaSchema]] shape. The source splits by file;
+    * `pathGlobFilter` prunes at listing time. At 100 TB prefer packing
+    * small files into parquet with a binary column first (the
+    * small-files problem) — this reader is the packing step's input. */
+  def loadBinaryDir(spark: org.apache.spark.sql.SparkSession,
+                    path: String, kind: String,
+                    glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        abs(xxhash64(col("path"))).as("media_id"),
+        lit(kind).as("kind"),
+        regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)
+          .as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        col("content"))
+
   /** STUB decoder: deterministic pseudo-features from content bytes.
     * Replace with a real codec behind the same signature. */
   object StubCodec {

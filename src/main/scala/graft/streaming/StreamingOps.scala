@@ -36,6 +36,19 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup for a training-data ingest pipeline: drop
+    * rows whose `idCols` were already seen within the watermark horizon
+    * (state is bounded by the watermark — unbounded exact dedup on an
+    * infinite stream is unbounded state by definition). Batch callers
+    * get plain dropDuplicates semantics from the same transform. */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                           tsCol: String = "ts",
+                           watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
   /** Gap-based sessionization via flatMapGroupsWithState — the custom
     * stateful operator the built-in windows can't express. Emits a
     * session when `gapMs` of event-time silence passes (or on state

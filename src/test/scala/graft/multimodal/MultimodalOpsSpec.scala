@@ -43,6 +43,25 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
   }
 
+  test("loadBinaryDir ingests a file directory into the media schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    (1 to 5).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"img_$i.jpg"),
+        Array.tabulate[Byte](50 + i)(j => (i * j % 120).toByte))
+    }
+    java.nio.file.Files.write(dir.resolve("notes.txt"),
+      "not media".getBytes)
+    val out = MultimodalOps.loadBinaryDir(spark, dir.toString, "image",
+      glob = "*.jpg")
+    assert(out.count() === 5) // txt pruned at listing time
+    assert(out.columns.toSeq === MultimodalOps.mediaSchema.fieldNames
+      .toSeq)
+    assert(out.select("format").distinct().head().getString(0) === "jpg")
+    // flows straight into the feature stage
+    val feats = MultimodalOps.extractFeatures(out, dim = 8)
+    assert(feats.count() === 5)
+  }
+
   test("sampleVideoFrames emits n rows per video with frame indices") {
     val out = MultimodalOps.sampleVideoFrames(mediaDf, nFrames = 4)
     val vids = mediaDf.where(col("kind") === "video").count()

@@ -93,6 +93,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops stream duplicates, keeps batch " +
+    "semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // dup id within watermark
+      Event(2, ts(2), 1, "view", 2.0))
+    val q = dedupWithinWatermark(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(3), 1, "click", 1.0)) // still within wm
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dd").select("event_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+    // batch path: plain dropDuplicates
+    val batch = dedupWithinWatermark(
+      Seq(Event(7, ts(0), 1, "a", 1.0), Event(7, ts(1), 1, "a", 1.0))
+        .toDF(), Seq("event_id"))
+    assert(batch.count() === 1)
+  }
+
   test("events parquet flows through the same transform in batch") {
     val ev = Tables.load(spark, sfDir, "events")
     val out = hourlyCounts(ev)
