@@ -26,6 +26,16 @@ object ApproxQueries {
         Tables.load(s, d, "documents"), "doc_id", "text",
         maxHamming = 10)),
 
+    "ann_ivf" -> QDef.noOracle(
+      (s, d) => {
+        val (model, indexed) = Similarity.ivfIndex(
+          Tables.load(s, d, "embeddings"), nlist = 8)
+        val queries = indexed.where(col("id") % 50 === 0)
+        Similarity.ivfTopK(model, indexed, queries, k = 10, nprobe = 3)
+          .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
+            round(col("cos"), 6).as("cosine"))
+      }),
+
     "ann_lsh" -> QDef.noOracle(
       (s, d) => {
         val indexed = Similarity.index(

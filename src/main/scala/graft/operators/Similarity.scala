@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -61,6 +63,56 @@ object Similarity {
     base.withColumn("tb", explode(buckets))
       .select(col("id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** IVF (inverted-file) index: a k-means coarse quantizer partitions
+    * the corpus into `nlist` cells; queries scan only the `nprobe`
+    * nearest cells. The other standard ANN shape next to LSH — better
+    * recall/cost on clustered data, needs the (cheap, sampled) training
+    * pass. Returns the fitted quantizer and the corpus with a `cell`
+    * column. At scale, `.repartition(col("cell"))` + parquet
+    * partitioning by cell turns a probe into a partition-pruned scan. */
+  def ivfIndex(emb: DataFrame, nlist: Int, seed: Long = 42L)
+      : (KMeansModel, DataFrame) = {
+    val base = VectorQueries.withNorm(emb)
+      .withColumnRenamed("vec_id", "id")
+    val toVec = udf((v: Seq[Double]) => Vectors.dense(v.toArray))
+    val withFv = base.withColumn("fv", toVec(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(withFv)
+    (model, model.transform(withFv).drop("fv"))
+  }
+
+  /** IVF search: each query row ranks the `nprobe` closest cells by
+    * centroid distance (tiny driver-side centroid table, broadcast in
+    * the closure) and exact-cosine-ranks only those cells' vectors. */
+  def ivfTopK(model: KMeansModel, indexed: DataFrame, queries: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val centroids = model.clusterCenters.map(_.toArray)
+    val probeCells = udf { (v: Seq[Double]) =>
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length && j < v.length) {
+          val t = v(j) - c(j); d += t * t; j += 1
+        }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val probes = queries
+      .withColumn("probe", explode(probeCells(col("v"))))
+      .select(col("probe"), col("id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val pairs = indexed.alias("i").join(broadcast(probes.alias("p")),
+        col("i.cell") === col("p.probe") && col("i.id") =!= col("p.q_id"))
+      .select(col("p.q_id").as("q_id"), col("i.id").as("neighbor_id"),
+        (VectorQueries.dot(col("p.qv"), col("i.v")) /
+          (col("p.qn") * col("i.nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("nn_rank", row_number().over(w))
+      .where(col("nn_rank") <= k)
   }
 
   /** Approximate top-k for `queries` (rows of the same indexed shape):

@@ -85,6 +85,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.keySet === approx.keySet)
   }
 
+  test("IVF top-k recall improves with nprobe, hits 1.0 at full probe") {
+    val (model, indexed) = Similarity.ivfIndex(emb, nlist = 8)
+    val cached = indexed.cache()
+    val queries = cached.where(col("id") % 50 === 0)
+    def recallAt(nprobe: Int): Double = {
+      val approx = Similarity.ivfTopK(model, cached, queries, 10, nprobe)
+        .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = {
+        val e = VectorQueries.withNorm(emb)
+        val q = e.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            (VectorQueries.dot(col("qv"), col("v")) /
+              (col("qn") * col("nrm"))).as("cos"))
+          .withColumn("r", row_number().over(w)).where(col("r") <= 10)
+          .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      }
+      val rs = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8) // all cells probed → exhaustive → exact
+    assert(r8 === 1.0, s"full-probe recall $r8")
+    assert(r2 > 0.2 && r2 <= r8, s"recall@nprobe=2 $r2")
+  }
+
   test("rollingHash fingerprints are deterministic and prefix-sensitive") {
     val df = Seq("hello world", "hello world", "hello worlds")
       .toDF("text")
