@@ -110,6 +110,39 @@ object Models {
       .select("precision").head().getDouble(0)
   }
 
+  /** M9 exactly as the reference reports it (`ml_models.ipynb` cell 2:
+    * per-fold loop, then `np.mean`/`np.std` of the fold metrics):
+    * deterministic fold assignment via [[graft.operators.RelationalOps
+    * .kfoldAssign]], one fit per fold, per-fold MSE and accuracy rows
+    * plus a mean/stddev summary — all metric math as aggregations.
+    * Returns (perFold, summary). */
+  def kFoldMetrics(df: DataFrame, keyCol: String, folds: Int = 5,
+                   threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assigned = graft.operators.RelationalOps
+      .kfoldAssign(df, keyCol, folds).cache()
+    val rows = (1 to folds).map { f =>
+      val train = assigned.where(col("fold") =!= f)
+      val valid = assigned.where(col("fold") === f)
+      val model = lasso().fit(train)
+      val scored = model.transform(valid).select(
+        col("label").cast("int").as("label"), col("score"))
+      val m = MetricsOps.mse(scored, col("label"), col("score")).head()
+        .getDouble(0)
+      val a = MetricsOps.accuracy(scored, col("label"),
+        when(col("score") > threshold, 1).otherwise(0)).head()
+        .getDouble(0)
+      (f, m, a)
+    }
+    assigned.unpersist()
+    val perFold = rows.toDF("fold", "mse", "accuracy")
+    val summary = perFold.agg(
+      avg("mse").as("mse_mean"), stddev("mse").as("mse_std"),
+      avg("accuracy").as("acc_mean"), stddev("accuracy").as("acc_std"))
+    (perFold, summary)
+  }
+
   /** M9 + O5: 5-fold cross-validated MSE for the Lasso
     * (ml_models.ipynb cell 2's per-fold loop → MLlib CrossValidator). */
   def crossValidateLasso(train: DataFrame, folds: Int = 5)

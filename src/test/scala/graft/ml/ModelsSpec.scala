@@ -53,6 +53,19 @@ class ModelsSpec extends SparkSpec {
     assert(math.abs(Models.precisionAtRecall(scored, 0.9) - 2.0 / 3) < 1e-9)
   }
 
+  test("kFoldMetrics reports per-fold and mean/std like the reference") {
+    val withKey = separable.withColumn("k",
+      monotonically_increasing_id())
+    val (perFold, summary) = Models.kFoldMetrics(withKey, "k", folds = 5)
+    assert(perFold.count() === 5)
+    assert(perFold.select("fold").as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 3, 4, 5))
+    val s = summary.head()
+    assert(s.getAs[Double]("acc_mean") > 0.9)
+    assert(s.getAs[Double]("mse_mean") < 0.2)
+    assert(s.getAs[Double]("acc_std") >= 0.0)
+  }
+
   test("cross-validated Lasso reports a small MSE on separable data") {
     val (model, mse) = Models.crossValidateLasso(separable)
     assert(mse < 0.15)
