@@ -120,6 +120,16 @@ object AnalyticsQueries {
         "SELECT p.event_id, p.user_id, c.value AS asof_value " +
         "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
 
+    // Semi-structured extraction: pull a typed field out of the JSON
+    // props column. At scale prefer from_json with an explicit schema
+    // once per pipeline (single parse) over repeated path extraction.
+    "json_extract" -> QDef(
+      (s, d) => Tables.load(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")),
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') " +
+        "AS BIGINT) AS k FROM events"),
+
     // Set op: customers with orders but none urgent (EXCEPT).
     "except_op" -> QDef(
       (s, d) => {
