@@ -61,6 +61,24 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("partitionBy(year) writes prune at read time") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/orders"
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val back = spark.read.parquet(dir).where(col("o_year") === 1997)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      back.explain("formatted")
+    }
+    val plan = out.toString
+    // the year predicate must be a PartitionFilter (directory pruning),
+    // not a post-scan filter
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan)
+    val expected = orders.where(year(col("o_orderdate")) === 1997).count()
+    assert(back.count() === expected && expected > 0)
+  }
+
   test("registerViews exposes the testdata to spark.sql") {
     Tables.registerViews(spark, sfDir)
     val n = spark.sql(
