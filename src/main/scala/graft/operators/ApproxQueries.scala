@@ -21,6 +21,9 @@ object ApproxQueries {
         .select(col("a_id"), col("b_id"),
           round(col("jaccard"), 6).as("jaccard"))),
 
+    // NOTE: 4-chunk banding only GUARANTEES candidates for hamming ≤ 3
+    // (pigeonhole); pairs at 4..10 are found best-effort. Tighter
+    // recall needs more/overlapping chunks — documented tradeoff.
     "dedup_simhash" -> QDef.noOracle(
       (s, d) => Dedup.simhashDedup(
         Tables.load(s, d, "documents"), "doc_id", "text",

@@ -105,8 +105,11 @@ object Encoders {
       struct((offExpr + lit(demoCols.size) + i).as("i"), lit(1.0).as("v")))
     val pairs = concat(demoPairs, indPairs)
     val toVec = udf { (ps: Seq[org.apache.spark.sql.Row]) =>
-      val m = ps.map(r => r.getInt(0) -> r.getDouble(1))
-        .filter(_._1 >= 0).distinct.sortBy(_._1)
+      // null demo values (e.g. an absent demographic) contribute no slot
+      val m = ps.iterator
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => r.getInt(0) -> r.getDouble(1))
+        .filter(_._1 >= 0).toSeq.distinct.sortBy(_._1)
       Vectors.sparse(years.size * span, m.map(_._1).toArray,
         m.map(_._2).toArray): MlVector
     }

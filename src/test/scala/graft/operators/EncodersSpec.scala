@@ -54,6 +54,20 @@ class EncodersSpec extends SparkSpec {
     assert(a.indices.toSeq === b.indices.toSeq)
   }
 
+  test("aovFlatten skips null demo values instead of failing") {
+    val perYear = Seq(
+      ("p1", 2008, Option.empty[Double], Seq(1)),
+      ("p1", 2009, Some(70.0), Seq.empty[Int])
+    ).toDF("id", "y", "age", "idxs")
+    val out = Encoders.aovFlatten(perYear, "id", "y", Seq("age"), "idxs",
+      2, Seq(2008, 2009))
+    val v = out.head().getAs[SparseVector]("features")
+    // span 3: 2008 block = [age(null→absent), code0, code1];
+    // 2009 block at offset 3 has age only
+    assert(v.indices.toSeq === Seq(2, 3))
+    assert(v.values.toSeq === Seq(1.0, 70.0))
+  }
+
   test("aovFlatten lays out years × (demos + W), year-major") {
     val perYear = Seq(
       ("p1", 2008, 70.0, Seq(0, 2)),
