@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# Full local gate: compile, tests, oracle correctness, bench.
+# Usage: tools/ci.sh [sfDir-for-verify] [sfDir-for-bench]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+VSF="${1:-/root/testdata/sf0.01}"
+BSF="${2:-/root/testdata/sf0.1}"
+OUT="$(mktemp -d)/verify"
+
+echo "== sbt test =="
+sbt -batch test 2>&1 | grep -E "Tests:|FAILED" | tail -2
+
+echo "== Verify + DuckDB oracle ($VSF) =="
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+  sbt -batch "runMain graft.Verify $VSF $OUT" >/dev/null 2>&1
+python3 tools/oracle_check.py "$VSF" "$OUT" | tail -3
+
+echo "== Bench ($BSF) =="
+SPARK_GRAFT_SF_DIR="$BSF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' \
+  | sed 's/^\[info\] //'
