@@ -9,6 +9,11 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample stages as
   * partition-wise transforms.
   *
+  * The partition-wise transforms here are the Scala analog of PySpark's
+  * `mapInPandas` batch-UDF shape: one expensive codec init per
+  * partition, rows streamed through as an iterator, arrow-friendly
+  * column types on both sides.
+  *
   * The actual codec work is STUBBED (this container has no image/audio
   * libraries — see the build brief): `StubCodec` produces deterministic
   * fake features from the bytes. Everything around it — schema, batch
