@@ -120,6 +120,30 @@ object AnalyticsQueries {
         "SELECT p.event_id, p.user_id, c.value AS asof_value " +
         "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
 
+    // Trailing time-range rolling aggregate: events in the user's last
+    // hour (inclusive bounds on both engines). The RANGE frame is the
+    // point-in-time feature-engineering staple (e.g. "activity in the
+    // trailing hour" as a model input).
+    "rolling_window" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-3600, Window.currentRow)
+        Tables.load(s, d, "events").select(
+          col("event_id"), col("user_id"),
+          count("*").over(w).as("n_trailing_1h"),
+          sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .over(w).cast("double").as("sum_trailing_1h"))
+      },
+      "SELECT event_id, user_id, " +
+        "COUNT(*) OVER w AS n_trailing_1h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) " +
+        "AS sum_trailing_1h FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY " +
+        "CAST(date_part('epoch', ts) AS BIGINT) " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"),
+
     // Semi-structured extraction: pull a typed field out of the JSON
     // props column. At scale prefer from_json with an explicit schema
     // once per pipeline (single parse) over repeated path extraction.
