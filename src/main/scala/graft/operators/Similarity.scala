@@ -126,17 +126,19 @@ object Similarity {
             col("bucket").bitwiseXOR(lit(1 << b))): _*)))
       .select(col("tbl"), col("probe"), col("id").as("q_id"),
         col("v").as("qv"), col("nrm").as("qn"))
+    // cosine is computed BEFORE the multi-table dedupe: the dot product
+    // is narrow (map-side), and the dropDuplicates shuffle then carries
+    // 24-byte (q, neighbor, cos) rows instead of full vector pairs —
+    // duplicate pairs across tables produce identical cos, so dedupe
+    // placement doesn't change results.
     val pairs = indexed.alias("i").join(broadcast(probes.alias("p")),
         col("i.tbl") === col("p.tbl") &&
           col("i.bucket") === col("p.probe") &&
           col("i.id") =!= col("p.q_id"))
       .select(col("p.q_id").as("q_id"), col("i.id").as("neighbor_id"),
-        col("p.qv").as("qv"), col("i.v").as("v"),
-        col("p.qn").as("qn"), col("i.nrm").as("nrm"))
+        (VectorQueries.dot(col("p.qv"), col("i.v")) /
+          (col("p.qn") * col("i.nrm"))).as("cos"))
       .dropDuplicates("q_id", "neighbor_id")
-      .select(col("q_id"), col("neighbor_id"),
-        (VectorQueries.dot(col("qv"), col("v")) /
-          (col("qn") * col("nrm"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("nn_rank", row_number().over(w))
