@@ -154,6 +154,31 @@ object AnalyticsQueries {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') " +
         "AS BIGINT) AS k FROM events"),
 
+    // Cube: all grouping-set combinations of (status, priority).
+    "cube_agg" -> QDef(
+      (s, d) => Tables.load(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count("*").as("n"),
+          RelationalOps.exactSum(col("o_totalprice")).as("total")),
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total FROM orders GROUP BY CUBE (o_orderstatus, " +
+        "o_orderpriority)"),
+
+    // Set op: customers with both urgent and low-priority orders
+    // (INTERSECT).
+    "intersect_op" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        o.where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+          .intersect(o.where(col("o_orderpriority") === "5-LOW")
+            .select(col("o_custkey")))
+      },
+      "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "INTERSECT SELECT o_custkey FROM orders " +
+        "WHERE o_orderpriority = '5-LOW'"),
+
     // Set op: customers with orders but none urgent (EXCEPT).
     "except_op" -> QDef(
       (s, d) => {
