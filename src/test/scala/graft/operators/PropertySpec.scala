@@ -48,6 +48,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pairIntersectionCounts equals the naive set-op Jaccard on " +
+    "random corpora") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    val docs = samples(docGen, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val base = docs.select(col("doc_id").as("id"),
+        TextQueries.shingles3(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val fast = Dedup.pairIntersectionCounts(base, Seq.empty)
+      .select(col("a_id"), col("b_id"),
+        (col("i") / (col("a_n") + col("b_n") - col("i"))).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val naive = base.as("a").join(base.as("b"),
+        col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))) /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // fast form omits zero-intersection pairs; all others must agree
+    naive.foreach { case (pair, j) =>
+      if (j > 0.0) assert(fast.get(pair).contains(j), s"pair $pair")
+      else assert(!fast.contains(pair), s"zero pair $pair present")
+    }
+  }
+
   test("stratifiedSplit train fraction is ceil(f*n) per stratum " +
     "for sampled sizes") {
     samples(Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(1, 40)), 5)

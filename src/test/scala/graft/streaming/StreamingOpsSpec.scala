@@ -125,4 +125,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.columns.toSet ===
       Set("hour_start", "event_type", "n_events", "sum_value"))
   }
+
+  test("the events table streams through the file source and matches " +
+    "the batch aggregate (SURVEY §1.4 streaming extension)") {
+    // stage the batch table as a file-source stream directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+      .toString
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = hourlyCounts(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_hourly")
+      .select("hour_start", "event_type", "n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = hourlyCounts(ev)
+      .select("hour_start", "event_type", "n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
