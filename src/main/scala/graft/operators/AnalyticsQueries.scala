@@ -154,6 +154,27 @@ object AnalyticsQueries {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') " +
         "AS BIGINT) AS k FROM events"),
 
+    // Correlated-subquery shape (orders above their customer's average
+    // price), decorrelated to aggregate + join — the form optimizers
+    // rewrite EXISTS/scalar subqueries into. Average built from the
+    // decimal sum so both engines divide the same exact numbers.
+    "above_avg_filter" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val avgs = o.groupBy("o_custkey")
+          .agg((RelationalOps.exactSum(col("o_totalprice")) /
+            count("*")).as("avg_price"))
+        o.join(avgs, Seq("o_custkey"))
+          .where(col("o_totalprice") > col("avg_price"))
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      "WITH a AS (SELECT o_custkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "/ COUNT(*) AS avg_price FROM orders GROUP BY o_custkey) " +
+        "SELECT o_orderkey, orders.o_custkey FROM orders " +
+        "JOIN a ON orders.o_custkey = a.o_custkey " +
+        "WHERE o_totalprice > avg_price"),
+
     // Cube: all grouping-set combinations of (status, priority).
     "cube_agg" -> QDef(
       (s, d) => Tables.load(s, d, "orders")
