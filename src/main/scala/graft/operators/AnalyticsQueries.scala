@@ -154,6 +154,53 @@ object AnalyticsQueries {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') " +
         "AS BIGINT) AS k FROM events"),
 
+    // Histogram binning by arithmetic bucket (portable in any engine,
+    // unlike width_bucket variants).
+    "histogram_agg" -> QDef(
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long")
+          .as("bucket"))
+        .agg(count("*").as("n")),
+      "SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, " +
+        "COUNT(*) AS n FROM orders GROUP BY 1"),
+
+    // Pearson correlation from exact decimal component sums — corr()
+    // itself accumulates doubles in partial-order-dependent ways, so
+    // both engines compute the same closed form over exact moments.
+    "corr_agg" -> QDef(
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        def dsum(c: org.apache.spark.sql.Column, sc: Int = 4) =
+          sum(c.cast(org.apache.spark.sql.types.DecimalType(28, sc)))
+            .cast("double")
+        val agg = li.agg(
+          count("*").cast("double").as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice"))
+            .as("syy"),
+          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+        agg.select(round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"))
+      },
+      "WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) " +
+        "AS sy, " +
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) " +
+        "AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(l_extendedprice * l_extendedprice " +
+        "AS DECIMAL(28,4))) AS DOUBLE) AS syy, " +
+        "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) " +
+        "AS DOUBLE) AS sxy FROM lineitem) " +
+        "SELECT ROUND((n * sxy - sx * sy) / " +
+        "SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) " +
+        "AS corr_qty_price FROM m"),
+
     // Correlated-subquery shape (orders above their customer's average
     // price), decorrelated to aggregate + join — the form optimizers
     // rewrite EXISTS/scalar subqueries into. Average built from the
