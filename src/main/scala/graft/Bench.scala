@@ -9,25 +9,43 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Two timed executions per query, report the min: amortizes JIT/
     // codegen warmup and the host VM's sporadic CPU-throttle stalls,
-    // giving the steady-state per-query cost.
+    // giving the steady-state per-query cost. A failing query is an
+    // error, not a fast timing: it is recorded under "errors" and the
+    // process exits nonzero so a broken registry can't bench as ~0 s.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): Double = {
+        => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val r = (timeOnce(fn), timeOnce(fn)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(e), _) => Left(e)
+        case (_, Left(e)) => Left(e)
+      }
+      name -> r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errs = results.collect { case (k, Left(e)) => k -> e }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errs.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

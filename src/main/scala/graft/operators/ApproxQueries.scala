@@ -21,9 +21,10 @@ object ApproxQueries {
         .select(col("a_id"), col("b_id"),
           round(col("jaccard"), 6).as("jaccard"))),
 
-    // NOTE: 4-chunk banding only GUARANTEES candidates for hamming ≤ 3
-    // (pigeonhole); pairs at 4..10 are found best-effort. Tighter
-    // recall needs more/overlapping chunks — documented tradeoff.
+    // Banding uses maxHamming+1 = 11 disjoint chunks, so every pair at
+    // hamming ≤ 10 shares a chunk (pigeonhole) — recall is guaranteed at
+    // the registered budget (SimhashBandingSpec proves it per distance),
+    // modulo the documented bucket-size cap.
     "dedup_simhash" -> QDef.noOracle(
       (s, d) => Dedup.simhashDedup(
         Tables.load(s, d, "documents"), "doc_id", "text",

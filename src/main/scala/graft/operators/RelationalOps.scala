@@ -164,12 +164,18 @@ object RelationalOps {
     * (e.g. partial `count` merges with `sum`, partial `sum` with `sum`,
     * partial `max` with `max`). The caller names partial columns and
     * merges by those names.
+    *
+    * The salt is derived from the row's own data (hash of all columns),
+    * not from partition/row position: a retried or speculative task then
+    * salts identically, so the output is stable under task failure —
+    * the same determinism doctrine as [[mixKey]]. Fully identical rows
+    * share a salt, which only matters if one key's rows are near-all
+    * duplicates (then pre-aggregate a count first).
     */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
                 partials: Seq[Column], merges: Seq[Column]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(salts)))
+      pmod(hash(df.columns.map(col): _*), lit(salts)))
     val phase1 = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)

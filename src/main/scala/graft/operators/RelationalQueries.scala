@@ -85,6 +85,18 @@ object RelationalQueries {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE year(o_orderdate) BETWEEN 1996 AND 1998"),
 
+    // P6 (optimizer-rule form): the same year predicate written naively as
+    // year(c) = y with NO hand-written range — the YearRangePushdown rule
+    // (GraftExtensions, wired into the Verify/Bench/test sessions) rewrites
+    // it into the scan-pushable timestamp range, so PushedFilters carries
+    // the bounds without the query author knowing the trick.
+    "year_pushdown_filter" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .where(year(col("o_orderdate")) === 1997)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE year(o_orderdate) = 1997"),
+
     // P7: equality predicate (ref cms_preprocess.py:86, SP_RA_OA == 1).
     "eq_filter" -> QDef(
       (s, d) => t(s, d, "customer")

@@ -31,17 +31,34 @@ object YearRangePushdown extends Rule[LogicalPlan] {
   /** year(c) appears analyzed as Year(c: date) or Year(Cast(c, DateType)).
     * Returns the underlying column expression if it is attribute-like
     * (we only rewrite direct column references — arbitrary expressions
-    * gain nothing from pushdown). */
-  private def yearChild(e: Expression): Option[Expression] = e match {
-    case Year(c: Attribute) => Some(c)
-    case Year(Cast(c: Attribute, DateType, _, _)) => Some(c)
-    case _ => None
-  }
+    * gain nothing from pushdown), paired with the timezone the
+    * optimizer-introduced cast used (needed to build an equivalent
+    * timestamp literal).
+    *
+    * Only date and timestamp children are rewritten. A StringType child
+    * must NOT be: the rewrite would degenerate to lexicographic string
+    * comparison, which is not equivalent to year(cast(c as date)) —
+    * malformed values like '1996-99-99' pass the string range but cast
+    * to null in the original predicate. */
+  private def yearChild(e: Expression): Option[(Expression, Option[String])] =
+    e match {
+      case Year(c: Attribute) if c.dataType == DateType => Some((c, None))
+      case Year(Cast(c: Attribute, DateType, tz, _)) => c.dataType match {
+        case DateType => Some((c, None))
+        case TimestampType =>
+          // ts→date truncation happens in the cast's timezone; the range
+          // literal must be anchored in the same zone to stay exact.
+          Some((c, tz.orElse(Some(conf.sessionLocalTimeZone))))
+        case TimestampNTZType => Some((c, None))
+        case _ => None
+      }
+      case _ => None
+    }
 
-  private def lit(col: Expression, year: Int): Expression = {
+  private def lit(col: Expression, tz: Option[String], year: Int): Expression = {
     val s = f"$year%04d-01-01"
     col.dataType match {
-      case DateType => Cast(Literal(s), DateType)
+      case TimestampType => Cast(Literal(s), TimestampType, tz)
       case t => Cast(Literal(s), t)
     }
   }
@@ -57,32 +74,39 @@ object YearRangePushdown extends Rule[LogicalPlan] {
       _.containsPattern(org.apache.spark.sql.catalyst.trees
         .TreePattern.BINARY_COMPARISON)) {
       case EqualTo(y, v) if rewritable(y, v) =>
-        val (c, yr) = parts(y, v)
-        And(GreaterThanOrEqual(c, lit(c, yr)), LessThan(c, lit(c, yr + 1)))
+        val (c, tz, yr) = parts(y, v)
+        And(GreaterThanOrEqual(c, lit(c, tz, yr)),
+          LessThan(c, lit(c, tz, yr + 1)))
       case EqualTo(v, y) if rewritable(y, v) =>
-        val (c, yr) = parts(y, v)
-        And(GreaterThanOrEqual(c, lit(c, yr)), LessThan(c, lit(c, yr + 1)))
+        val (c, tz, yr) = parts(y, v)
+        And(GreaterThanOrEqual(c, lit(c, tz, yr)),
+          LessThan(c, lit(c, tz, yr + 1)))
       case GreaterThanOrEqual(y, v) if rewritable(y, v) =>
-        val (c, yr) = parts(y, v); GreaterThanOrEqual(c, lit(c, yr))
+        val (c, tz, yr) = parts(y, v); GreaterThanOrEqual(c, lit(c, tz, yr))
       case LessThanOrEqual(v, y) if rewritable(y, v) =>
-        val (c, yr) = parts(y, v); GreaterThanOrEqual(c, lit(c, yr))
+        val (c, tz, yr) = parts(y, v); GreaterThanOrEqual(c, lit(c, tz, yr))
       case GreaterThan(y, v) if rewritable(y, v) =>
-        val (c, yr) = parts(y, v); GreaterThanOrEqual(c, lit(c, yr + 1))
+        val (c, tz, yr) = parts(y, v)
+        GreaterThanOrEqual(c, lit(c, tz, yr + 1))
       case LessThan(v, y) if rewritable(y, v) =>
-        val (c, yr) = parts(y, v); GreaterThanOrEqual(c, lit(c, yr + 1))
+        val (c, tz, yr) = parts(y, v)
+        GreaterThanOrEqual(c, lit(c, tz, yr + 1))
       case LessThanOrEqual(y, v) if rewritable(y, v) =>
-        val (c, yr) = parts(y, v); LessThan(c, lit(c, yr + 1))
+        val (c, tz, yr) = parts(y, v); LessThan(c, lit(c, tz, yr + 1))
       case GreaterThanOrEqual(v, y) if rewritable(y, v) =>
-        val (c, yr) = parts(y, v); LessThan(c, lit(c, yr + 1))
+        val (c, tz, yr) = parts(y, v); LessThan(c, lit(c, tz, yr + 1))
       case LessThan(y, v) if rewritable(y, v) =>
-        val (c, yr) = parts(y, v); LessThan(c, lit(c, yr))
+        val (c, tz, yr) = parts(y, v); LessThan(c, lit(c, tz, yr))
       case GreaterThan(v, y) if rewritable(y, v) =>
-        val (c, yr) = parts(y, v); LessThan(c, lit(c, yr))
+        val (c, tz, yr) = parts(y, v); LessThan(c, lit(c, tz, yr))
     }
 
   private def rewritable(y: Expression, v: Expression): Boolean =
     yearChild(y).isDefined && intOf(v).isDefined
 
-  private def parts(y: Expression, v: Expression): (Expression, Int) =
-    (yearChild(y).get, intOf(v).get)
+  private def parts(y: Expression, v: Expression)
+      : (Expression, Option[String], Int) = {
+    val (c, tz) = yearChild(y).get
+    (c, tz, intOf(v).get)
+  }
 }

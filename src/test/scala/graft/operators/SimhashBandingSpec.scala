@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Proves the recall contract of [[Dedup.simhashPairs]]: with
+  * maxHamming+1 disjoint chunks, EVERY pair within the hamming budget is
+  * found — at every distance 1..maxHamming, not just small ones (the
+  * round-1 4×16-bit banding only guaranteed ≤3).
+  */
+class SimhashBandingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic 64-bit pseudo-random value (splitmix64 finalizer). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Flip exactly `k` distinct bits of `sig`, positions derived
+    * deterministically from `seed`. */
+  private def flipBits(sig: Long, k: Int, seed: Long): Long = {
+    var out = sig
+    var chosen = Set.empty[Int]
+    var i = 0
+    while (chosen.size < k) {
+      val b = (mix64(seed + i) >>> 8).toInt.abs % 64
+      if (!chosen(b)) { chosen += b; out ^= (1L << b) }
+      i += 1
+    }
+    out
+  }
+
+  test("simhashPairs finds 100% of planted pairs at every hamming " +
+    "1..maxHamming") {
+    val maxH = 10
+    // 40 well-separated base signatures; for each, one partner at each
+    // hamming distance 1..maxH (distance varies by base to keep the
+    // corpus small but cover every distance 4× over).
+    val rows = (0 until 40).flatMap { i =>
+      val base = mix64(i * 7919L)
+      val h = 1 + (i % maxH)
+      Seq((i * 2L, base), (i * 2L + 1, flipBits(base, h, i * 104729L)))
+    }
+    val sigs = rows.toDF("id", "simhash")
+    val found = Dedup.simhashPairs(sigs, maxHamming = maxH)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, hm) => (math.min(a, b), math.max(a, b), hm) }
+      .toSet
+    (0 until 40).foreach { i =>
+      val h = 1 + (i % maxH)
+      assert(found.exists(p => p._1 == i * 2L && p._2 == i * 2L + 1),
+        s"planted pair at hamming $h (base $i) not found")
+      val hm = found.find(p => p._1 == i * 2L && p._2 == i * 2L + 1).get._3
+      assert(hm === h, s"planted distance $h reported as $hm")
+    }
+    // no false positives: every reported pair really is ≤ maxH
+    assert(found.forall(_._3 <= maxH))
+  }
+
+  test("bucket-size cap drops oversized buckets and is observable") {
+    // 200 identical signatures → every chunk bucket holds 200 docs.
+    val sigs = (0L until 200L).map(i => (i, 0x0123456789ABCDEFL))
+      .toDF("id", "simhash")
+    val over = Dedup.simhashOversizedBuckets(sigs, maxHamming = 10,
+      maxBucket = 50)
+    assert(over.count() === 11) // all 11 chunk buckets overflow
+    // with the cap, the quadratic 200×199/2 pair blow-up is suppressed
+    assert(Dedup.simhashPairs(sigs, 10, maxBucket = 50).count() === 0)
+    // without pressure on the cap, the pairs come back
+    assert(Dedup.simhashPairs(sigs, 10, maxBucket = 500).count() ===
+      200L * 199L / 2)
+  }
+
+  test("chunk decomposition covers all 64 bits exactly once " +
+    "(reconstruction property)") {
+    // If chunks tiled the word wrong (gap or overlap), two signatures
+    // differing ONLY in an uncovered bit would collide on every chunk
+    // and surface as a hamming-1 pair... or a covered-twice bit would
+    // break the pigeonhole count. Check: for each single-bit flip, the
+    // pair is found and reported at hamming exactly 1.
+    val base = 0x5A5A5A5AF0F0F0F0L
+    val rows = (0 until 64).flatMap { b =>
+      Seq((b * 2L, base ^ (1L << b)))
+    } :+ (1000L, base)
+    val sigs = rows.toDF("id", "simhash")
+    val withBase = Dedup.simhashPairs(sigs, maxHamming = 1)
+      .where(col("a_id") === 1000L || col("b_id") === 1000L)
+    assert(withBase.count() === 64)
+  }
+}
