@@ -21,21 +21,24 @@ object ApproxQueries {
         .select(col("a_id"), col("b_id"),
           round(col("jaccard"), 6).as("jaccard"))),
 
-    // Banding uses maxHamming+1 = 11 disjoint chunks, so every pair at
-    // hamming ≤ 10 shares a chunk (pigeonhole) — recall is guaranteed at
-    // the registered budget (SimhashBandingSpec proves it per distance),
-    // modulo the documented bucket-size cap.
+    // h=3 with block-permuted tables (d=5 → 10 tables of 24-bit keys):
+    // recall is guaranteed at the registered budget (SimhashBandingSpec
+    // proves it per distance) AND the bucket keys stay selective at
+    // corpus scale — the r2 h=10 registration used 5-6-bit chunk keys
+    // whose buckets went quadratic (and overflowed the cap) as the
+    // corpus grew. Budgets beyond ~6 need a wider signature, not a
+    // 64-bit one with more tables.
     "dedup_simhash" -> QDef.noOracle(
       (s, d) => Dedup.simhashDedup(
         Tables.load(s, d, "documents"), "doc_id", "text",
-        maxHamming = 10)),
+        maxHamming = 3)),
 
     "ann_ivf" -> QDef.noOracle(
       (s, d) => {
-        val (model, indexed) = Similarity.ivfIndex(
+        val (centroids, indexed) = Similarity.ivfIndex(
           Tables.load(s, d, "embeddings"), nlist = 8)
         val queries = indexed.where(col("id") % 50 === 0)
-        Similarity.ivfTopK(model, indexed, queries, k = 10, nprobe = 3)
+        Similarity.ivfTopK(centroids, indexed, queries, k = 10, nprobe = 3)
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       }),

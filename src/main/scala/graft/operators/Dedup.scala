@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *    bucket-join shuffle keyed by (band, bucket) — no pair explosion for
   *    non-dup docs).
   *  - SimHash: 64-bit signature whose hamming distance tracks cosine/
-  *    Jaccard similarity; banding on 16-bit chunks finds candidates with
-  *    ≤3 differing chunks guaranteed for hamming ≤ 3.
+  *    Jaccard similarity; block-permuted tables (Manku WWW'07) key each
+  *    signature on every (d-h)-block combination, guaranteeing recall at
+  *    hamming ≤ h with selective (≥24-bit) bucket keys.
   *
   * Hash functions are Spark's codegen'd xxhash64 — engine-specific, hence
   * these are scalatest-verified (driver rows-only check), while the exact
@@ -185,37 +186,45 @@ object Dedup {
       simhashUdf(split(col(textCol), " ")).as("simhash"))
 
   /** SimHash near-dup candidate pairs from precomputed signatures, with
-    * a recall GUARANTEE at `maxHamming`: the 64 bits are split into
-    * `maxHamming + 1` disjoint chunks, so any pair within the hamming
-    * budget differs in at most `maxHamming` chunks and must agree exactly
-    * on at least one (pigeonhole) — that chunk's bucket produces the
-    * candidate. This replaces the earlier fixed 4×16-bit banding, whose
-    * guarantee stopped at hamming ≤ 3 regardless of the requested budget.
+    * a recall GUARANTEE at `maxHamming` via block-permuted tables (Manku
+    * et al., WWW'07 §3): the 64 bits are split into `blocks` = d disjoint
+    * blocks (d > h); a pair within the hamming budget differs in at most
+    * h blocks, so it agrees exactly on some (d-h)-subset of blocks —
+    * keying every signature on ALL C(d, h) such subsets (each key = the
+    * concatenated block values, hashed) guarantees a shared bucket.
     *
-    * Chunk width is 64/(h+1) bits (the wider chunks take the remainder),
-    * i.e. the bucket keyspace shrinks as the budget grows — the price of
-    * a guarantee. `maxBucket` caps the resulting fan-in: a (chunk, value)
-    * bucket holding m docs emits ~m²/2 candidate pairs, so buckets larger
-    * than the cap (hot values — e.g. near-constant bit regions on short
-    * templated docs) are dropped whole, the standard production guard
-    * (cf. Manku et al., WWW'07 §3). Pairs whose ONLY agreeing chunk is in
-    * a dropped bucket are missed; the guarantee is exact whenever no
-    * bucket overflows, and the overflow count is observable via
-    * [[simhashOversizedBuckets]].
+    * Unlike the naive h+1-chunk pigeonhole (whose keys shrink to
+    * 64/(h+1) bits and stop being selective), the table keys here carry
+    * (d-h)·(64/d) bits of signature — ≥ 24 bits for the default d — so
+    * buckets stay near-singleton at corpus scale and candidate fan-in is
+    * linear, not quadratic. The price is C(d, h) table replicas per row
+    * (h=3, d=5 → 10 rows of 24-byte keys — cheaper than the old 11).
     *
-    * @param sigs (id, simhash: long)
+    * `maxBucket` caps residual fan-in: with ≥24-bit keys a bucket only
+    * exceeds the cap when >maxBucket docs share identical block values,
+    * i.e. a mega-cluster of (near-)identical signatures — those are
+    * exact-dup territory (route through [[TextQueries]] exact dedup, or
+    * raise the cap); the dropped set is observable via
+    * [[simhashOversizedBuckets]], and the guarantee is exact whenever
+    * that set is empty. Budgets where 64-bit keys can't reach 24-bit
+    * selectivity (h ≳ 6) degrade gracefully to the widest feasible keys;
+    * genuinely large budgets need a wider signature, not more tables.
+    *
+    * @param sigs   (id, simhash: long)
+    * @param blocks number of blocks d (0 → smallest d with ≥24-bit keys
+    *               and ≤64 tables, see [[defaultBlocks]])
     * @return (a_id, b_id, hamming) with hamming ≤ maxHamming, exact-verified
     */
   def simhashPairs(sigs: DataFrame, maxHamming: Int,
-                   maxBucket: Int = 10000): DataFrame = {
-    val chunked = chunkedSigs(sigs, maxHamming)
+                   maxBucket: Int = 10000, blocks: Int = 0): DataFrame = {
+    val keyed = keyedSigs(sigs, maxHamming, resolveBlocks(maxHamming, blocks))
     // Skew guard: drop oversized buckets before the self-join. The
     // overflow table is tiny (it only lists buckets above the cap), so
     // the anti-join broadcasts.
-    val oversized = chunked.groupBy("c", "v")
+    val oversized = keyed.groupBy("c", "v")
       .agg(count("*").as("__bn")).where(col("__bn") > maxBucket)
       .select("c", "v")
-    val pruned = chunked.join(broadcast(oversized), Seq("c", "v"),
+    val pruned = keyed.join(broadcast(oversized), Seq("c", "v"),
       "left_anti")
     val cands = pruned.as("a").join(pruned.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
@@ -228,34 +237,70 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** (id, simhash, c, v): one row per signature chunk, 64 bits split
-    * into maxHamming+1 disjoint chunks. */
-  private def chunkedSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val b = maxHamming + 1
-    require(b >= 1 && b <= 64, s"maxHamming must be in 0..63, got $maxHamming")
-    val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val chunkExprs = (0 until b).map { c =>
-      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
-      struct(lit(c).as("c"),
-        shiftright(col("simhash"), offsets(c)).bitwiseAND(lit(mask))
-          .as("v"))
+  /** Smallest block count d > h whose table keys carry ≥ 24 bits of
+    * signature ((d-h)·⌊64/d⌋) within ≤ 64 tables (C(d, h)); if no d
+    * qualifies (large budgets on a 64-bit signature), the feasible d
+    * with the widest keys. h=3 → 5 (10 tables, 24-bit keys); h=10 → 11
+    * (11 tables — the degenerate single-block keys, documented above). */
+  private[operators] def defaultBlocks(maxHamming: Int): Int = {
+    val h = maxHamming
+    def tables(d: Int): Long = { // C(d, h), capped to avoid overflow
+      var n = 1L
+      var i = 0
+      while (i < math.min(h, d - h) && n <= 10000) {
+        n = n * (d - i) / (i + 1); i += 1
+      }
+      n
     }
-    sigs.withColumn("chunk", explode(array(chunkExprs: _*)))
+    def keyBits(d: Int): Int = (d - h) * (64 / d)
+    val feasible = ((h + 1) to 32).filter(tables(_) <= 64)
+    feasible.find(keyBits(_) >= 24)
+      .getOrElse(feasible.maxBy(keyBits))
+  }
+
+  private def resolveBlocks(maxHamming: Int, blocks: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in 0..63, got $maxHamming")
+    val d = if (blocks > 0) blocks else defaultBlocks(maxHamming)
+    require(d > maxHamming && d <= 64,
+      s"blocks must be in ${maxHamming + 1}..64, got $d")
+    d
+  }
+
+  /** (id, simhash, c, v): one row per (d-h)-block combination; c is the
+    * combination index, v the xxhash64 of that combination's block
+    * values. Hash collisions only add spurious candidates (removed by
+    * the exact hamming verify), never lose recall. */
+  private def keyedSigs(sigs: DataFrame, maxHamming: Int,
+                        d: Int): DataFrame = {
+    val widths = Array.tabulate(d)(i => 64 / d + (if (i < 64 % d) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blockVal = (i: Int) => {
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until d).combinations(d - maxHamming).toSeq
+    val keyExprs = combos.zipWithIndex.map { case (combo, ci) =>
+      struct(lit(ci).as("c"),
+        xxhash64((lit(ci) +: combo.map(blockVal)): _*).as("v"))
+    }
+    sigs.withColumn("k", explode(array(keyExprs: _*)))
       .select(col("id"), col("simhash"),
-        col("chunk.c").as("c"), col("chunk.v").as("v"))
+        col("k.c").as("c"), col("k.v").as("v"))
   }
 
   /** Buckets above `maxBucket` for the given corpus/budget — the exact
     * set [[simhashPairs]] drops; count()==0 means the recall guarantee
     * held with no exception. */
   def simhashOversizedBuckets(sigs: DataFrame, maxHamming: Int,
-                              maxBucket: Int = 10000): DataFrame =
-    chunkedSigs(sigs, maxHamming).groupBy("c", "v")
+                              maxBucket: Int = 10000,
+                              blocks: Int = 0): DataFrame =
+    keyedSigs(sigs, maxHamming, resolveBlocks(maxHamming, blocks))
+      .groupBy("c", "v")
       .agg(count("*").as("bucket_n")).where(col("bucket_n") > maxBucket)
 
   /** SimHash near-dup pairs over documents: signatures + guaranteed-recall
-    * banding (see [[simhashPairs]]). */
+    * block-permuted banding (see [[simhashPairs]]). */
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBucket: Int = 10000): DataFrame =

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -68,28 +66,99 @@ object Similarity {
   /** IVF (inverted-file) index: a k-means coarse quantizer partitions
     * the corpus into `nlist` cells; queries scan only the `nprobe`
     * nearest cells. The other standard ANN shape next to LSH — better
-    * recall/cost on clustered data, needs the (cheap, sampled) training
-    * pass. Returns the fitted quantizer and the corpus with a `cell`
-    * column. At scale, `.repartition(col("cell"))` + parquet
-    * partitioning by cell turns a probe into a partition-pruned scan. */
-  def ivfIndex(emb: DataFrame, nlist: Int, seed: Long = 42L)
-      : (KMeansModel, DataFrame) = {
+    * recall/cost on clustered data.
+    *
+    * The quantizer is trained on a driver-collected SAMPLE of
+    * ~`trainPoints` rows (a few MB): centroid placement needs O(nlist)
+    * representative points, not the corpus — at 100 TB a full-corpus
+    * distributed k-means would dwarf the search itself, and even a
+    * sampled MLlib fit costs ~20 distributed jobs of Lloyd iterations.
+    * Local seeded Lloyd's on the sample costs milliseconds and zero
+    * jobs (the FAISS IVF-training shape); the centroids then ride the
+    * task closure and cells are assigned in ONE narrow pass over the
+    * corpus. Deterministic under the seed. Reuse the returned centroids
+    * across queries instead of refitting. At scale,
+    * `.repartition(col("cell"))` + parquet partitioning by cell turns a
+    * probe into a partition-pruned scan. */
+  def ivfIndex(emb: DataFrame, nlist: Int, seed: Long = 42L,
+               trainPoints: Int = 4096): (Array[Array[Double]], DataFrame) = {
     val base = VectorQueries.withNorm(emb)
       .withColumnRenamed("vec_id", "id")
-    val toVec = udf((v: Seq[Double]) => Vectors.dense(v.toArray))
-    val withFv = base.withColumn("fv", toVec(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(withFv)
-    (model, model.transform(withFv).drop("fv"))
+    val n = emb.count()
+    val sampled =
+      if (n <= trainPoints) base
+      else base.sample(withReplacement = false,
+        fraction = math.min(1.0, 1.2 * trainPoints / n), seed = seed)
+    val pts = sampled.select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = trainCentroids(pts, nlist, seed)
+    val assign = udf { (v: Seq[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ct = centroids(c)
+        var d = 0.0; var j = 0
+        while (j < ct.length && j < v.length) {
+          val t = v(j) - ct(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (centroids, base.withColumn("cell", assign(col("v"))))
+  }
+
+  /** Seeded Lloyd's k-means over an in-memory sample — the quantizer
+    * trainer for [[ivfIndex]]. Deterministic: seeded distinct-point
+    * init, fixed iteration order; empty clusters keep their previous
+    * centroid. */
+  private[operators] def trainCentroids(points: Array[Array[Double]],
+                                        k: Int, seed: Long,
+                                        iters: Int = 15)
+      : Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot train a quantizer on zero points")
+    val kk = math.min(k, points.length)
+    val rnd = new java.util.Random(seed)
+    val init = rnd.ints(0, points.length).distinct().limit(kk)
+      .toArray.map(points(_).clone())
+    val cents = init
+    val dim = points(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** IVF search: each query row ranks the `nprobe` closest cells by
-    * centroid distance (tiny driver-side centroid table, broadcast in
-    * the closure) and exact-cosine-ranks only those cells' vectors. */
-  def ivfTopK(model: KMeansModel, indexed: DataFrame, queries: DataFrame,
-              k: Int, nprobe: Int): DataFrame = {
-    val centroids = model.clusterCenters.map(_.toArray)
+    * centroid distance (tiny centroid table, broadcast in the closure)
+    * and exact-cosine-ranks only those cells' vectors. */
+  def ivfTopK(centroids: Array[Array[Double]], indexed: DataFrame,
+              queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val probeCells = udf { (v: Seq[Double]) =>
       centroids.zipWithIndex.map { case (c, i) =>
         var d = 0.0

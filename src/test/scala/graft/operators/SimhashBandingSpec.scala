@@ -4,9 +4,12 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Proves the recall contract of [[Dedup.simhashPairs]]: with
-  * maxHamming+1 disjoint chunks, EVERY pair within the hamming budget is
-  * found — at every distance 1..maxHamming, not just small ones (the
-  * round-1 4×16-bit banding only guaranteed ≤3).
+  * block-permuted tables keyed on (d-h)-block combinations, EVERY pair
+  * within the hamming budget is found — at every distance 1..maxHamming —
+  * while the bucket keys stay selective enough that a realistic random
+  * corpus produces no oversized buckets (the failure mode of the old
+  * h+1-chunk construction, whose 5-6-bit keys overflowed every bucket at
+  * corpus scale and silently zeroed recall).
   */
 class SimhashBandingSpec extends SparkSpec {
   import spark.implicits._
@@ -33,19 +36,17 @@ class SimhashBandingSpec extends SparkSpec {
     out
   }
 
-  test("simhashPairs finds 100% of planted pairs at every hamming " +
-    "1..maxHamming") {
-    val maxH = 10
-    // 40 well-separated base signatures; for each, one partner at each
-    // hamming distance 1..maxH (distance varies by base to keep the
-    // corpus small but cover every distance 4× over).
+  /** Plant one partner at each distance 1..maxH (cycled over bases) and
+    * assert every planted pair is found, at the exact distance. */
+  private def assertFullRecall(maxH: Int, blocks: Int): Unit = {
     val rows = (0 until 40).flatMap { i =>
       val base = mix64(i * 7919L)
       val h = 1 + (i % maxH)
       Seq((i * 2L, base), (i * 2L + 1, flipBits(base, h, i * 104729L)))
     }
     val sigs = rows.toDF("id", "simhash")
-    val found = Dedup.simhashPairs(sigs, maxHamming = maxH)
+    val found = Dedup.simhashPairs(sigs, maxHamming = maxH,
+        blocks = blocks)
       .select("a_id", "b_id", "hamming")
       .as[(Long, Long, Int)].collect()
       .map { case (a, b, hm) => (math.min(a, b), math.max(a, b), hm) }
@@ -61,24 +62,51 @@ class SimhashBandingSpec extends SparkSpec {
     assert(found.forall(_._3 <= maxH))
   }
 
+  test("simhashPairs finds 100% of planted pairs at every hamming " +
+    "1..3 (the registered budget, default blocks)") {
+    assertFullRecall(maxH = 3, blocks = 0)
+  }
+
+  test("simhashPairs guarantee generalizes to large budgets " +
+    "(h=10, explicit 11 blocks)") {
+    assertFullRecall(maxH = 10, blocks = 11)
+  }
+
+  test("default block count gives selective keys for the registered " +
+    "budget: no oversized bucket on a realistic 50k-signature corpus") {
+    // 50k uniformly-mixed signatures — the shape of a real text corpus
+    // after simhash64 (each bit is a majority vote, ~unbiased). With the
+    // default d=5 layout (10 tables, 24-bit keys), the expected bucket
+    // size is 50k/2^24 ≪ 1; the old 11-chunk layout had 5-6-bit keys
+    // where EVERY bucket held ~1000+ docs and the cap dropped them all.
+    val sigs = spark.range(50000).select(col("id"),
+      xxhash64(col("id")).as("simhash"))
+    assert(Dedup.defaultBlocks(3) === 5)
+    val over = Dedup.simhashOversizedBuckets(sigs, maxHamming = 3,
+      maxBucket = 100)
+    assert(over.count() === 0,
+      "random corpus must not overflow any bucket at the default layout")
+  }
+
   test("bucket-size cap drops oversized buckets and is observable") {
-    // 200 identical signatures → every chunk bucket holds 200 docs.
+    // 200 identical signatures → every combo bucket holds 200 docs.
     val sigs = (0L until 200L).map(i => (i, 0x0123456789ABCDEFL))
       .toDF("id", "simhash")
     val over = Dedup.simhashOversizedBuckets(sigs, maxHamming = 10,
-      maxBucket = 50)
-    assert(over.count() === 11) // all 11 chunk buckets overflow
+      maxBucket = 50, blocks = 11)
+    assert(over.count() === 11) // all 11 single-block combos overflow
     // with the cap, the quadratic 200×199/2 pair blow-up is suppressed
-    assert(Dedup.simhashPairs(sigs, 10, maxBucket = 50).count() === 0)
+    assert(Dedup.simhashPairs(sigs, 10, maxBucket = 50,
+      blocks = 11).count() === 0)
     // without pressure on the cap, the pairs come back
-    assert(Dedup.simhashPairs(sigs, 10, maxBucket = 500).count() ===
-      200L * 199L / 2)
+    assert(Dedup.simhashPairs(sigs, 10, maxBucket = 500,
+      blocks = 11).count() === 200L * 199L / 2)
   }
 
-  test("chunk decomposition covers all 64 bits exactly once " +
+  test("block decomposition covers all 64 bits exactly once " +
     "(reconstruction property)") {
-    // If chunks tiled the word wrong (gap or overlap), two signatures
-    // differing ONLY in an uncovered bit would collide on every chunk
+    // If blocks tiled the word wrong (gap or overlap), two signatures
+    // differing ONLY in an uncovered bit would collide on every combo
     // and surface as a hamming-1 pair... or a covered-twice bit would
     // break the pigeonhole count. Check: for each single-bit flip, the
     // pair is found and reported at hamming exactly 1.
