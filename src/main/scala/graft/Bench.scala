@@ -25,8 +25,10 @@ object Bench {
         fn(spark, sfDir).count()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
+        // JSON-safe: strip quotes, backslashes, and the FULL control
+        // range (\b, \f, U+0000-001F would all break the output line).
         Left(Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+          .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200))
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -91,23 +91,33 @@ object Models {
 
   /** M8: precision at recall ≥ `targetRecall` from score-ranked
     * predictions — the threshold-free PR-curve read-off
-    * (ml_models.ipynb:278-280). Window over score descending; one
-    * shuffle. */
+    * (ml_models.ipynb:278-280).
+    *
+    * Histogram-aggregate shape (mirrors [[MetricsOps.weightedF1Sweep]]):
+    * one groupBy collapses the scores to a (score → positives, count)
+    * histogram, the candidate thresholds ARE the distinct scores
+    * (sklearn's PR-curve convention — assumes bounded distinct scores;
+    * quantize first for continuous ones), and the cumulative TP/K per
+    * threshold comes from a broadcast range-join over the histogram —
+    * no single-partition window over raw rows, no separate count()
+    * action. Ties are deterministic by construction: equal scores fall
+    * into one histogram row, so a threshold either takes all of a tie
+    * group or none of it. */
   def precisionAtRecall(scored: DataFrame,
                         targetRecall: Double = 0.9): Double = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val total = scored.where(col("label") === 1).count().toDouble
-    val curve = scored
-      .withColumn("cum_tp", sum(col("label")).over(w))
-      .withColumn("k", count("*").over(w))
-      .withColumn("recall", col("cum_tp") / total)
-      .withColumn("precision", col("cum_tp") / col("k"))
-    curve.where(col("recall") >= targetRecall)
+    val hist = scored.groupBy(col("score"))
+      .agg(sum(col("label")).cast("long").as("pos"),
+        count("*").as("n"))
+    val th = hist.select(col("score").as("t"))
+    val curve = hist.join(broadcast(th), col("score") >= col("t"))
+      .groupBy("t")
+      .agg(sum("pos").as("cum_tp"), sum("n").as("k"))
+    val total = hist.agg(sum("pos").as("total"))
+    curve.crossJoin(broadcast(total))
+      .where(col("cum_tp") >= lit(targetRecall) * col("total"))
       .orderBy(col("k"))
-      .select("precision").head().getDouble(0)
+      .select((col("cum_tp").cast("double") / col("k")).as("precision"))
+      .head().getDouble(0)
   }
 
   /** M9 exactly as the reference reports it (`ml_models.ipynb` cell 2:

@@ -47,10 +47,15 @@ object Encoders {
     toSparse(lit(width), codeIdxs)
 
   /** MHE day-grid scatter (E2): flat index (day-1)*width + codeIdx into a
-    * 366*width sparse vector. `dayOfYear` in 1..366. */
+    * 366*width sparse vector. `dayOfYear` in 1..366. OOV sentinels (-1
+    * from [[codeIndex]]) are dropped BEFORE the flat-index transform:
+    * (doy-1)*width - 1 is in-range for doy ≥ 2 and would silently set
+    * the previous day's last cell — toSparse's bounds guard can't see
+    * it once flattened. */
   def mheVector(dayOfYear: Column, codeIdxs: Column, width: Int): Column =
     toSparse(lit(366 * width),
-      transform(codeIdxs, i => (dayOfYear - 1) * width + i))
+      transform(filter(codeIdxs, i => i >= 0),
+        i => (dayOfYear - 1) * width + i))
 
   /** M4 pooling-first GRU approximation (SURVEY §2.7): pool the day axis
     * of an MHE grid (366×W flat sparse vector) into [max | mean | min]

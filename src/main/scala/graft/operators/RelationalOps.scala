@@ -165,17 +165,33 @@ object RelationalOps {
     * partial `max` with `max`). The caller names partial columns and
     * merges by those names.
     *
-    * The salt is derived from the row's own data (hash of all columns),
-    * not from partition/row position: a retried or speculative task then
-    * salts identically, so the output is stable under task failure —
-    * the same determinism doctrine as [[mixKey]]. Fully identical rows
-    * share a salt, which only matters if one key's rows are near-all
-    * duplicates (then pre-aggregate a count first).
+    * The salt is derived from the row's own data (hash of its hashable
+    * columns), not from partition/row position: a retried or speculative
+    * task then salts identically, so the output is stable under task
+    * failure — the same determinism doctrine as [[mixKey]]. MapType
+    * columns are excluded from the salt (Spark's `hash` rejects maps);
+    * rows identical in every hashable column share a salt, which only
+    * matters if one key's rows are near-all duplicates (then
+    * pre-aggregate a count first).
     */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
                 partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    val hashable = df.schema.fields.filterNot { f =>
+      def hasMap(t: org.apache.spark.sql.types.DataType): Boolean =
+        t match {
+          case _: org.apache.spark.sql.types.MapType => true
+          case a: org.apache.spark.sql.types.ArrayType =>
+            hasMap(a.elementType)
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fields.exists(x => hasMap(x.dataType))
+          case _ => false
+        }
+      hasMap(f.dataType)
+    }.map(f => col(f.name))
+    require(hashable.nonEmpty,
+      "saltedAgg needs at least one non-map column to derive the salt")
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+      pmod(hash(hashable: _*), lit(salts)))
     val phase1 = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)

@@ -63,6 +63,36 @@ object Similarity {
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
+  /** Embedding near-dup pairs via LSH-bucketed candidate generation —
+    * the scale-safe replacement for blocked all-pairs cosine: the corpus
+    * is indexed once (L hyperplane tables), candidates are the
+    * within-bucket pairs, and every candidate is exact-cosine-verified,
+    * so precision is exact and only recall is probabilistic (a cos≥t
+    * pair collides per table with p = (1-θ/π)^nBits; near-dup pairs at
+    * cos ≈ 0.99 are caught with p ≈ 0.997 at nBits=6, L=4).
+    *
+    * Scale shape: candidate fan-in is per-bucket quadratic, but buckets
+    * are 2^nBits per table and hyperplane bits split densest directions
+    * first, so bucket occupancy tracks corpus clustering, not corpus
+    * size; the cosine is computed map-side in the join and the
+    * dropDuplicates shuffle carries 24-byte (a, b, cos) rows — vectors
+    * never re-shuffle. The label-blocked exact form
+    * (`dedup_embed_cosine`) stays as the oracle-checked verifier. */
+  def lshDedupPairs(emb: DataFrame, threshold: Double, nBits: Int = 6,
+                    dim: Int = 64, tables: Int = 4,
+                    seed: Long = 42L): DataFrame = {
+    val indexed = index(emb, nBits, dim, tables, seed)
+    indexed.as("a").join(indexed.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (VectorQueries.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** IVF (inverted-file) index: a k-means coarse quantizer partitions
     * the corpus into `nlist` cells; queries scan only the `nprobe`
     * nearest cells. The other standard ANN shape next to LSH — better

@@ -63,9 +63,16 @@ object YearRangePushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** Year literals outside 1..9998 are left to the original predicate:
+    * yr+1 would overflow Int at Int.MaxValue, and years outside the
+    * 4-digit range format as strings ('-005-01-01', '10000-01-01') that
+    * cast to null — turning the rewritten predicate null where the
+    * original is a plain true/false. Real data is 4-digit; nothing is
+    * lost by not pushing the extremes down. */
   private def intOf(e: Expression): Option[Int] = e match {
-    case Literal(v: Int, IntegerType) => Some(v)
-    case Literal(v: Long, LongType) if v.isValidInt => Some(v.toInt)
+    case Literal(v: Int, IntegerType) if v >= 1 && v < 9999 => Some(v)
+    case Literal(v: Long, LongType) if v >= 1L && v < 9999L =>
+      Some(v.toInt)
     case _ => None
   }
 

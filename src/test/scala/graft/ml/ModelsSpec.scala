@@ -46,6 +46,20 @@ class ModelsSpec extends SparkSpec {
     assert(Models.precisionAtRecall(scored, 0.9) === 1.0)
   }
 
+  test("precisionAtRecall is deterministic under heavy score ties") {
+    // A tie group is taken whole or not at all: the three 0.8-scored
+    // rows (2 pos, 1 neg) collapse into one histogram row, so the
+    // answer cannot depend on row order within the tie — the old
+    // unpartitioned-window form was nondeterministic here.
+    val rows = Seq((1, 0.8), (0, 0.8), (1, 0.8), (0, 0.2))
+    val expected = 2.0 / 3 // threshold 0.8: cum_tp=2 of total 2, k=3
+    (1 to 3).foreach { p =>
+      val scored = rows.toDF("label", "score").repartition(p)
+      assert(math.abs(Models.precisionAtRecall(scored, 0.9) -
+        expected) < 1e-9, s"partitioning $p changed the answer")
+    }
+  }
+
   test("precisionAtRecall degrades with interleaved ranking") {
     val scored = Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.6))
       .toDF("label", "score")

@@ -120,6 +120,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r2 > 0.2 && r2 <= r8, s"recall@nprobe=2 $r2")
   }
 
+  test("lshDedupPairs: full recall on planted scaled duplicates, " +
+    "exact precision vs brute force") {
+    // Scaled copies keep the direction, hence every hyperplane sign,
+    // hence the bucket in EVERY table — recall on them is structural,
+    // not probabilistic (the dedup_embed_lsh oracle relies on this).
+    val probes = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val u = emb.unionByName(probes)
+    val found = Similarity.lshDedupPairs(u, threshold = 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val n = VectorQueries.withNorm(u)
+    val exact = n.as("a").join(n.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (VectorQueries.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(found === exact,
+      s"LSH dedup must equal brute force: missed ${exact -- found}, " +
+        s"spurious ${found -- exact}")
+  }
+
   test("rollingHash fingerprints are deterministic and prefix-sensitive") {
     val df = Seq("hello world", "hello world", "hello worlds")
       .toDF("text")

@@ -44,6 +44,18 @@ class EncodersSpec extends SparkSpec {
     assert(v.indices.length === 2)
   }
 
+  test("mheVector drops OOV -1 sentinels instead of ghost-setting the " +
+    "previous day's last cell") {
+    // Before the filter, a -1 at doy=10 flattened to 9*5-1 = 44 — an
+    // in-range index (day 9's last cell) that toSparse's bounds guard
+    // could not catch.
+    val df = Seq((10, Seq(0, -1, 3))).toDF("doy", "idxs")
+    val v = df.select(Encoders.mheVector($"doy", $"idxs", 5).as("v"))
+      .head().getAs[SparseVector]("v")
+    assert(v.indices.toSeq === Seq(9 * 5 + 0, 9 * 5 + 3))
+    assert(!v.indices.contains(9 * 5 - 1), "ghost cell from OOV -1")
+  }
+
   test("mheVector is permutation-invariant in slot order") {
     val a = Seq((42, Seq(1, 4, 2))).toDF("doy", "idxs")
       .select(Encoders.mheVector($"doy", $"idxs", 6).as("v"))

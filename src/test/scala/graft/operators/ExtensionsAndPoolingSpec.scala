@@ -95,6 +95,28 @@ class ExtensionsAndPoolingSpec extends SparkSpec {
     assert(kept.head().getString(0) === "1996-05-01")
   }
 
+  test("YearRangePushdown leaves extreme year literals to the original " +
+    "predicate (Int overflow / non-4-digit formatting)") {
+    // year(c) <= Int.MaxValue would overflow yr+1 in the rewrite, and
+    // year(c) = -5 would build '-005-01-01' which casts to null and
+    // drops every row; both must fall through unrewritten.
+    val df = Seq(java.sql.Date.valueOf("1996-05-01"),
+      java.sql.Date.valueOf("2001-02-03")).toDF("d")
+    assert(df.where(year(col("d")) <= Int.MaxValue).count() === 2)
+    assert(df.where(year(col("d")) > -5).count() === 2)
+    assert(df.where(year(col("d")) === 10000).count() === 0)
+  }
+
+  test("saltedAgg tolerates MapType columns (excluded from the salt)") {
+    val df = (1 to 100).map(i => (i % 3, i.toDouble, Map("a" -> i)))
+      .toDF("k", "v", "m")
+    val out = RelationalOps.saltedAgg(df, Seq("k"), salts = 4,
+      partials = Seq(count("*").as("pn")),
+      merges = Seq(sum("pn").as("n")))
+      .as[(Int, Long)].collect().toSet
+    assert(out === Set((0, 33L), (1, 34L), (2, 33L)))
+  }
+
   test("saltedAgg matches the plain aggregation") {
     val df = (1 to 1000).map(i => (i % 3, i.toDouble)).toDF("k", "v")
     val plain = df.groupBy("k")
