@@ -54,6 +54,39 @@ object MultimodalOps {
         lit(null).cast("long").as("duration_ms"),
         col("content"))
 
+  /** Pack a directory of small media files into a parquet table with a
+    * binary payload column — the ingest step [[loadBinaryDir]]'s scaladoc
+    * promises. At 100 TB the small-files problem is the listing + task
+    * overhead of millions of tiny objects: packing once into
+    * ~`targetPartitionBytes` parquet files turns every downstream stage
+    * into ordinary splittable columnar scans (and metadata-only reads
+    * when payloads aren't selected).
+    *
+    * Sizing uses the binaryFile source's `length` column, which comes
+    * from the file STATUS — the sizing pass lists, it does not read
+    * payload bytes; content is only streamed once, into the writer. The
+    * repartition hashes on media_id so payload bytes spread evenly
+    * regardless of directory layout.
+    *
+    * @return the packed table re-read from `outPath` (same mediaSchema
+    *         shape — [[extractFeatures]] et al. run on it unchanged)
+    */
+  def packMediaDir(spark: org.apache.spark.sql.SparkSession,
+                   srcDir: String, outPath: String, kind: String,
+                   glob: String = "*",
+                   targetPartitionBytes: Long = 128L << 20): DataFrame = {
+    val listed = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(srcDir)
+    val total = Option(listed.agg(sum("length")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val parts = math.max(1,
+      math.ceil(total.toDouble / targetPartitionBytes).toInt)
+    loadBinaryDir(spark, srcDir, kind, glob)
+      .repartition(parts, col("media_id"))
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** STUB decoder: deterministic pseudo-features from content bytes.
     * Replace with a real codec behind the same signature. */
   object StubCodec {

@@ -52,6 +52,9 @@ object AnalyticsQueries {
     // sessions with the gaps-and-islands pattern (new session when the
     // gap from the previous event exceeds 30 min, cumulative-sum the
     // markers, group). Session identity is (user, first-event ts).
+    // Boundary semantics are pinned by SessionBoundarySpec: Spark's
+    // session_window merges an event at EXACTLY the gap (inclusive),
+    // matching the oracle's strict `> INTERVAL` new-session marker.
     "session_agg" -> QDef(
       (s, d) => Tables.load(s, d, "events")
         .groupBy(col("user_id"),

@@ -49,48 +49,90 @@ object StreamingOps {
         .dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 
+  /** One-pass session fold over a key's time-sorted trigger events.
+    * Late events (t < lastTs — only possible across triggers, since
+    * each trigger's batch is sorted) must NOT move `lastTs` backwards:
+    * the pre-fix fold did, so an on-time successor could wrongly split
+    * the session. A late event lands in one of three regimes:
+    *  - t ≥ lastTs (on time): extend or, past the gap, close-and-open.
+    *  - start - gap ≤ t < lastTs: inside/adjacent to the current
+    *    session — fold it in, keep `lastTs` (start extends down).
+    *  - t < start - gap: stale beyond the merge horizon (its session
+    *    may already be emitted) — emit it as a singleton session rather
+    *    than corrupting the current one.
+    */
+  private def foldSorted(uid: Long, evs: Seq[Event], init: Option[SessionState],
+                         gapMs: Long): (List[Session], Option[SessionState]) = {
+    var out = List.empty[Session]
+    var cur = init
+    evs.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t >= s.lastTs && t - s.lastTs <= gapMs =>
+          cur = Some(s.copy(lastTs = t, n = s.n + 1,
+            sumValue = s.sumValue + e.value))
+        case Some(s) if t < s.lastTs && t >= s.start - gapMs =>
+          cur = Some(s.copy(start = math.min(s.start, t), n = s.n + 1,
+            sumValue = s.sumValue + e.value))
+        case Some(s) if t > s.lastTs =>
+          out ::= Session(uid, s.start, s.lastTs, s.n, s.sumValue)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case Some(_) => // stale: older than the current session - gap
+          out ::= Session(uid, t, t, 1, e.value)
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (out.reverse, cur)
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — the custom
-    * stateful operator the built-in windows can't express. Emits a
-    * session when `gapMs` of event-time silence passes (or on state
-    * timeout in streaming mode). */
-  def sessionize(events: Dataset[Event], gapMs: Long)
-      : Dataset[Session] = {
+    * stateful operator the built-in windows can't express. A session is
+    * emitted when `gapMs` of event-time silence passes: either an
+    * on-time successor arrives past the gap, or (streaming) the
+    * event-time TIMEOUT fires once the watermark passes
+    * `lastTs + gapMs` — so idle keys flush and state is bounded by the
+    * watermark instead of growing forever (the pre-fix NoTimeout form
+    * kept every key's state for the life of the query). */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermark: String = "2 hours"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermark)
+      else events
+    val timeout = if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case (uid, it, state: GroupState[SessionState]) =>
-          // Events arrive unordered within a trigger: sort by event time.
-          val evs = it.toSeq.sortBy(_.ts.getTime)
-          var out = List.empty[Session]
-          var cur = state.getOption
-          evs.foreach { e =>
-            val t = e.ts.getTime
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(uid, s.start, s.lastTs, s.n, s.sumValue))
+          } else {
+            // Events arrive unordered within a trigger: sort by time.
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            val (closed, cur) = foldSorted(uid, evs, state.getOption,
+              gapMs)
             cur match {
-              case Some(s) if t - s.lastTs <= gapMs =>
-                cur = Some(s.copy(lastTs = t, n = s.n + 1,
-                  sumValue = s.sumValue + e.value))
               case Some(s) =>
-                out ::= Session(uid, s.start, s.lastTs, s.n, s.sumValue)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+                state.update(s)
+                if (streaming) state.setTimeoutTimestamp(
+                  math.max(s.lastTs + gapMs,
+                    state.getCurrentWatermarkMs() + 1))
+              case None => ()
             }
+            closed.iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None => ()
-          }
-          out.reverseIterator
       }
   }
 
-  /** Flush any open sessions (batch-mode finalization helper): run
-    * sessionize then append one session per remaining state by treating
-    * the max timestamp as end-of-stream. In batch mode Spark invokes the
-    * function once per key with all data, so open sessions are simply the
-    * per-key tail — emit them by appending a sentinel flush. */
+  /** Flush any open sessions (batch-mode finalization helper): in batch
+    * mode Spark invokes the function once per key with all data, so open
+    * sessions are simply the per-key tail — emit them after the fold. */
   def sessionizeBatch(events: Dataset[Event], gapMs: Long)
       : Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -98,24 +140,9 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroups { (uid, it) =>
         val evs = it.toSeq.sortBy(_.ts.getTime)
-        val out = scala.collection.mutable.ListBuffer.empty[Session]
-        var cur: Option[SessionState] = None
-        evs.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t - s.lastTs <= gapMs =>
-              cur = Some(s.copy(lastTs = t, n = s.n + 1,
-                sumValue = s.sumValue + e.value))
-            case Some(s) =>
-              out += Session(uid, s.start, s.lastTs, s.n, s.sumValue)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
-          }
-        }
-        cur.foreach(s =>
-          out += Session(uid, s.start, s.lastTs, s.n, s.sumValue))
-        out.iterator
+        val (closed, cur) = foldSorted(uid, evs, None, gapMs)
+        (closed ++ cur.map(s =>
+          Session(uid, s.start, s.lastTs, s.n, s.sumValue))).iterator
       }
   }
 }

@@ -62,6 +62,43 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(feats.count() === 5)
   }
 
+  test("packMediaDir round-trips small files through parquet with " +
+    "identical payloads and unchanged downstream stages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_src")
+    (1 to 7).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"img_$i.png"),
+        Array.tabulate[Byte](40 + 3 * i)(j => ((i * 17 + j) % 110).toByte))
+    }
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_pack_out").toString + "/media"
+    val packed = MultimodalOps.packMediaDir(spark, dir.toString, out,
+      "image", glob = "*.png")
+    assert(packed.count() === 7)
+    assert(packed.columns.toSeq ===
+      MultimodalOps.mediaSchema.fieldNames.toSeq)
+    // payloads byte-identical to the direct binaryFile read
+    val direct = MultimodalOps.loadBinaryDir(spark, dir.toString,
+      "image", glob = "*.png")
+      .select("media_id", "content").as[(Long, Array[Byte])]
+      .collect().toMap
+    val fromParquet = packed.select("media_id", "content")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(fromParquet.keySet === direct.keySet)
+    assert(fromParquet.forall { case (k, v) =>
+      java.util.Arrays.equals(v, direct(k)) })
+    // downstream feature stage runs unchanged on the packed table and
+    // agrees with the unpacked pipeline
+    val fPacked = MultimodalOps.extractFeatures(packed, dim = 8)
+      .select("media_id", "features").as[(Long, Seq[Float])]
+      .collect().toMap
+    val fDirect = MultimodalOps.extractFeatures(
+      MultimodalOps.loadBinaryDir(spark, dir.toString, "image",
+        glob = "*.png"), dim = 8)
+      .select("media_id", "features").as[(Long, Seq[Float])]
+      .collect().toMap
+    assert(fPacked === fDirect)
+  }
+
   test("sampleVideoFrames emits n rows per video with frame indices") {
     val out = MultimodalOps.sampleVideoFrames(mediaDf, nFrames = 4)
     val vids = mediaDf.where(col("kind") === "video").count()

@@ -65,6 +65,67 @@ class StreamingOpsSpec extends SparkSpec {
     assert(closed.head.n_events === 2 && closed.head.sum_value === 3.0)
   }
 
+  test("sessionize folds a late cross-trigger event without moving the " +
+    "session end backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // trigger 1: on-time events at min 0 and 5
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0))
+    val q = sessionize(mem.toDS(), gapMs = 30 * 60000L,
+      watermark = "10 hours")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // trigger 2: a LATE event (min 2 < lastTs=5) plus an on-time one
+      // at min 34. The pre-fix fold moved lastTs back to 2, making
+      // 34 - 2 = 32 min > gap split the session; the fixed fold keeps
+      // lastTs=5 (34 - 5 = 29 min ≤ gap → same session).
+      mem.addData(
+        Event(3, ts(2), 1, "click", 4.0),
+        Event(4, ts(34), 1, "view", 8.0))
+      q.processAllAvailable()
+      // trigger 3: far-future event closes the session by gap
+      mem.addData(Event(5, ts(600), 1, "click", 0.5))
+      q.processAllAvailable()
+      val closed = spark.table("late_sessions").as[Session].collect()
+        .sortBy(_.session_start)
+      assert(closed.length === 1,
+        s"late event must not split the session: $closed")
+      assert(closed.head.n_events === 4)
+      assert(closed.head.session_start === ts(0).getTime)
+      assert(closed.head.session_end === ts(34).getTime)
+      assert(closed.head.sum_value === 15.0)
+    } finally q.stop()
+  }
+
+  test("sessionize emits idle sessions via event-time timeout " +
+    "(state is watermark-bounded, not immortal)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(Event(1, ts(0), 1, "click", 1.0))
+    val q = sessionize(mem.toDS(), gapMs = 30 * 60000L,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // another user's events advance the watermark far past
+      // user 1's lastTs + gap; no user-1 successor ever arrives
+      mem.addData(Event(2, ts(100), 2, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(101), 2, "view", 3.0))
+      q.processAllAvailable()
+      val u1 = spark.table("timeout_sessions").as[Session].collect()
+        .filter(_.user_id == 1)
+      assert(u1.length === 1,
+        "idle session must flush on event-time timeout")
+      assert(u1.head.n_events === 1 && u1.head.sum_value === 1.0)
+    } finally q.stop()
+  }
+
   test("watermark drops late data and emits finalized windows in " +
     "append mode") {
     implicit val sqlCtx = spark.sqlContext
