@@ -14,12 +14,31 @@ object ApproxQueries {
 
   val defs: Map[String, QDef] = Map(
 
-    "dedup_minhash_lsh" -> QDef.noOracle(
+    // MinHash-LSH dedup now carries the exact-Jaccard DuckDB oracle:
+    // every true pair in the test corpus sits at j ≥ 0.9, where the
+    // 8×4 banding misses with p ≈ 1e-5 per pair — so the (seeded,
+    // deterministic) pipeline achieves full recall on this data and its
+    // exact-verified output EQUALS the brute-force all-pairs answer.
+    // The driver's hash compare is thereby a recall gate: a banding
+    // regression that drops a pair fails rows_match loudly. Both sides
+    // compute jac = i / (na + nb - i) from identical integers, so the
+    // doubles are bit-identical.
+    "dedup_minhash_lsh" -> QDef(
       (s, d) => Dedup.minhashDedup(
         Tables.load(s, d, "documents"), "doc_id", "text",
         threshold = 0.6)
         .select(col("a_id"), col("b_id"),
-          round(col("jaccard"), 6).as("jaccard"))),
+          round(col("jaccard"), 6).as("jaccard")),
+      "WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+        "sh AS (SELECT doc_id, " +
+        "list_distinct([array_to_string(w[x:x+2], ' ') " +
+        "FOR x IN range(1, len(w) - 1)]) AS s FROM docs), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, " +
+        "len(b.s) AS nb FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT a_id, b_id, ROUND(i / (na + nb - i), 6) AS jaccard " +
+        "FROM p WHERE i / (na + nb - i) >= 0.6"),
 
     // h=3 with block-permuted tables (d=5 → 10 tables of 24-bit keys):
     // recall is guaranteed at the registered budget (SimhashBandingSpec
@@ -52,6 +71,33 @@ object ApproxQueries {
         Similarity.annTopK(indexed, queries, k = 10, nBits = 6)
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
-      })
+      }),
+
+    // Driver-checkable end-to-end gate for the LSH search machinery:
+    // every 10th vector re-enters the corpus as a ×2-scaled probe.
+    // Scaling preserves every hyperplane sign, so a probe ALWAYS shares
+    // its original's bucket in every table, and its true top-1 is the
+    // original at cosine exactly 1.0 (to 6 decimals) — the oracle is
+    // therefore the closed-form (probe, original, 1, 1.0) relation, and
+    // any regression in indexing, probing, ranking, or pair dedup
+    // breaks the hash match loudly. Complements `ann_lsh`, whose
+    // general-query recall is genuinely probabilistic (scalatest).
+    "ann_lsh_probe" -> QDef(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val probes = e.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+            transform(col("embedding"), x => x * lit(2.0f))
+              .as("embedding"))
+        val indexed = Similarity.index(e.unionByName(probes),
+          nBits = 6, dim = 64, tables = 4)
+        val queries = indexed.where(col("id") >= 100000)
+        Similarity.annTopK(indexed, queries, k = 1, nBits = 6)
+          .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
+            round(col("cos"), 6).as("cosine"))
+      },
+      "SELECT vec_id + 100000 AS q_id, vec_id AS neighbor_id, " +
+        "CAST(1 AS INT) AS nn_rank, 1.0 AS cosine FROM embeddings " +
+        "WHERE vec_id % 10 = 0")
   )
 }

@@ -1,17 +1,32 @@
 #!/usr/bin/env python3
-"""One-shot generator for the committed CMS-shaped test fixtures
-(src/test/resources/cms/). Deterministic (seed 42). Shapes mirror the
-columns the reference reads (cms_preprocess.py:11-16) with the dirt
+"""Generator for CMS-shaped test fixtures. Deterministic (seed 42).
+
+Default (no args): the committed 30-patient fixtures
+(src/test/resources/cms/) — byte-identical across runs; shapes mirror
+the columns the reference reads (cms_preprocess.py:11-16) with the dirt
 patterns FIXTURES.md §A calls for: mixed/garbage dates, quote-wrapped
 crosswalk values, trailing dots, stray whitespace, empty cells.
+
+Scaled mode (--patients N --out DIR, N != 30): a clean ~N*33-claim
+DE-SynPUF-shaped corpus for the leakage-parity run
+(graft.examples.ReferenceParity <dir>): every patient enrolled
+2008-2010, ~10% get a DRG-469/470 TJR claim in 2010 (the label year),
+whose dx codes therefore leak into the 2010 feature block — the
+BASELINE.md train-AUC→1.0 property at ~10^5-claim scale.
 """
+import argparse
 import csv
 import random
 import os
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--patients", type=int, default=30)
+ap.add_argument("--out", default=os.path.join(
+    os.path.dirname(__file__), "..", "src", "test", "resources", "cms"))
+args = ap.parse_args()
+
 random.seed(42)
-OUT = os.path.join(os.path.dirname(__file__), "..",
-                   "src", "test", "resources", "cms")
+OUT = args.out
 os.makedirs(OUT, exist_ok=True)
 
 # ---- crosswalks ----------------------------------------------------------
@@ -44,15 +59,17 @@ DX_CODES = ["71500", "71590", "7160", "71610", "71620", "4019", "25000",
 PCS_CODES = ["8151", "8152", "8154", "0066", "3722", "88888"]  # OOV tail
 
 # ---- beneficiaries -------------------------------------------------------
-N_PAT = 30
+N_PAT = args.patients
+SCALED = N_PAT != 30
 patients = [f"P{i:04d}" for i in range(N_PAT)]
 with open(f"{OUT}/ben.csv", "w", newline="") as f:
     w = csv.writer(f)
     w.writerow(["DESYNPUF_ID", "SP_RA_OA", "BENE_BIRTH_DT",
                 "BENE_SEX_IDENT_CD"])
     for i, p in enumerate(patients):
-        # patients 0-19 have RA/OA flag (1), 20-29 don't (2)
-        sp = 1 if i < 20 else 2
+        # default: patients 0-19 have the RA/OA flag (1), 20-29 don't (2)
+        # scaled: 90% flagged — the arthritis-cohort filter keeps ~0.9N
+        sp = (1 if i % 10 != 9 else 2) if SCALED else (1 if i < 20 else 2)
         birth = f"{1930 + (i % 20)}{(i % 12) + 1:02d}{(i % 28) + 1:02d}"
         w.writerow([p, sp, birth, 1 + (i % 2)])
 
@@ -63,37 +80,63 @@ with open(f"{OUT}/ben.csv", "w", newline="") as f:
 # (label=1). Garbage dates sprinkled on extra rows.
 rows = []
 clm = 1000
-def add_claim(p, date, drg, ndx=3, npcs=2):
+def add_claim(p, date, drg, ndx=3, npcs=2, dx_pool=None, pcs_pool=None):
     global clm
-    dx = random.sample(DX_CODES, ndx) + [""] * (10 - ndx)
-    pc = random.sample(PCS_CODES, npcs) + [""] * (6 - npcs)
+    dxp = dx_pool if dx_pool is not None else DX_CODES
+    pcp = pcs_pool if pcs_pool is not None else PCS_CODES
+    dx = random.sample(dxp, min(ndx, len(dxp))) + [""] * (10 - ndx)
+    pc = random.sample(pcp, min(npcs, len(pcp))) + [""] * (6 - npcs)
     rows.append([p, f"C{clm}", date, drg] + dx + pc)
     clm += 1
 
-for i, p in enumerate(patients):
-    years = [2008, 2009, 2010]
-    if i in (15, 16, 17):
-        years = [[2008, 2009], [2008, 2010], [2009, 2010]][i - 15]
-    if i in (18, 19):
-        years = [2007, 2011]
-    for y in years:
-        n = 1 + (i + y) % 3
-        for k in range(n):
-            date = f"{y}{(k % 12) + 1:02d}{((i + k) % 28) + 1:02d}"
-            # float-string date variant (pandas mixed-dtype CSV artifact)
-            if (i + k) % 7 == 0:
-                date += ".0"
-            drg = "001" if (i + k) % 2 == 0 else "123"
-            add_claim(p, date, drg)
-# TJR claims
-add_claim("P0000", "20080615", "470")          # early TJR — dropped
-add_claim("P0001", "20101001", "470")          # label=1
-add_claim("P0002", "20101102", "469")          # label=1
-add_claim("P0003", "20101203", "470")          # label=1
-# garbage dates → coerce+dropna path
-add_claim("P0004", "", "001")
-add_claim("P0005", "garbage", "001")
-add_claim("P0006", "2010-01-01", "001")
+# Scaled-mode pools: background claims never carry the TJR procedure
+# codes (CCS 152/153); the TJR claim does — reproducing the reference's
+# leakage mechanism, where the 2010 feature block contains the very
+# procedure that defines the label (BASELINE.md train-AUC→1.0 caveat).
+BG_DX = ["4019", "25000", "2724", "99999"]
+BG_PCS = ["0066", "3722", "88888"]
+TJR_DX = ["71500", "71590", "7160", "71610", "71620", "71536"]
+TJR_PCS = ["8151", "8152", "8154"]
+
+if SCALED:
+    # Clean fully-enrolled corpus; ~10 background claims/patient/year.
+    # ~10% of patients get the 2010 TJR claim → label=1; its dx codes
+    # sit inside the 2010 feature block (the leakage under test).
+    for i, p in enumerate(patients):
+        for y in (2008, 2009, 2010):
+            for k in range(8 + (i + y) % 5):
+                date = f"{y}{(k % 12) + 1:02d}{((i + k) % 28) + 1:02d}"
+                drg = "001" if (i + k) % 2 == 0 else "123"
+                add_claim(p, date, drg, dx_pool=BG_DX, pcs_pool=BG_PCS)
+        if i % 10 == 3:
+            tjr_drg = "470" if i % 20 == 3 else "469"
+            add_claim(p, f"2010{(i % 12) + 1:02d}15", tjr_drg,
+                      dx_pool=TJR_DX, pcs_pool=TJR_PCS)
+else:
+    for i, p in enumerate(patients):
+        years = [2008, 2009, 2010]
+        if i in (15, 16, 17):
+            years = [[2008, 2009], [2008, 2010], [2009, 2010]][i - 15]
+        if i in (18, 19):
+            years = [2007, 2011]
+        for y in years:
+            n = 1 + (i + y) % 3
+            for k in range(n):
+                date = f"{y}{(k % 12) + 1:02d}{((i + k) % 28) + 1:02d}"
+                # float-string date variant (pandas mixed-dtype artifact)
+                if (i + k) % 7 == 0:
+                    date += ".0"
+                drg = "001" if (i + k) % 2 == 0 else "123"
+                add_claim(p, date, drg)
+    # TJR claims
+    add_claim("P0000", "20080615", "470")          # early TJR — dropped
+    add_claim("P0001", "20101001", "470")          # label=1
+    add_claim("P0002", "20101102", "469")          # label=1
+    add_claim("P0003", "20101203", "470")          # label=1
+    # garbage dates → coerce+dropna path
+    add_claim("P0004", "", "001")
+    add_claim("P0005", "garbage", "001")
+    add_claim("P0006", "2010-01-01", "001")
 
 with open(f"{OUT}/ip.csv", "w", newline="") as f:
     w = csv.writer(f)
