@@ -40,6 +40,34 @@ object ApproxQueries {
         "SELECT a_id, b_id, ROUND(i / (na + nb - i), 6) AS jaccard " +
         "FROM p WHERE i / (na + nb - i) >= 0.6"),
 
+    // Duplicate-cluster resolution over the minhash pairs: connected
+    // components → one canonical (min-id) doc per cluster. The oracle
+    // recomputes the exact pairs and closes them with a recursive CTE —
+    // transitive closure then min over reachable ids — so the driver
+    // hash-checks both the pair recall AND the clustering.
+    "dedup_components" -> QDef(
+      (s, d) => Dedup.dupComponents(
+        Dedup.minhashDedup(Tables.load(s, d, "documents"), "doc_id",
+          "text", threshold = 0.6)
+          .select(col("a_id"), col("b_id"))),
+      "WITH RECURSIVE " +
+        "docs AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+        "sh AS (SELECT doc_id, " +
+        "list_distinct([array_to_string(w[x:x+2], ' ') " +
+        "FOR x IN range(1, len(w) - 1)]) AS s FROM docs), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, " +
+        "len(b.s) AS nb FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+        "pairs AS (SELECT a_id, b_id FROM p " +
+        "WHERE i / (na + nb - i) >= 0.6), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+        "UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach AS (SELECT src AS id, dst AS r FROM edges " +
+        "UNION SELECT reach.id, e.dst FROM reach " +
+        "JOIN edges e ON reach.r = e.src) " +
+        "SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id"),
+
     // h=3 with block-permuted tables (d=5 → 10 tables of 24-bit keys):
     // recall is guaranteed at the registered budget (SimhashBandingSpec
     // proves it per distance) AND the bucket keys stay selective at

@@ -306,4 +306,71 @@ object Dedup {
                    maxBucket: Int = 10000): DataFrame =
     simhashPairs(simhashSignatures(docs, idCol, textCol), maxHamming,
       maxBucket)
+
+  /** Duplicate-cluster resolution: dup PAIRS → one canonical doc per
+    * connected component — the step every dedup pipeline needs after
+    * candidate generation ("keep canonical, drop the rest"). Pairwise
+    * output alone under-deletes: {(a,b), (b,c)} must collapse to ONE
+    * survivor, not two independent drops.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * each round every node takes the min component label over itself
+    * and its neighbors, then jumps to its label's label. Pure
+    * join+groupBy rounds (no driver-side graph), converging in
+    * O(log diameter) rounds; dup clusters are near-cliques from banding,
+    * so 2-3 rounds typical. The edge relation is |pairs|, orders of
+    * magnitude smaller than the corpus — at 100 TB this runs on the
+    * dedup OUTPUT, never the documents.
+    *
+    * @param pairs (a_id, b_id) dup pairs (undirected)
+    * @return (id, canonical_id) for every id in a pair; docs to drop
+    *         are the rows with id != canonical_id
+    */
+  def dupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Iterative DataFrames grow their logical plan each round; the
+    // eager localCheckpoint TRUNCATES lineage (and materializes the
+    // round), keeping plan size constant — without it the optimizer
+    // re-analyzes an exponentially nested plan and the driver OOMs on
+    // chains of a few dozen rounds' depth.
+    //
+    // Init folds the first propagation round into one aggregation:
+    // comp₀ = min(self, neighbors). Dup clusters from banding are
+    // near-cliques, so most nodes are already at their component min
+    // and the loop typically runs ONE verification round.
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("mn")).as("comp"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // fresh aliases on BOTH union children: they share lineage, and
+      // Union's constraint propagation rejects duplicate attribute ids
+      val own = labels
+        .select(col("id").as("uid"), col("comp").as("ucomp"))
+      val nbr = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("uid"), col("comp").as("ucomp"))
+      val mins = own.union(nbr)
+        .groupBy("uid").agg(min("ucomp").as("comp"))
+        .withColumnRenamed("uid", "id")
+      // pointer jump: follow comp -> comp's comp (halves chain lengths,
+      // turning O(diameter) propagation into O(log diameter))
+      val jumped = mins.as("m")
+        .join(mins.select(col("id").as("comp"), col("comp").as("cc"))
+          .as("p"), Seq("comp"), "left")
+        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = jumped.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .where(col("n.comp") =!= col("o.comp")).count()
+      labels = jumped
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("comp").as("canonical_id"))
+  }
 }

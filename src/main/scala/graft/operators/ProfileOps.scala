@@ -66,4 +66,53 @@ object ProfileOps {
     out.toSeq.toDF("column", "dtype", "n", "nulls", "distinct_approx",
       "min_v", "max_v", "mean_v", "stddev_v")
   }
+
+  /** Render a [[profile]] result as the self-contained HTML report
+    * artifact the reference emits (`dataprep_report.py:11,27` builds an
+    * HTML profile per input frame). The profile row set is tiny (one
+    * row per column), so rendering is a driver-side format of an
+    * already-aggregated result — the distributed work stays in
+    * [[profile]]. */
+  def renderHtml(profileDf: DataFrame, title: String = "EDA report")
+      : String = {
+    val esc = (s: String) => s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    val num = (v: Any) => v match {
+      case null => ""
+      case d: Double => f"$d%.4f"
+      case x => x.toString
+    }
+    val rows = profileDf.collect().map { r =>
+      val cells = Seq(esc(r.getAs[String]("column")),
+        esc(r.getAs[String]("dtype")),
+        r.getAs[Long]("n").toString, r.getAs[Long]("nulls").toString,
+        r.getAs[Long]("distinct_approx").toString,
+        num(r.get(r.fieldIndex("min_v"))),
+        num(r.get(r.fieldIndex("max_v"))),
+        num(r.get(r.fieldIndex("mean_v"))),
+        num(r.get(r.fieldIndex("stddev_v"))))
+      cells.mkString("<tr><td>", "</td><td>", "</td></tr>")
+    }
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>body{font-family:sans-serif}table{border-collapse:collapse}
+       |td,th{border:1px solid #999;padding:4px 8px;text-align:right}
+       |th{background:#eee}td:first-child{text-align:left}</style>
+       |</head><body><h1>${esc(title)}</h1>
+       |<table><tr><th>column</th><th>dtype</th><th>n</th><th>nulls</th>
+       |<th>distinct≈</th><th>min</th><th>max</th><th>mean</th>
+       |<th>stddev</th></tr>
+       |${rows.mkString("\n")}
+       |</table></body></html>""".stripMargin
+  }
+
+  /** Profile + render + write in one call — the `dataprep_report.py`
+    * entry-point shape. */
+  def writeHtmlReport(df: DataFrame, path: String,
+                      title: String = "EDA report"): Unit = {
+    val html = renderHtml(profile(df), title)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
 }

@@ -120,6 +120,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r2 > 0.2 && r2 <= r8, s"recall@nprobe=2 $r2")
   }
 
+  test("dupComponents collapses transitive chains to one canonical id " +
+    "and leaves unrelated clusters apart") {
+    // 1-2-3-4 is a CHAIN (pairwise dedup alone would under-delete);
+    // 7-8 is separate; 9 appears in no pair and must not appear.
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (7L, 8L))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.dupComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L))
+    // survivors = canonical ids; everything else drops
+    val drops = comp.filter { case (id, c) => id != c }.keySet
+    assert(drops === Set(2L, 3L, 4L, 8L))
+  }
+
+  test("dupComponents converges on a long chain (pointer jumping)") {
+    val n = 64
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.dupComponents(pairs).as[(Long, Long)].collect()
+    assert(comp.length === n)
+    assert(comp.forall(_._2 === 1L), "all chain nodes label to the min")
+  }
+
   test("lshDedupPairs: full recall on planted scaled duplicates, " +
     "exact precision vs brute force") {
     // Scaled copies keep the direction, hence every hyperplane sign,

@@ -34,6 +34,27 @@ class ProfileOpsSpec extends SparkSpec {
     assert(qty.getLong(2) === 6000)
   }
 
+  test("renderHtml emits the self-contained report artifact with one " +
+    "row per column and escaped content") {
+    val df = Seq((1, "a<b", Some(1.5)), (2, "ok", None))
+      .toDF("id", "s<tag>", "v")
+    val html = ProfileOps.renderHtml(ProfileOps.profile(df,
+      exactDistinct = true), title = "t&t")
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("<title>t&amp;t</title>"))
+    assert(html.contains("<td>s&lt;tag&gt;</td>"), "column name escaped")
+    assert(html.contains("<td>id</td>"))
+    assert(html.contains("<td>v</td>"))
+    // one <tr> per column + header
+    assert("<tr>".r.findAllIn(html).size === df.columns.length + 1)
+    // end-to-end writer
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_eda").resolve("report.html").toString
+    ProfileOps.writeHtmlReport(df, path)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))).contains("</table></body></html>"))
+  }
+
   test("withPdeCounts joins prescription counts with zero-fill") {
     def res(n: String) = getClass.getResource(s"/cms/$n.csv").getPath
     val claims = CmsPipeline.arthritisPatientData(
