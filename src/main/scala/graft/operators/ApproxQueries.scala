@@ -126,6 +126,30 @@ object ApproxQueries {
       },
       "SELECT vec_id + 100000 AS q_id, vec_id AS neighbor_id, " +
         "CAST(1 AS INT) AS nn_rank, 1.0 AS cosine FROM embeddings " +
+        "WHERE vec_id % 10 = 0"),
+
+    // The IVF twin of ann_lsh_probe. Scaling does NOT preserve k-means
+    // cells (euclidean quantizer), so the probes here are IDENTICAL
+    // copies: the same vector quantizes to the same cell
+    // deterministically, its own cell is always among the nprobe
+    // closest, and its true top-1 is the original at cosine 1.0 —
+    // closed-form oracle over the whole index→probe→rank path.
+    "ann_ivf_probe" -> QDef(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val probes = e.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+            col("embedding"))
+        val (centroids, indexed) = Similarity.ivfIndex(
+          e.unionByName(probes), nlist = 8)
+        val queries = indexed.where(col("id") >= 100000)
+        Similarity.ivfTopK(centroids, indexed, queries, k = 1,
+          nprobe = 3)
+          .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
+            round(col("cos"), 6).as("cosine"))
+      },
+      "SELECT vec_id + 100000 AS q_id, vec_id AS neighbor_id, " +
+        "CAST(1 AS INT) AS nn_rank, 1.0 AS cosine FROM embeddings " +
         "WHERE vec_id % 10 = 0")
   )
 }

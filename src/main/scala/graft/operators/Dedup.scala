@@ -327,9 +327,12 @@ object Dedup {
     *         are the rows with id != canonical_id
     */
   def dupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the pair relation ONCE before the symmetric union:
+    // union branches don't share subplans, so building edges straight
+    // off an expensive candidate pipeline would execute it twice.
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
     // Iterative DataFrames grow their logical plan each round; the
     // eager localCheckpoint TRUNCATES lineage (and materializes the
     // round), keeping plan size constant — without it the optimizer
@@ -370,7 +373,6 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
-    edges.unpersist()
     labels.select(col("id"), col("comp").as("canonical_id"))
   }
 }
