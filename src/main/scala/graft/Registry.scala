@@ -20,11 +20,21 @@ object QDef {
 
 /** Central registry assembled from the per-domain query modules. */
 object Registry {
-  lazy val all: Map[String, QDef] =
-    operators.RelationalQueries.defs ++
-      operators.TextQueries.defs ++
-      operators.VectorQueries.defs ++
-      operators.EncoderQueries.defs ++
-      operators.ApproxQueries.defs ++
-      operators.AnalyticsQueries.defs
+  lazy val all: Map[String, QDef] = {
+    val modules = Seq(
+      operators.RelationalQueries.defs,
+      operators.TextQueries.defs,
+      operators.VectorQueries.defs,
+      operators.EncoderQueries.defs,
+      operators.ApproxQueries.defs,
+      operators.AnalyticsQueries.defs)
+    // Map ++ silently keeps the LAST duplicate — a colliding query name
+    // would shadow an operator and shrink the driver's gate without any
+    // failure. Refuse instead.
+    val dups = modules.flatMap(_.keys)
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate query names across modules: ${dups.mkString(", ")}")
+    modules.reduce(_ ++ _)
+  }
 }

@@ -79,6 +79,28 @@ class BucketingSpec extends SparkSpec {
     assert(back.count() === expected && expected > 0)
   }
 
+  test("IVF cells written partitionBy(cell) turn a probe into a " +
+    "partition-pruned scan (the ivfIndex scaladoc's scale path)") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (centroids, indexed) = operators.Similarity.ivfIndex(emb,
+      nlist = 8)
+    val dir = Files.createTempDirectory("graft_ivf").toString + "/ivf"
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val back = spark.read.parquet(dir).where(col("cell").isin(2, 5))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      back.explain("formatted")
+    }
+    val plan = out.toString
+    // probing 2 of 8 cells must prune at the directory level — the
+    // scan never touches the other 6 cells' files
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("cell"), plan)
+    val expected = indexed.where(col("cell").isin(2, 5)).count()
+    assert(back.count() === expected)
+    assert(centroids.length === 8)
+  }
+
   test("registerViews exposes the testdata to spark.sql") {
     Tables.registerViews(spark, sfDir)
     val n = spark.sql(
