@@ -30,22 +30,20 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket of `v` (array<double>) under one hyperplane set. */
-  private def bucketUdf(nBits: Int, dim: Int, seed: Long) = {
+  /** Sign-bit bucket of `v` (array<double>) under one hyperplane set,
+    * as a pure EXPRESSION: each plane is a literal array and each
+    * projection rides the codegen'd [[VectorQueries.dot]]
+    * (DoubleDotProduct) — no interpreted UDF in the indexing scan, so
+    * the whole row → L-buckets pass stays inside whole-stage codegen.
+    * Same left-to-right fold as the previous UDF loop: identical
+    * doubles, identical buckets. */
+  private def bucketExpr(v: Column, nBits: Int, dim: Int,
+                         seed: Long): Column = {
     val ps = planes(nBits, dim, seed)
-    udf { (v: Seq[Double]) =>
-      var bucket = 0
-      var b = 0
-      while (b < ps.length) {
-        var dot = 0.0
-        val p = ps(b)
-        var i = 0
-        while (i < p.length && i < v.length) { dot += v(i) * p(i); i += 1 }
-        if (dot > 0) bucket |= (1 << b)
-        b += 1
-      }
-      bucket
-    }
+    (0 until nBits).map { b =>
+      when(VectorQueries.dot(v, typedlit(ps(b).toSeq)) > 0.0,
+        lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
   }
 
   /** Corpus prepared for bucketed search: one row per (vector, table)
@@ -56,7 +54,7 @@ object Similarity {
       .withColumnRenamed("vec_id", "id")
     val buckets = array((0 until tables).map { t =>
       struct(lit(t).as("tbl"),
-        bucketUdf(nBits, dim, seed + t)(col("v")).as("bucket"))
+        bucketExpr(col("v"), nBits, dim, seed + t).as("bucket"))
     }: _*)
     base.withColumn("tb", explode(buckets))
       .select(col("id"), col("v"), col("nrm"),
