@@ -88,6 +88,35 @@ class SimhashBandingSpec extends SparkSpec {
       "random corpus must not overflow any bucket at the default layout")
   }
 
+  test("simhashPairs equals the brute-force hamming join on a " +
+    "clustered corpus (exact precision AND recall)") {
+    // 80 clusters × 4 variants, each variant ≤ 2 bit-flips off its
+    // base: within-cluster pair distances span 1..4, so the h=3 budget
+    // must return exactly the ≤3 subset — recall misses AND spurious/
+    // over-budget pairs both break set equality.
+    val rows = (0 until 80).flatMap { c =>
+      val base = mix64(c * 524287L)
+      (0 until 4).map { j =>
+        val flips = j match {
+          case 0 => base
+          case _ => flipBits(base, 1 + (j % 2), c * 7919L + j)
+        }
+        (c * 10L + j, flips)
+      }
+    }
+    val sigs = rows.toDF("id", "simhash")
+    val found = Dedup.simhashPairs(sigs, maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = sigs.as("a").join(sigs.as("b"),
+        col("a.id") < col("b.id"))
+      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        <= 3)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(found === exact,
+      s"missed ${exact -- found}, spurious ${found -- exact}")
+  }
+
   test("bucket-size cap drops oversized buckets and is observable") {
     // 200 identical signatures → every combo bucket holds 200 docs.
     val sigs = (0L until 200L).map(i => (i, 0x0123456789ABCDEFL))

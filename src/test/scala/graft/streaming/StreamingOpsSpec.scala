@@ -179,6 +179,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.count() === 1)
   }
 
+  test("streaming ingest lands in a durable parquet sink with " +
+    "checkpointed exactly-once (the training-data ingest shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // dup within watermark
+      Event(2, ts(2), 2, "view", 2.0))
+    val q = dedupWithinWatermark(mem.toDF(), Seq("event_id"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(3), 1, "click", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(outDir)
+    assert(landed.select("event_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L), "dedup + durable sink must land exactly once")
+    // checkpoint carries the source offsets + dedup state store
+    assert(new java.io.File(ckpt, "offsets").list().nonEmpty)
+    assert(new java.io.File(ckpt, "state").exists())
+  }
+
   test("events parquet flows through the same transform in batch") {
     val ev = Tables.load(spark, sfDir, "events")
     val out = hourlyCounts(ev)
