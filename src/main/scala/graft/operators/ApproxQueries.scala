@@ -80,6 +80,29 @@ object ApproxQueries {
         Tables.load(s, d, "documents"), "doc_id", "text",
         maxHamming = 3)),
 
+    // Driver-checkable gate for the simhash path (signature UDF →
+    // block-permuted banding → hamming verify): every 10th document
+    // re-enters as an identical-text copy, whose signature is
+    // bit-identical — hamming 0 pairs share EVERY block, so banding
+    // finds them structurally, and restricting output to the planted
+    // id-offset makes the result closed-form. The general
+    // `dedup_simhash` stays scalatest-verified (its hamming space is
+    // engine-specific); this pins the machinery end-to-end in the
+    // driver's hash gate.
+    "dedup_simhash_probe" -> QDef(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val probes = docs.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        Dedup.simhashDedup(docs.unionByName(probes), "doc_id", "text",
+          maxHamming = 3)
+          .where(col("b_id") === col("a_id") + 100000)
+          .select(col("a_id"), col("b_id"),
+            col("hamming").cast("int").as("hamming"))
+      },
+      "SELECT doc_id AS a_id, doc_id + 100000 AS b_id, " +
+        "CAST(0 AS INT) AS hamming FROM documents WHERE doc_id % 10 = 0"),
+
     "ann_ivf" -> QDef.noOracle(
       (s, d) => {
         val (centroids, indexed) = Similarity.ivfIndex(
