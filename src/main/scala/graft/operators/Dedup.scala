@@ -373,6 +373,13 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // Loud, not silent: returning unconverged labels would split real
+    // clusters. Pointer jumping needs ~log2(diameter) rounds, so the
+    // default cap covers any realistic graph; hitting it means the
+    // input isn't a dedup pair set — fail rather than under-delete.
+    require(converged,
+      s"dupComponents did not converge in $maxIter rounds — " +
+        "raise maxIter for graphs of this diameter")
     labels.select(col("id"), col("comp").as("canonical_id"))
   }
 }

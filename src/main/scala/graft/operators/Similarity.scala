@@ -78,9 +78,20 @@ object Similarity {
     * (`dedup_embed_cosine`) stays as the oracle-checked verifier. */
   def lshDedupPairs(emb: DataFrame, threshold: Double, nBits: Int = 6,
                     dim: Int = 64, tables: Int = 4,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L,
+                    maxBucket: Int = 100000): DataFrame = {
     val indexed = index(emb, nBits, dim, tables, seed)
-    indexed.as("a").join(indexed.as("b"),
+    // Hot-bucket guard (same shape as simhashPairs): a (table, bucket)
+    // holding m vectors emits ~m²/2 candidate pairs, so a mega-cluster
+    // of near-identical embeddings would blow the self-join up;
+    // oversized buckets are dropped whole — pairs inside them belong
+    // to exact-dup handling, and the drop is visible as a count here.
+    val oversized = indexed.groupBy("tbl", "bucket")
+      .agg(count("*").as("__bn")).where(col("__bn") > maxBucket)
+      .select("tbl", "bucket")
+    val pruned = indexed.join(broadcast(oversized), Seq("tbl", "bucket"),
+      "left_anti")
+    pruned.as("a").join(pruned.as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
