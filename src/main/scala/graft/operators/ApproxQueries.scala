@@ -68,6 +68,44 @@ object ApproxQueries {
         "JOIN edges e ON reach.r = e.src) " +
         "SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id"),
 
+    // The end of the dedup story: pairs → clusters → PRUNED CORPUS.
+    // Non-canonical cluster members anti-join out of the documents
+    // table; the survivors (canonical doc per cluster + all singletons)
+    // are what a training run actually reads. Anti-join keyed on the
+    // tiny drop set → broadcast; the corpus never shuffles.
+    "dedup_prune" -> QDef(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val comp = Dedup.dupComponents(
+          Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.6)
+            .select(col("a_id"), col("b_id")))
+        val drops = comp.where(col("id") =!= col("canonical_id"))
+          .select(col("id").as("doc_id"))
+        docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+      },
+      "WITH RECURSIVE " +
+        "docs AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+        "sh AS (SELECT doc_id, " +
+        "list_distinct([array_to_string(w[x:x+2], ' ') " +
+        "FOR x IN range(1, len(w) - 1)]) AS s FROM docs), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, " +
+        "len(b.s) AS nb FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+        "pairs AS (SELECT a_id, b_id FROM p " +
+        "WHERE i / (na + nb - i) >= 0.6), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+        "UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach AS (SELECT src AS id, dst AS r FROM edges " +
+        "UNION SELECT reach.id, e.dst FROM reach " +
+        "JOIN edges e ON reach.r = e.src), " +
+        "comp AS (SELECT id, MIN(r) AS canonical_id FROM reach " +
+        "GROUP BY id) " +
+        "SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM comp " +
+        "WHERE id <> canonical_id)"),
+
     // h=3 with block-permuted tables (d=5 → 10 tables of 24-bit keys):
     // recall is guaranteed at the registered budget (SimhashBandingSpec
     // proves it per distance) AND the bucket keys stay selective at

@@ -133,6 +133,35 @@ object TextQueries {
         "(stop_cnt / n_words) * 0.3 + (n_distinct / n_words) * 0.3, 6) " +
         "AS quality FROM q"),
 
+    // PII scrubbing (C4/Dolma-style cleaning): emails and URLs are
+    // replaced with placeholder tokens and the replacement counts kept
+    // for audit — the standard pre-training redaction pass. Patterns
+    // are restricted to syntax with identical semantics in Java regex
+    // and RE2 (no backrefs/lookaround) so the DuckDB oracle replays
+    // them exactly. One narrow projection; at 100 TB this is a
+    // map-only pass that pushes straight down onto the scan.
+    "pii_scrub" -> QDef(
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val url = "https?://[^\\s]+"
+        docs(s, d).select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(email)).as("n_emails"),
+          regexp_count(col("text"), lit(url)).as("n_urls"),
+          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            url, "<URL>").as("clean_text"))
+      },
+      "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) " +
+        "AS n_emails, " +
+        "CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) " +
+        "AS n_urls, " +
+        "regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', " +
+        "'g'), 'https?://[^\\s]+', '<URL>', 'g') AS clean_text " +
+        "FROM documents"),
+
     // Language-ID: stopword-marker scoring with deterministic argmax.
     // (The heuristic library version with char n-grams lives in
     // functions.TextFunctions; this is the SQL-checkable core.)
