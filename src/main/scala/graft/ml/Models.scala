@@ -113,8 +113,13 @@ object Models {
       .groupBy("t")
       .agg(sum("pos").as("cum_tp"), sum("n").as("k"))
     val total = hist.agg(sum("pos").as("total"))
+    // total > 0 guard: with zero positives the recall condition is
+    // vacuously true at every threshold and the read-off would return
+    // a fabricated 0.0 — recall@target is UNDEFINED there, so fail
+    // loudly (empty result → NoSuchElementException) instead.
     curve.crossJoin(broadcast(total))
-      .where(col("cum_tp") >= lit(targetRecall) * col("total"))
+      .where(col("total") > 0 &&
+        col("cum_tp") >= lit(targetRecall) * col("total"))
       .orderBy(col("k"))
       .select((col("cum_tp").cast("double") / col("k")).as("precision"))
       .head().getDouble(0)

@@ -41,18 +41,21 @@ object MultimodalOps {
   def loadBinaryDir(spark: org.apache.spark.sql.SparkSession,
                     path: String, kind: String,
                     glob: String = "*"): DataFrame =
-    spark.read.format("binaryFile")
+    toMediaSchema(spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
-      .load(path)
-      .select(
-        abs(xxhash64(col("path"))).as("media_id"),
-        lit(kind).as("kind"),
-        regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)
-          .as("format"),
-        lit(null).cast("int").as("width"),
-        lit(null).cast("int").as("height"),
-        lit(null).cast("long").as("duration_ms"),
-        col("content"))
+      .load(path), kind)
+
+  /** Project a raw binaryFile-source frame into [[mediaSchema]]. */
+  def toMediaSchema(binaryFiles: DataFrame, kind: String): DataFrame =
+    binaryFiles.select(
+      abs(xxhash64(col("path"))).as("media_id"),
+      lit(kind).as("kind"),
+      regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)
+        .as("format"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("long").as("duration_ms"),
+      col("content"))
 
   /** Pack a directory of small media files into a parquet table with a
     * binary payload column — the ingest step [[loadBinaryDir]]'s scaladoc
@@ -75,13 +78,18 @@ object MultimodalOps {
                    srcDir: String, outPath: String, kind: String,
                    glob: String = "*",
                    targetPartitionBytes: Long = 128L << 20): DataFrame = {
+    // One listing serves both passes: the sizing agg reads only the
+    // file-status `length` column, and the write reuses the same frame
+    // — a second loadBinaryDir would re-list the directory, doubling
+    // exactly the small-files listing cost this function exists to
+    // amortize.
     val listed = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(srcDir)
     val total = Option(listed.agg(sum("length")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val parts = math.max(1,
       math.ceil(total.toDouble / targetPartitionBytes).toInt)
-    loadBinaryDir(spark, srcDir, kind, glob)
+    toMediaSchema(listed, kind)
       .repartition(parts, col("media_id"))
       .write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath)

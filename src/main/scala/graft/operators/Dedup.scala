@@ -253,7 +253,9 @@ object Dedup {
       n
     }
     def keyBits(d: Int): Int = (d - h) * (64 / d)
-    val feasible = ((h + 1) to 32).filter(tables(_) <= 64)
+    // d ranges to 64 so every legal budget has a feasible layout:
+    // d = h+1 always has C(h+1, h) = h+1 ≤ 64 tables.
+    val feasible = ((h + 1) to 64).filter(tables(_) <= 64)
     feasible.find(keyBits(_) >= 24)
       .getOrElse(feasible.maxBy(keyBits))
   }

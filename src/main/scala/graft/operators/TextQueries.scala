@@ -138,20 +138,34 @@ object TextQueries {
     // for audit — the standard pre-training redaction pass. Patterns
     // are restricted to syntax with identical semantics in Java regex
     // and RE2 (no backrefs/lookaround) so the DuckDB oracle replays
-    // them exactly. One narrow projection; at 100 TB this is a
-    // map-only pass that pushes straight down onto the scan.
+    // them exactly. The synthetic corpus contains no natural emails or
+    // URLs, which would make the gate vacuous — so every 20th doc
+    // re-enters with planted PII built from its id (same construction
+    // in both engines), giving the scrub real positives to hash-check.
+    // One narrow projection; at 100 TB this is a map-only pass that
+    // pushes straight down onto the scan.
     "pii_scrub" -> QDef(
       (s, d) => {
         val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
         val url = "https?://[^\\s]+"
-        docs(s, d).select(
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val probes = base.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(lit("mail u"), col("doc_id").cast("string"),
+              lit("@example.com or see https://ex.org/d/"),
+              col("doc_id").cast("string"), lit(" now")).as("text"))
+        base.unionByName(probes).select(
           col("doc_id"),
           regexp_count(col("text"), lit(email)).as("n_emails"),
           regexp_count(col("text"), lit(url)).as("n_urls"),
           regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
             url, "<URL>").as("clean_text"))
       },
-      "SELECT doc_id, " +
+      "WITH u AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 300000, " +
+        "'mail u' || doc_id || '@example.com or see https://ex.org/d/' " +
+        "|| doc_id || ' now' FROM documents WHERE doc_id % 20 = 0) " +
+        "SELECT doc_id, " +
         "CAST(len(regexp_extract_all(text, " +
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) " +
         "AS n_emails, " +
@@ -160,7 +174,7 @@ object TextQueries {
         "regexp_replace(regexp_replace(text, " +
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', " +
         "'g'), 'https?://[^\\s]+', '<URL>', 'g') AS clean_text " +
-        "FROM documents"),
+        "FROM u"),
 
     // Language-ID: stopword-marker scoring with deterministic argmax.
     // (The heuristic library version with char n-grams lives in

@@ -65,22 +65,38 @@ object StreamingOps {
                          gapMs: Long): (List[Session], Option[SessionState]) = {
     var out = List.empty[Session]
     var cur = init
+    // Late events (t < lastTs — only cross-trigger) are deferred to a
+    // second phase: deciding "stale singleton" inline would be
+    // order-dependent, because a later-processed late event can extend
+    // `start` downwards and bring an earlier-seen one back into merge
+    // range. Late folds never move lastTs, so deferral can't change
+    // how on-time events fold.
+    var late = List.empty[Event]
     evs.foreach { e =>
       val t = e.ts.getTime
       cur match {
         case Some(s) if t >= s.lastTs && t - s.lastTs <= gapMs =>
           cur = Some(s.copy(lastTs = t, n = s.n + 1,
             sumValue = s.sumValue + e.value))
-        case Some(s) if t < s.lastTs && t >= s.start - gapMs =>
-          cur = Some(s.copy(start = math.min(s.start, t), n = s.n + 1,
-            sumValue = s.sumValue + e.value))
-        case Some(s) if t > s.lastTs =>
+        case Some(s) if t < s.lastTs =>
+          late ::= e
+        case Some(s) => // t > lastTs + gap
           out ::= Session(uid, s.start, s.lastTs, s.n, s.sumValue)
           cur = Some(SessionState(t, t, 1, e.value))
-        case Some(_) => // stale: older than the current session - gap
-          out ::= Session(uid, t, t, 1, e.value)
         case None =>
           cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    // Phase 2: newest-first, so each merge lowers `start` before the
+    // staler events are judged against it.
+    late.sortBy(-_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t >= s.start - gapMs =>
+          cur = Some(s.copy(start = math.min(s.start, t), n = s.n + 1,
+            sumValue = s.sumValue + e.value))
+        case _ => // stale beyond the merge horizon: singleton
+          out ::= Session(uid, t, t, 1, e.value)
       }
     }
     (out.reverse, cur)

@@ -60,6 +60,14 @@ class ModelsSpec extends SparkSpec {
     }
   }
 
+  test("precisionAtRecall fails loudly when there are no positives " +
+    "(recall at a target is undefined, not 0.0)") {
+    val scored = Seq((0, 0.9), (0, 0.1)).toDF("label", "score")
+    intercept[java.util.NoSuchElementException] {
+      Models.precisionAtRecall(scored, 0.9)
+    }
+  }
+
   test("precisionAtRecall degrades with interleaved ranking") {
     val scored = Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.6))
       .toDF("label", "score")

@@ -117,6 +117,18 @@ class SimhashBandingSpec extends SparkSpec {
       s"missed ${exact -- found}, spurious ${found -- exact}")
   }
 
+  test("default block layout exists for every legal budget " +
+    "(h up to 63 must not crash)") {
+    Seq(0, 6, 31, 32, 40, 63).foreach { h =>
+      val d = Dedup.defaultBlocks(h)
+      assert(d > h && d <= 64, s"h=$h gave blocks=$d")
+    }
+    // and the pipeline runs at an extreme budget on a tiny corpus
+    val sigs = Seq((1L, 0L), (2L, -1L), (3L, 0x0F0FL))
+      .toDF("id", "simhash")
+    assert(Dedup.simhashPairs(sigs, maxHamming = 40).count() >= 1)
+  }
+
   test("bucket-size cap drops oversized buckets and is observable") {
     // 200 identical signatures → every combo bucket holds 200 docs.
     val sigs = (0L until 200L).map(i => (i, 0x0123456789ABCDEFL))

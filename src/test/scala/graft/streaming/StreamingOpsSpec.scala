@@ -101,6 +101,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late events in one trigger merge independent of their order " +
+    "(newest late event opens the merge range for staler ones)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // session state {start=100, lastTs=180} with gap 50min
+    mem.addData(
+      Event(1, ts(100), 1, "a", 1.0),
+      Event(2, ts(140), 1, "a", 1.0),
+      Event(3, ts(180), 1, "a", 1.0))
+    val q = sessionize(mem.toDS(), gapMs = 50 * 60000L,
+      watermark = "100 hours")
+      .writeStream.format("memory").queryName("late_order")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Late events 30 and 60: 60 merges (>= 100-50), lowering start
+      // to 60, which brings 30 into range (>= 60-50). Inline
+      // ascending-order processing would have emitted 30 as a
+      // spurious singleton before 60 could extend the range.
+      mem.addData(Event(4, ts(30), 1, "a", 1.0),
+        Event(5, ts(60), 1, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(6, ts(600), 1, "a", 1.0)) // closes by gap
+      q.processAllAvailable()
+      val closed = spark.table("late_order").as[Session].collect()
+      assert(closed.length === 1, s"spurious singleton: ${closed.toSeq}")
+      assert(closed.head.n_events === 5)
+      assert(closed.head.session_start === ts(30).getTime)
+      assert(closed.head.session_end === ts(180).getTime)
+    } finally q.stop()
+  }
+
   test("sessionize emits idle sessions via event-time timeout " +
     "(state is watermark-bounded, not immortal)") {
     implicit val sqlCtx = spark.sqlContext

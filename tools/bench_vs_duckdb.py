@@ -8,11 +8,15 @@ Methodology: min of two runs per query on both sides (steady state).
 import sys, json, time
 import duckdb
 
-def main(sf_dir, oracle_path, bench_path):
+def connect(sf_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, oracle_path, bench_path):
     oracle = json.load(open(oracle_path))
     raw = open(bench_path).read()
     bench = json.loads(raw[raw.index('{'):])["queries"]
@@ -21,25 +25,38 @@ def main(sf_dir, oracle_path, bench_path):
     # (dedup_minhash_lsh) is quadratic in DuckDB and runs >10 min at
     # sf0.1 — the engine's LSH answers it in ~1s. Interrupt and record
     # the cap so the table still reports every query honestly.
+    #
+    # Each query gets a FRESH connection: interrupt() on a connection
+    # whose query just finished would poison the next sql() call (the
+    # timer can fire between fetchall() and cancel()). A fresh
+    # connection plus the elapsed-time check below keeps a lost race
+    # from reporting a fast query as capped.
     CAP_S = 120.0
     import threading
     for name, sql in sorted(oracle.items()):
+        con = connect(sf_dir)
         times = []
         capped = False
-        for _ in range(2):
+        run = 0
+        while run < 2 and not capped:
             t0 = time.time()
             timer = threading.Timer(CAP_S, con.interrupt)
             timer.start()
             try:
                 con.sql(sql).fetchall()
                 times.append(time.time() - t0)
+                run += 1
             except duckdb.InterruptException:
-                times.append(CAP_S)
-                capped = True
+                timer.cancel()
+                if time.time() - t0 >= CAP_S * 0.9:
+                    times.append(CAP_S)
+                    capped = True
+                else:
+                    # spurious interrupt from a lost timer race —
+                    # rebuild the connection and retry this run
+                    con = connect(sf_dir)
             finally:
                 timer.cancel()
-            if capped:
-                break
         dd = min(times)
         sp = bench.get(name)
         rows.append((name + (" (capped)" if capped else ""), sp, dd))
