@@ -32,9 +32,12 @@ class BpeSpec extends SparkSpec {
     val docs = Tables.load(spark, sfDir, "documents").limit(50).cache()
     val m5 = Bpe.train(docs, "text", numMerges = 5)
     val m50 = Bpe.train(docs, "text", numMerges = 50)
+    // word count must match tokenize()'s convention: split on \s+ and
+    // drop empties (split keeps leading/trailing empty strings)
     val counted = docs.select(
-      size(split(col("text"), " ")).as("words"),
-      length(regexp_replace(col("text"), " ", "")).as("chars"),
+      size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+        .as("words"),
+      length(regexp_replace(col("text"), "\\s", "")).as("chars"),
       Bpe.tokenCount(m5, col("text")).as("t5"),
       Bpe.tokenCount(m50, col("text")).as("t50"))
       .agg(sum("words").as("w"), sum("chars").as("c"),
@@ -45,6 +48,38 @@ class BpeSpec extends SparkSpec {
     assert(t5 <= c, "merges can only shrink the symbol count")
     assert(t50 <= t5, "more merges, fewer tokens")
     assert(t50 >= w, "tokens can't go below whole words")
+  }
+
+  test("astral characters stay whole (code points, not UTF-16 units) " +
+    "and whitespace runs split words") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val m = Bpe.trainFromHistogram(
+      Array((s"a${emoji}b", 5L), ("ab", 3L)), numMerges = 1)
+    // the emoji is ONE symbol: tokenizing never tears a surrogate pair
+    assert(m.tokenizeWord(s"a${emoji}b")
+      .forall(t => !t.exists(Character.isSurrogate) ||
+        t.codePointCount(0, t.length) < t.length))
+    assert(m.tokenizeWord(emoji) === Seq(emoji))
+    // tabs/newlines split like spaces — no line-spanning pseudo-words
+    val docs2 = Seq("hello\nworld hello\tworld").toDF("text")
+    val m2 = Bpe.train(docs2, "text", numMerges = 0)
+    val toks = docs2.select(Bpe.tokenize(m2, col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(!toks.exists(t => t.contains("\n") || t.contains("\t")))
+    assert(toks.mkString === "helloworldhelloworld")
+  }
+
+  test("incremental trainer handles overlapping and decaying pairs " +
+    "(lazy-heap correctness)") {
+    // "aaaa": (a,a) count 3*8=24 merges first → [aa,aa]; then (aa,aa).
+    // The (a,a) count DECAYS for "aaab" words too — the heap must
+    // still surface later merges correctly.
+    val hist = Array(("aaaa", 8L), ("aaab", 4L), ("cd", 6L))
+    val m = Bpe.trainFromHistogram(hist, numMerges = 3)
+    assert(m.merges.head === ("a", "a"))
+    assert(m.merges.contains(("c", "d")))
+    assert(m.tokenizeWord("aaaa").mkString === "aaaa")
+    assert(m.tokenizeWord("cd") === Seq("cd"))
   }
 
   test("tokenization round-trips: concatenated tokens rebuild each " +
