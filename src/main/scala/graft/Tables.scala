@@ -30,6 +30,15 @@ object Tables {
     * truncation DuckDB applies, so oracle comparison stays exact.
     * Integer `div` (not `/`) — epoch-nanos ≈ 1.7e18 exceeds double's
     * 2^53 exact-integer range.
+    *
+    * DELIBERATE SESSION SIDE EFFECT: `nanosAsLong` is a session-level
+    * SQL conf (no per-read option exists), and the events scan reads
+    * it lazily at EXECUTION time — so it is set once and left set
+    * rather than scoped-and-restored, which would break any events
+    * DataFrame executed after the restore. Consequence: once events
+    * has been loaded, other TIMESTAMP(NANOS) parquet reads in the
+    * session surface as raw longs instead of failing; none of the
+    * testdata tables besides events carry nanos.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -86,10 +86,18 @@ object CmsPipeline {
 
   /** The reference's broadcast dictionary (`dict(zip(ICD9, CCS))`, :158).
     * The crosswalk is a small dimension — collecting it mirrors the
-    * reference and becomes a broadcast literal map in the plan. */
+    * reference and becomes a broadcast literal map in the plan.
+    *
+    * Duplicate cleaned keys (dot-truncation can collapse distinct raw
+    * codes) resolve to the MIN CCS value — a deterministic choice
+    * regardless of partition/collect order, where the reference's
+    * file-order dict last-wins depends on row order we don't preserve
+    * (documented divergence; no committed crosswalk has conflicting
+    * duplicates). */
   def crosswalkMap(xw: DataFrame): Map[String, String] =
     cleanCrosswalk(xw)
       .where(col("ICD9") =!= "None")
+      .groupBy("ICD9").agg(min("CCS").as("CCS"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
   /** Frozen sorted CCS vocabulary (divergence note in the scaladoc). */
@@ -119,9 +127,13 @@ object CmsPipeline {
       .where(col("Year").between(cfg.startYear, cfg.endYear))
       // P7: chronic RA/OA flag (ref :86).
       .where(col("SP_RA_OA") === 1)
-      // P8: drop TJR claims in the first two years (ref :89).
-      .where(!(col("Year").isin(cfg.startYear, cfg.startYear + 1) &&
-        col("CLM_DRG_CD").isin(cfg.tjrDrg: _*)))
+      // P8: drop TJR claims in the first two years (ref :89). The
+      // coalesce matters: a NULL CLM_DRG_CD makes the inner conjunct
+      // NULL and three-valued `where` would drop the row, while the
+      // reference's pandas isin treats NaN as False and KEEPS it.
+      .where(!coalesce(
+        col("Year").isin(cfg.startYear, cfg.startYear + 1) &&
+          col("CLM_DRG_CD").isin(cfg.tjrDrg: _*), lit(false)))
     // A2: full-enrollment semi-join (ref :92-93).
     val enrolled = RelationalOps.filterEnrolled(
       joined, joined.select(col("DESYNPUF_ID"), col("Year")),
@@ -148,10 +160,12 @@ object CmsPipeline {
     val pcsVocab = vocabOf(pcsMap)
     def slotIdx(slots: Seq[String], m: Map[String, String],
                 vocab: Seq[String], offset: Int): Seq[Column] = {
-      val codeToIdx =
-        m.collect { case (k, v) if vocab.contains(v) =>
-          k -> (vocab.indexOf(v) + offset)
-        }
+      // vocab = m.values sorted-distinct, so every value has an index;
+      // prebuilt index map instead of per-entry indexOf scans
+      val vocabIdx = vocab.zipWithIndex.toMap
+      val codeToIdx = m.map { case (k, v) =>
+        k -> (vocabIdx(v) + offset)
+      }
       val lookup = typedlit(codeToIdx)
       slots.map(c => coalesce(try_element_at(lookup, col(c)), lit(-1)))
     }

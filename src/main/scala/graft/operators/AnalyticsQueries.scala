@@ -143,8 +143,12 @@ object AnalyticsQueries {
         "COUNT(*) OVER w AS n_trailing_1h, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) " +
         "AS sum_trailing_1h FROM events " +
+        // floor, not CAST: date_part('epoch') is DOUBLE with sub-second
+        // fraction and CAST AS BIGINT rounds-to-nearest, while Spark's
+        // unix_timestamp FLOORS — keys straddling .5 near the 3600s
+        // boundary would land inside the frame on one engine only.
         "WINDOW w AS (PARTITION BY user_id ORDER BY " +
-        "CAST(date_part('epoch', ts) AS BIGINT) " +
+        "CAST(floor(date_part('epoch', ts)) AS BIGINT) " +
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"),
 
     // Semi-structured extraction: pull a typed field out of the JSON

@@ -144,9 +144,13 @@ object RelationalOps {
         pay.as("__pay")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    // right rows order before left rows at equal ts → `<=` semantics
+    // right rows order before left rows at equal ts → `<=` semantics.
+    // The payload hash breaks ties among right rows sharing (key, ts):
+    // without it, last() would pick whichever duplicate the partition
+    // sort placed later — nondeterministic across layouts/retries (the
+    // same data-derived-ordering doctrine as mixKey/saltedAgg).
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), xxhash64(col("__pay")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__last", last(col("__pay"), ignoreNulls = true).over(w))
