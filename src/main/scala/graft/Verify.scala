@@ -24,6 +24,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any previous run's output for this query: a stale
+        // parquet left behind would let the driver grade old results
+        // as current and a regression would ship green
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -123,22 +123,23 @@ object ApproxQueries {
     // re-enters as an identical-text copy, whose signature is
     // bit-identical — hamming 0 pairs share EVERY block, so banding
     // finds them structurally, and restricting output to the planted
-    // id-offset makes the result closed-form. The general
-    // `dedup_simhash` stays scalatest-verified (its hamming space is
-    // engine-specific); this pins the machinery end-to-end in the
-    // driver's hash gate.
+    // pairs makes the result closed-form. The general `dedup_simhash`
+    // stays scalatest-verified (its hamming space is engine-specific);
+    // this pins the machinery end-to-end in the driver's hash gate.
+    // Probe ids are NEGATIVE (-doc_id - 1): disjoint from real ids at
+    // any corpus size; as the smaller id the probe lands in a_id.
     "dedup_simhash_probe" -> QDef(
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
         val probes = docs.where(col("doc_id") % 10 === 0)
-          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("doc_id", -col("doc_id") - 1)
         Dedup.simhashDedup(docs.unionByName(probes), "doc_id", "text",
           maxHamming = 3)
-          .where(col("b_id") === col("a_id") + 100000)
+          .where(col("a_id") === -col("b_id") - 1)
           .select(col("a_id"), col("b_id"),
             col("hamming").cast("int").as("hamming"))
       },
-      "SELECT doc_id AS a_id, doc_id + 100000 AS b_id, " +
+      "SELECT -doc_id - 1 AS a_id, doc_id AS b_id, " +
         "CAST(0 AS INT) AS hamming FROM documents WHERE doc_id % 10 = 0"),
 
     "ann_ivf" -> QDef.noOracle(
@@ -171,21 +172,23 @@ object ApproxQueries {
     // any regression in indexing, probing, ranking, or pair dedup
     // breaks the hash match loudly. Complements `ann_lsh`, whose
     // general-query recall is genuinely probabilistic (scalatest).
+    // Probe ids are NEGATIVE (-vec_id - 1): disjoint from real ids at
+    // any corpus size.
     "ann_lsh_probe" -> QDef(
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
         val probes = e.where(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+          .select((-col("vec_id") - 1).as("vec_id"), col("label"),
             transform(col("embedding"), x => x * lit(2.0f))
               .as("embedding"))
         val indexed = Similarity.index(e.unionByName(probes),
           nBits = 6, dim = 64, tables = 4)
-        val queries = indexed.where(col("id") >= 100000)
+        val queries = indexed.where(col("id") < 0)
         Similarity.annTopK(indexed, queries, k = 1, nBits = 6)
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       },
-      "SELECT vec_id + 100000 AS q_id, vec_id AS neighbor_id, " +
+      "SELECT -vec_id - 1 AS q_id, vec_id AS neighbor_id, " +
         "CAST(1 AS INT) AS nn_rank, 1.0 AS cosine FROM embeddings " +
         "WHERE vec_id % 10 = 0"),
 
@@ -199,17 +202,17 @@ object ApproxQueries {
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
         val probes = e.where(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+          .select((-col("vec_id") - 1).as("vec_id"), col("label"),
             col("embedding"))
         val (centroids, indexed) = Similarity.ivfIndex(
           e.unionByName(probes), nlist = 8)
-        val queries = indexed.where(col("id") >= 100000)
+        val queries = indexed.where(col("id") < 0)
         Similarity.ivfTopK(centroids, indexed, queries, k = 1,
           nprobe = 3)
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       },
-      "SELECT vec_id + 100000 AS q_id, vec_id AS neighbor_id, " +
+      "SELECT -vec_id - 1 AS q_id, vec_id AS neighbor_id, " +
         "CAST(1 AS INT) AS nn_rank, 1.0 AS cosine FROM embeddings " +
         "WHERE vec_id % 10 = 0")
   )

@@ -33,9 +33,15 @@ object Encoders {
     coalesce(try_element_at(m, code.cast("string")), lit(-1))
   }
 
+  // Boxed Integer elements, not Seq[Int]: a NULL element (e.g. a flat
+  // index computed from a NULL day-of-year) would silently unbox to 0
+  // and ghost-set cell 0; boxed, it is visible and dropped. A NULL
+  // array yields the empty vector.
   private val toSparse =
-    udf { (width: Int, idx: Seq[Int]) =>
-      val uniq = idx.filter(i => i >= 0 && i < width).distinct.sorted
+    udf { (width: Int, idx: Seq[java.lang.Integer]) =>
+      val uniq = (if (idx == null) Seq.empty[java.lang.Integer] else idx)
+        .filter(i => i != null && i >= 0 && i < width)
+        .map(_.toInt).distinct.sorted
       Vectors.sparse(width, uniq.toArray,
         Array.fill(uniq.length)(1.0)): MlVector
     }
@@ -115,6 +121,13 @@ object Encoders {
         .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
         .map(r => r.getInt(0) -> r.getDouble(1))
         .filter(_._1 >= 0).toSeq.distinct.sortBy(_._1)
+      // precondition, surfaced clearly: the input grain must be one row
+      // per (key, year) — two rows with different demo values for the
+      // same year collide on a slot, and SparseVector would otherwise
+      // throw an opaque 'Found duplicate indices' mid-job
+      require(m.map(_._1).distinct.size == m.size,
+        "aovFlatten requires one row per (key, year): conflicting " +
+          "values target the same vector slot — pre-aggregate first")
       Vectors.sparse(years.size * span, m.map(_._1).toArray,
         m.map(_._2).toArray): MlVector
     }

@@ -26,8 +26,22 @@ object ProfileOps {
     val cols = df.schema.fields
     val aggs = cols.flatMap { f =>
       val c = col(f.name)
+      // MapType isn't hashable: count_distinct/approx_count_distinct
+      // reject it at analysis and would fail the WHOLE one-pass agg,
+      // not just this column — report distinct as 0 (no estimate)
+      // instead.
+      def hasMap(t: org.apache.spark.sql.types.DataType): Boolean =
+        t match {
+          case _: org.apache.spark.sql.types.MapType => true
+          case a: org.apache.spark.sql.types.ArrayType =>
+            hasMap(a.elementType)
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fields.exists(x => hasMap(x.dataType))
+          case _ => false
+        }
       val distinct =
-        if (exactDistinct) count_distinct(c)
+        if (hasMap(f.dataType)) max(lit(null).cast("long"))
+        else if (exactDistinct) count_distinct(c)
         else approx_count_distinct(c)
       Seq(
         count(c).as(s"${f.name}__n"),
@@ -79,7 +93,10 @@ object ProfileOps {
       .replace(">", "&gt;")
     val num = (v: Any) => v match {
       case null => ""
-      case d: Double => f"$d%.4f"
+      // Locale.ROOT: the report must be byte-identical across JVMs —
+      // a de_DE default locale would render comma decimal separators
+      case d: Double =>
+        String.format(java.util.Locale.ROOT, "%.4f", d)
       case x => x.toString
     }
     val rows = profileDf.collect().map { r =>

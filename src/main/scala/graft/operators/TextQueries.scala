@@ -85,8 +85,14 @@ object TextQueries {
         "WHERE jac >= 0.6"),
 
     // Token counting: whitespace tokens + BPE-ish regex token count.
+    // The NOT NULL guard (here and in quality_score/lang_id) pins a
+    // latent engine divergence: with ANSI off, Spark's size(NULL)
+    // returns -1 where DuckDB's len(NULL) is NULL — a null text row
+    // would hash-mismatch three queries at once. Null docs carry no
+    // token signal; excluding them is also the right pipeline
+    // semantics.
     "token_count" -> QDef(
-      (s, d) => docs(s, d).select(
+      (s, d) => docs(s, d).where(col("text").isNotNull).select(
         col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens_ws"),
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
@@ -96,7 +102,8 @@ object TextQueries {
         "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) " +
         "AS INT) AS n_tokens_re, " +
-        "CAST(length(text) AS INT) AS n_chars_calc FROM documents"),
+        "CAST(length(text) AS INT) AS n_chars_calc FROM documents " +
+        "WHERE text IS NOT NULL"),
 
     // Quality scoring: length + stopword-ratio heuristic
     // (C4/Gopher-style rules re-expressed as one projection).
@@ -113,7 +120,8 @@ object TextQueries {
         val repRatio = size(array_distinct(w)) / nWords
         val quality = least(lit(1.0), nWords / lit(200.0)) * 0.4 +
           stopRatio * 0.3 + repRatio * 0.3
-        docs(s, d).select(col("doc_id"), nWords.as("n_words"),
+        docs(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"), nWords.as("n_words"),
           stopCnt.as("stop_cnt"),
           round(stopRatio, 6).as("stop_ratio"),
           round(repRatio, 6).as("rep_ratio"),
@@ -124,7 +132,7 @@ object TextQueries {
         "len(list_filter(string_split(text, ' '), x -> x IN " +
         stopwords.mkString("('", "','", "')") + ")) AS stop_cnt, " +
         "len(list_distinct(string_split(text, ' '))) AS n_distinct " +
-        "FROM documents) " +
+        "FROM documents WHERE text IS NOT NULL) " +
         "SELECT doc_id, CAST(n_words AS INT) AS n_words, " +
         "CAST(stop_cnt AS INT) AS stop_cnt, " +
         "ROUND(stop_cnt / n_words, 6) AS stop_ratio, " +
@@ -148,9 +156,10 @@ object TextQueries {
       (s, d) => {
         val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
         val url = "https?://[^\\s]+"
+        // negative probe ids: disjoint from real doc_ids at any scale
         val base = docs(s, d).select(col("doc_id"), col("text"))
         val probes = base.where(col("doc_id") % 20 === 0)
-          .select((col("doc_id") + 300000).as("doc_id"),
+          .select((-col("doc_id") - 1).as("doc_id"),
             concat(lit("mail u"), col("doc_id").cast("string"),
               lit("@example.com or see https://ex.org/d/"),
               col("doc_id").cast("string"), lit(" now")).as("text"))
@@ -162,7 +171,7 @@ object TextQueries {
             url, "<URL>").as("clean_text"))
       },
       "WITH u AS (SELECT doc_id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 300000, " +
+        "UNION ALL SELECT -doc_id - 1, " +
         "'mail u' || doc_id || '@example.com or see https://ex.org/d/' " +
         "|| doc_id || ' now' FROM documents WHERE doc_id % 20 = 0) " +
         "SELECT doc_id, " +
@@ -191,7 +200,8 @@ object TextQueries {
         val m = greatest(sEn, sFr, sDe, sEs)
         val pred = when(sEn === m, "en").when(sFr === m, "fr")
           .when(sDe === m, "de").otherwise("es")
-        docs(s, d).select(col("doc_id"), sEn.as("s_en"), sFr.as("s_fr"),
+        docs(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"), sEn.as("s_en"), sFr.as("s_fr"),
           sDe.as("s_de"), sEs.as("s_es"), pred.as("pred_lang"),
           (pred === col("lang")).cast("int").as("is_correct"))
       },
@@ -203,7 +213,8 @@ object TextQueries {
         "len(list_filter(string_split(text,' '), x -> x IN " +
         "('der','und','die'))) AS s_de, " +
         "len(list_filter(string_split(text,' '), x -> x IN " +
-        "('el','y','los'))) AS s_es FROM documents), " +
+        "('el','y','los'))) AS s_es " +
+        "FROM documents WHERE text IS NOT NULL), " +
         "p AS (SELECT *, GREATEST(s_en, s_fr, s_de, s_es) AS m, " +
         "CASE WHEN s_en = GREATEST(s_en,s_fr,s_de,s_es) THEN 'en' " +
         "WHEN s_fr = GREATEST(s_en,s_fr,s_de,s_es) THEN 'fr' " +

@@ -98,7 +98,7 @@ object VectorQueries {
     // ([[Similarity.lshDedupPairs]]): corpus indexed into L hyperplane
     // tables, pairs generated within buckets only, exact-cosine verify.
     // The synthetic embeddings have no natural pairs in the near-dup
-    // regime (max cos ≈ 0.51), so the query plants deterministic
+    // regime (max cos ≈ 0.6), so the query plants deterministic
     // duplicate probes — every 10th vector re-appears scaled ×2 (same
     // direction ⇒ same hyperplane signs ⇒ same bucket in EVERY table,
     // so LSH recall on the probes is structurally 1.0, not
@@ -106,11 +106,14 @@ object VectorQueries {
     // recall is exactly 1.0, the output equals the exact all-pairs
     // pipeline and DuckDB recomputes it as a full hash oracle: the
     // driver-checkable recall gate the r2 verdict asked for.
+    // Probe ids are NEGATIVE (-vec_id - 1): disjoint from any real
+    // non-negative id space at any corpus size, unlike an additive
+    // offset which aliases once ids pass it.
     "dedup_embed_lsh" -> QDef(
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
         val probes = e.where(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+          .select((-col("vec_id") - 1).as("vec_id"), col("label"),
             transform(col("embedding"), x => x * lit(2.0f))
               .as("embedding"))
         Similarity.lshDedupPairs(e.unionByName(probes), threshold = 0.95)
@@ -119,7 +122,7 @@ object VectorQueries {
       },
       "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v " +
         "FROM embeddings), " +
-        "probes AS (SELECT vec_id + 100000 AS vec_id, label, " +
+        "probes AS (SELECT -vec_id - 1 AS vec_id, label, " +
         "list_transform(v, x -> x * 2.0) AS v FROM e " +
         "WHERE vec_id % 10 = 0), " +
         "u AS (SELECT vec_id, v FROM e " +
