@@ -22,7 +22,13 @@ object Bench {
         => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // noop sink, not count(): count() lets column pruning delete
+        // every projection-only expression (md5, dot products, regex),
+        // so projection-shaped queries would bench as bare scans and a
+        // regression in those expressions would be invisible. The noop
+        // writer consumes fully-materialized rows — same work Verify
+        // forces via parquet, minus the I/O.
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         // JSON-safe: strip quotes, backslashes, and the FULL control

@@ -10,12 +10,21 @@ object TextFunctions {
 
   /** Polynomial rolling hash (base 31, mod 1e9+7) of the first
     * `prefixLen` characters — a locality-insensitive content fingerprint
-    * computable identically in any engine with a fold. */
+    * computable identically in any engine with a fold. The empty
+    * elements Spark's split-by-"" emits (leading/trailing) are filtered
+    * before the fold: they would contribute a spurious ×31 step that
+    * engines whose split drops empties wouldn't reproduce. */
   def rollingHash(text: Column, prefixLen: Int = 64): Column =
     aggregate(
-      split(substring(text, 1, prefixLen), ""),
+      filter(split(substring(text, 1, prefixLen), ""), c => c =!= ""),
       lit(0L),
       (acc, c) => (acc * 31 + coalesce(ascii(c), lit(0))) % 1000000007L)
+
+  /** Non-empty whitespace tokens — split('\s+') keeps an empty element
+    * for leading whitespace and yields [""] for "", so the raw split is
+    * NOT a token list; every counter here filters it. */
+  private def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Character n-grams of a lowercased, space-normalized string. */
   def charNgrams(text: Column, n: Int): Column = {
@@ -28,9 +37,10 @@ object TextFunctions {
   def tokenCountRegex(text: Column): Column =
     regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
-  /** Whitespace token count. */
+  /** Whitespace token count (empty tokens excluded — " a b" is 2,
+    * "" is 0, matching Python's str.split()). */
   def tokenCountWs(text: Column): Column =
-    size(split(text, "\\s+"))
+    size(wsTokens(text))
 
   /** Language score: fraction of the doc's words found in `markers`
     * (stopword profile for one language). argmax across profiles =

@@ -90,8 +90,15 @@ object Models {
   }
 
   /** M8: precision at recall ≥ `targetRecall` from score-ranked
-    * predictions — the threshold-free PR-curve read-off
-    * (ml_models.ipynb:278-280).
+    * predictions (ml_models.ipynb:278-280).
+    *
+    * DOCUMENTED DIVERGENCE: the notebook reads the value off with
+    * `np.interp` (linear interpolation between PR-curve points); this
+    * implementation returns the curve's precision at the SMALLEST k
+    * whose recall reaches the target — the conservative step-function
+    * read-off. The two agree whenever the target recall is hit exactly
+    * at a curve point and differ by at most the gap between adjacent
+    * curve points otherwise.
     *
     * Histogram-aggregate shape (mirrors [[MetricsOps.weightedF1Sweep]]):
     * one groupBy collapses the scores to a (score → positives, count)

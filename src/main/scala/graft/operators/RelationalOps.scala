@@ -28,9 +28,15 @@ object RelationalOps {
   /** Deterministic pseudo-random permutation key from a unique integer key.
     * 2654435761 = floor(2^32/phi) (Knuth multiplicative hashing); modulus is
     * a large prime. Same arithmetic runs unchanged in any SQL engine.
-    */
+    *
+    * The key reduces mod p BEFORE the multiply: (k % p) < 2^30 keeps the
+    * product under 2^62, so the expression never overflows Int64 — a raw
+    * k * 2654435761 overflows for keys ≥ ~3.5e9 (billion-row surrogate
+    * keys), where Spark (ANSI off) would wrap silently and an external
+    * engine would raise, breaking cross-engine determinism. Values are
+    * mathematically unchanged ((k·c) mod p ≡ ((k mod p)·c) mod p). */
   def mixKey(key: Column): Column =
-    (key * lit(2654435761L)) % lit(1000000007L)
+    ((key % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
 
   /** Keys of `df` rows whose `yearCol` values cover all of `years` —
     * the reference's full-enrollment predicate (`cms_preprocess.py:92-93`,
@@ -62,15 +68,20 @@ object RelationalOps {
     * stratify=y)`, `cms_preprocess.py:364`). sklearn is exact per stratum,
     * so we use the window row_number form, not the approximate `sampleBy`.
     * Adds `is_train` (1/0). `keyCol` must be unique (tie-break + mix seed).
-    */
+    *
+    * Allocation matches sklearn's: the TEST side is rounded up
+    * (n_test = ceil((1-frac)·n), n_train = n − n_test) — rounding the
+    * train side up instead would let a 3-row stratum at frac 0.8 put all
+    * 3 rows in train and starve test, where sklearn reserves 1. */
   def stratifiedSplit(df: DataFrame, labelCol: String, keyCol: String,
                       trainFrac: Double): DataFrame = {
     val w = Window.partitionBy(labelCol).orderBy(mixKey(col(keyCol)),
       col(keyCol))
     val wAll = Window.partitionBy(labelCol)
+    val n = count("*").over(wAll)
     df.withColumn("is_train",
-      when(row_number().over(w) <= ceil(lit(trainFrac) * count("*")
-        .over(wAll)), 1).otherwise(0))
+      when(row_number().over(w) <=
+        n - ceil(lit(1.0 - trainFrac) * n), 1).otherwise(0))
   }
 
   /** Scale-path stratified split: deterministic, shuffle-free, and
@@ -133,13 +144,20 @@ object RelationalOps {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // NULL timestamps are excluded on BOTH sides: nulls sort FIRST in
+    // the ascending window, so a null-ts right row would masquerade as
+    // "prior to everything" and win last() — where an ASOF comparison
+    // (r.ts <= l.ts) is never true for NULL. Null-ts left rows can have
+    // no defined as-of point either; inner semantics drop them.
+    val leftNn = left.where(col(tsCol).isNotNull)
+    val rightNn = right.where(col(tsCol).isNotNull)
     val pay = struct((col(tsCol) +: payload.map(col)): _*)
-    val l = left.select(
+    val l = leftNn.select(
       (Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
         lit(null).cast(right.select(pay).schema.fields.head.dataType)
           .as("__pay")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*)
-    val r = right.select(
+    val r = rightNn.select(
       (Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
         pay.as("__pay")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)

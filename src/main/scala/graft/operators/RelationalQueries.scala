@@ -299,7 +299,7 @@ object RelationalQueries {
         .select(col("o_orderkey"),
           mixKey(col("o_orderkey")).as("shuffle_key"))
         .orderBy(col("shuffle_key"), col("o_orderkey")),
-      "SELECT o_orderkey, (o_orderkey * 2654435761) % 1000000007 " +
+      "SELECT o_orderkey, ((o_orderkey % 1000000007) * 2654435761) % 1000000007 " +
         "AS shuffle_key FROM orders " +
         "ORDER BY shuffle_key, o_orderkey"),
 
@@ -309,10 +309,15 @@ object RelationalQueries {
         t(s, d, "orders").select(col("o_orderkey"), orderLabel.as("label")),
         "label", "o_orderkey", 0.8)
         .select("o_orderkey", "label", "is_train"),
+      // test side rounded up (sklearn): n_train = n - ceil((1-0.8)*n).
+      // The float literal is Scala's (1.0 - 0.8) printed exactly, so
+      // both engines ceil the SAME double near stratum-size boundaries.
       "SELECT o_orderkey, label, CASE WHEN " +
         "row_number() OVER (PARTITION BY label ORDER BY " +
-        "(o_orderkey * 2654435761) % 1000000007, o_orderkey) <= " +
-        "CEIL(0.8 * COUNT(*) OVER (PARTITION BY label)) THEN 1 ELSE 0 END " +
+        "((o_orderkey % 1000000007) * 2654435761) % 1000000007, o_orderkey) <= " +
+        "COUNT(*) OVER (PARTITION BY label) - " +
+        s"CEIL(${1.0 - 0.8} * COUNT(*) OVER (PARTITION BY label)) " +
+        "THEN 1 ELSE 0 END " +
         s"AS is_train FROM (SELECT o_orderkey, $orderLabelSql AS label " +
         "FROM orders)"),
 
@@ -322,7 +327,7 @@ object RelationalQueries {
         t(s, d, "orders").select("o_orderkey"), "o_orderkey", 5)
         .select("o_orderkey", "fold"),
       "SELECT o_orderkey, CAST(ntile(5) OVER (ORDER BY " +
-        "(o_orderkey * 2654435761) % 1000000007, o_orderkey) AS INT) " +
+        "((o_orderkey % 1000000007) * 2654435761) % 1000000007, o_orderkey) AS INT) " +
         "AS fold FROM orders"),
 
     // ----- §2.6/E1 pivot ------------------------------------------------

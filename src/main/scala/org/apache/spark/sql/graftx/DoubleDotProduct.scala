@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * array buffers.
   *
   * Summation is left-to-right — identical to both the HOF fold and
-  * DuckDB's `list_dot_product`, so oracle comparisons stay bit-exact.
+  * DuckDB's `list_dot_product`, so oracle comparisons stay bit-exact
+  * FOR EQUAL-LENGTH INPUTS (the only case the oracle paths produce:
+  * all embeddings share one dimension). Unequal lengths deliberately
+  * truncate to the shorter array as a ragged-input defense; note the
+  * engines differ there (the HOF fold nulls out via zip_with padding,
+  * DuckDB errors), so don't lean on mismatched lengths cross-engine.
   * Null array elements are not supported (undefined content, as with
   * Spark's own numeric array kernels); null arrays propagate null.
   *

@@ -76,8 +76,8 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("stratifiedSplit train fraction is ceil(f*n) per stratum " +
-    "for sampled sizes") {
+  test("stratifiedSplit allocates n - ceil((1-f)*n) train rows per " +
+    "stratum (sklearn's test-side round-up) for sampled sizes") {
     samples(Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(1, 40)), 5)
       .foreach { case (n0, n1) =>
         val rows = (1 to n0).map(i => (i.toLong, 0)) ++
@@ -86,8 +86,14 @@ class PropertySpec extends SparkSpec {
           rows.toDF("k", "label"), "label", "k", 0.8)
         val train = out.where(col("is_train") === 1)
           .groupBy("label").count().as[(Int, Long)].collect().toMap
-        assert(train.getOrElse(0, 0L) === math.ceil(0.8 * n0).toLong)
-        assert(train.getOrElse(1, 0L) === math.ceil(0.8 * n1).toLong)
+        def expected(n: Int): Long =
+          n - math.ceil((1.0 - 0.8) * n).toLong
+        assert(train.getOrElse(0, 0L) === expected(n0))
+        assert(train.getOrElse(1, 0L) === expected(n1))
+        // sklearn's guarantee: every stratum with >1 row keeps at
+        // least one row on each side
+        if (n0 > 1) assert(train(0) >= 1 && train(0) < n0)
+        if (n1 > 1) assert(train(1) >= 1 && train(1) < n1)
       }
   }
 }

@@ -51,11 +51,13 @@ class RelationalOpsSpec extends SparkSpec {
     assert(counts((1, 0)) === 10L)
   }
 
-  test("stratifiedSplit ceils partial strata like sklearn") {
+  test("stratifiedSplit rounds the TEST side up like sklearn") {
     val df = (1 to 7).map(i => (i.toLong, 0)).toDF("k", "label")
     val out = RelationalOps.stratifiedSplit(df, "label", "k", 0.8)
-    // ceil(0.8 * 7) = 6 train, 1 test
-    assert(out.where($"is_train" === 1).count() === 6)
+    // sklearn: n_test = ceil(0.2 * 7) = 2, n_train = 5 — rounding the
+    // train side up (the old behavior: 6/1) over-allocates train
+    assert(out.where($"is_train" === 1).count() === 5)
+    assert(out.where($"is_train" === 0).count() === 2)
   }
 
   test("kfoldAssign balances folds and hashFold covers 1..k") {
