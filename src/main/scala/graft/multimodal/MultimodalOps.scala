@@ -23,9 +23,18 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
-  /** Typed metadata carried alongside every binary payload. */
+  /** Typed metadata carried alongside every binary payload.
+    *
+    * Identity is `media_path` (the source URI — unique by construction);
+    * `media_id` is only a 64-bit join/shuffle SURROGATE derived from it.
+    * A hashed long alone was the r3-flagged design: 63 usable bits put a
+    * birthday collision at ~billions of files — exactly the 100 TB
+    * design point — and a collision silently merged two files' features.
+    * Now the path rides the pipeline as the authoritative key and
+    * [[packMediaDir]] fails loudly if the surrogate ever collides. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
+    StructField("media_path", StringType, nullable = false),
     StructField("kind", StringType, nullable = false), // image|audio|video
     StructField("format", StringType),                 // jpeg|wav|mp4|...
     StructField("width", IntegerType),
@@ -45,10 +54,13 @@ object MultimodalOps {
       .option("pathGlobFilter", glob)
       .load(path), kind)
 
-  /** Project a raw binaryFile-source frame into [[mediaSchema]]. */
+  /** Project a raw binaryFile-source frame into [[mediaSchema]]. The
+    * surrogate uses the full 64-bit xxhash64 (the old `abs(...)` halved
+    * the id space); the path column is the identity. */
   def toMediaSchema(binaryFiles: DataFrame, kind: String): DataFrame =
     binaryFiles.select(
-      abs(xxhash64(col("path"))).as("media_id"),
+      xxhash64(col("path")).as("media_id"),
+      col("path").as("media_path"),
       lit(kind).as("kind"),
       regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)
         .as("format"),
@@ -89,10 +101,33 @@ object MultimodalOps {
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val parts = math.max(1,
       math.ceil(total.toDouble / targetPartitionBytes).toInt)
-    toMediaSchema(listed, kind)
-      .repartition(parts, col("media_id"))
+    val media = toMediaSchema(listed, kind)
+    // Surrogate-collision gate: runs on the (id, path) projection only
+    // (column pruning keeps payload bytes out of this agg — it is
+    // listing-sized), and throws BEFORE any output is written.
+    assertNoIdCollisions(media)
+    media.repartition(parts, col("media_id"))
       .write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath)
+  }
+
+  /** Fail loudly if two distinct paths share a `media_id` surrogate —
+    * the silent-merge failure mode of a 64-bit hashed id at billions of
+    * files. Downstream joins/groupBys may then key on the compact long
+    * safely; pipelines that skip [[packMediaDir]] should call this once
+    * after ingest. */
+  def assertNoIdCollisions(media: DataFrame): Unit = {
+    val collided = media.groupBy("media_id")
+      .agg(collect_set("media_path").as("paths"))
+      .where(size(col("paths")) > 1)
+      .select("paths").limit(5).collect()
+    if (collided.nonEmpty) {
+      val sample = collided.map(_.getSeq[String](0).mkString(" <> "))
+        .mkString("; ")
+      throw new IllegalStateException(
+        "media_id surrogate collision across distinct paths — key " +
+          s"downstream work on media_path instead: $sample")
+    }
   }
 
   /** STUB decoder: deterministic pseudo-features from content bytes.
@@ -147,17 +182,18 @@ object MultimodalOps {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
+      StructField("media_path", StringType, nullable = false),
       StructField("kind", StringType),
       StructField("features", ArrayType(FloatType))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    media.select("media_id", "kind", "content")
+    media.select("media_id", "media_path", "kind", "content")
       .mapPartitions { rows =>
         // per-partition "codec init" happens here (stub: nothing)
         rows.map { r =>
           val feats = StubCodec.features(r.getAs[Array[Byte]]("content"),
             dim)
-          Row(r.getLong(0), r.getString(1), feats.toSeq)
+          Row(r.getLong(0), r.getString(1), r.getString(2), feats.toSeq)
         }
       }(enc)
   }
@@ -176,7 +212,7 @@ object MultimodalOps {
     val sampleUdf = udf((c: Array[Byte]) =>
       StubCodec.sampleFrames(c, nFrames))
     media.where(col("kind") === "video")
-      .select(col("media_id"),
+      .select(col("media_id"), col("media_path"),
         posexplode(sampleUdf(col("content"))).as(Seq("frame_idx",
           "frame_bytes")))
   }

@@ -118,17 +118,35 @@ object Similarity {
     * corpus. Deterministic under the seed. Reuse the returned centroids
     * across queries instead of refitting. At scale,
     * `.repartition(col("cell"))` + parquet partitioning by cell turns a
-    * probe into a partition-pruned scan. */
+    * probe into a partition-pruned scan.
+    *
+    * Sampling never counts the corpus: with a `sizeHint` (caller knows
+    * the approximate row count — a catalog stat, a previous count) the
+    * sample is a deterministic hash-threshold filter
+    * (`xxhash64(id, seed) mod 2^32 < frac·2^32`) — one narrow filtered
+    * scan; without a hint it is a seeded-hash-ordered
+    * `limit(trainPoints)` — a per-partition top-k heap + driver merge,
+    * still ONE narrow pass and an unbiased pseudorandom sample. The
+    * r3-flagged `count()` pre-pass (an extra full corpus scan that
+    * roughly doubled index-build cost) is gone on both paths. */
   def ivfIndex(emb: DataFrame, nlist: Int, seed: Long = 42L,
-               trainPoints: Int = 4096): (Array[Array[Double]], DataFrame) = {
+               trainPoints: Int = 4096,
+               sizeHint: Option[Long] = None)
+      : (Array[Array[Double]], DataFrame) = {
     val base = VectorQueries.withNorm(emb)
       .withColumnRenamed("vec_id", "id")
-    val n = emb.count()
-    val sampled =
-      if (n <= trainPoints) base
-      else base.sample(withReplacement = false,
-        fraction = math.min(1.0, 1.2 * trainPoints / n), seed = seed)
-    val pts = sampled.select("v").collect()
+    val sampled = sizeHint match {
+      case Some(n) if n > trainPoints =>
+        val frac = math.min(1.0, 1.2 * trainPoints.toDouble / n)
+        val bound = (frac * (1L << 32)).toLong
+        base.where(pmod(xxhash64(col("id"), lit(seed)), lit(1L << 32))
+            < bound)
+          .select("v").limit(4 * trainPoints) // bound collect vs bad hints
+      case _ =>
+        base.select(xxhash64(col("id"), lit(seed)).as("__h"), col("v"))
+          .orderBy("__h").limit(trainPoints).select("v")
+    }
+    val pts = sampled.collect()
       .map(_.getSeq[Double](0).toArray)
     val centroids = trainCentroids(pts, nlist, seed)
     val assign = udf { (v: Seq[Double]) =>

@@ -12,7 +12,8 @@ class MultimodalOpsSpec extends SparkSpec {
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
       val content = Array.tabulate[Byte](100 + i.toInt)(j =>
         ((i * 31 + j) % 127).toByte)
-      Row(i, kind, "stub", 640, 480, 1000L * i, content)
+      Row(i, s"mem://media/$i", kind, "stub", 640, 480, 1000L * i,
+        content)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), MultimodalOps.mediaSchema)
@@ -105,6 +106,35 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.count() === vids * 4)
     assert(out.select("frame_idx").distinct().count() === 4)
     assert(out.columns.toSeq ===
-      Seq("media_id", "frame_idx", "frame_bytes"))
+      Seq("media_id", "media_path", "frame_idx", "frame_bytes"))
+  }
+
+  test("surrogate id collision across distinct paths fails loudly " +
+    "instead of silently merging files (r3 What's-wrong #2)") {
+    // Two DISTINCT payloads whose ids collide under the old
+    // abs(xxhash64(path)) scheme: a real preimage pair is a 2^64
+    // search, so the frame plants the collision directly — same
+    // media_id, different media_path/content — which is exactly the
+    // state a birthday collision produces at billions of files.
+    val rows = Seq(
+      Row(42L, "mem://a/img_1.png", "image", "png", null, null, null,
+        Array[Byte](1, 2, 3)),
+      Row(42L, "mem://b/other.png", "image", "png", null, null, null,
+        Array[Byte](9, 9, 9)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), MultimodalOps.mediaSchema)
+    val e = intercept[IllegalStateException] {
+      MultimodalOps.assertNoIdCollisions(df)
+    }
+    assert(e.getMessage.contains("media_path"))
+    assert(e.getMessage.contains("mem://a/img_1.png"))
+    // identity survives the collision: features stay per-path distinct
+    val feats = MultimodalOps.extractFeatures(df, dim = 4)
+      .select("media_path", "features").as[(String, Seq[Float])]
+      .collect().toMap
+    assert(feats.size === 2)
+    assert(feats("mem://a/img_1.png") !== feats("mem://b/other.png"))
+    // and a collision-free frame passes the gate
+    MultimodalOps.assertNoIdCollisions(mediaDf)
   }
 }
