@@ -231,6 +231,34 @@ object TextQueries {
       (s, d) => docs(s, d).select(
         col("doc_id"),
         substring(md5(col("text")), 1, 16).as("fp16")),
-      "SELECT doc_id, substring(md5(text), 1, 16) AS fp16 FROM documents")
+      "SELECT doc_id, substring(md5(text), 1, 16) AS fp16 FROM documents"),
+
+    // Driver-gate probe for the BPE trainer + tokenizer (functions.Bpe):
+    // the corpus is PLANTED per doc_id so the learned merge table is
+    // closed-form for ANY corpus size — doc d contributes
+    // "abab"×(d%4+3) + "abcd abcd xy", making the pair statistics
+    //   (a,b) = 2·Σk+2N  >  (ab,ab) = Σk ≥ 3N  >  (ab,c) = (c,d) = 2N
+    // so 3 merges are provably [(a,b), (ab,ab), (ab,c)] — the third via
+    // the lexicographic tie-break ((ab,c) < (c,d) at equal count), which
+    // this probe deliberately exercises along with cascaded merges and
+    // the unranked-pair fallthrough ("xy" stays 2 tokens, "abcd" stops
+    // at [abc, d]). Token count per doc is then k·1 + 2·2 + 2 =
+    // d%4 + 9: a closed-form DuckDB oracle over the full distributed
+    // histogram → local incremental trainer → broadcast tokenize path.
+    "bpe_token_count" -> QDef(
+      (s, d) => {
+        val planted = docs(s, d).select(col("doc_id"),
+          concat_ws(" ", flatten(array(
+            array_repeat(lit("abab"),
+              (col("doc_id") % 4 + 3).cast("int")),
+            array(lit("abcd"), lit("abcd"), lit("xy"))))).as("text"))
+        val model = graft.functions.Bpe.train(planted, "text",
+          numMerges = 3)
+        planted.select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(model, col("text"))
+            .as("n_tokens"))
+      },
+      "SELECT doc_id, CAST(doc_id % 4 + 9 AS INT) AS n_tokens " +
+        "FROM documents")
   )
 }

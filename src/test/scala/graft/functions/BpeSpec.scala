@@ -18,6 +18,24 @@ class BpeSpec extends SparkSpec {
     assert(m.tokenizeWord("") === Seq.empty)
   }
 
+  test("bpe_token_count's planted corpus trains exactly the closed-form " +
+    "merge table its oracle assumes") {
+    // Mirror of the driver-gate construction (TextQueries
+    // "bpe_token_count"): doc d plants "abab"×(d%4+3) + "abcd abcd xy".
+    val planted = spark.range(0, 57).select(col("id").as("doc_id"),
+      concat_ws(" ", flatten(array(
+        array_repeat(lit("abab"), (col("id") % 4 + 3).cast("int")),
+        array(lit("abcd"), lit("abcd"), lit("xy"))))).as("text"))
+    val m = Bpe.train(planted, "text", numMerges = 3)
+    assert(m.merges === Seq(("a", "b"), ("ab", "ab"), ("ab", "c")))
+    val counts = planted.select(col("doc_id"),
+        Bpe.tokenCount(m, col("text")).as("n")).as[(Long, Int)]
+      .collect().toMap
+    (0L until 57L).foreach { d =>
+      assert(counts(d) === (d % 4 + 9).toInt)
+    }
+  }
+
   test("training twice on the same corpus gives identical merges " +
     "regardless of partitioning") {
     val docs = Tables.load(spark, sfDir, "documents")
