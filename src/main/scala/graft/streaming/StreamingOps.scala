@@ -61,8 +61,10 @@ object StreamingOps {
     *    may already be emitted) — emit it as a singleton session rather
     *    than corrupting the current one.
     */
-  private def foldSorted(uid: Long, evs: Seq[Event], init: Option[SessionState],
-                         gapMs: Long): (List[Session], Option[SessionState]) = {
+  private[streaming] def foldSorted(uid: Long, evs: Seq[Event],
+                                    init: Option[SessionState],
+                                    gapMs: Long)
+      : (List[Session], Option[SessionState]) = {
     var out = List.empty[Session]
     var cur = init
     // Late events (t < lastTs — only cross-trigger) are deferred to a
