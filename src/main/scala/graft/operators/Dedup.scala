@@ -107,10 +107,18 @@ object Dedup {
     *
     * Probabilistic recall: P(candidate) = 1-(1-j^rowsPer)^bands — with
     * 8 bands × 4 rows, j=0.8 docs are caught with p≈0.996.
-    */
+    *
+    * `maxBucket` is the same hot-bucket guard simhashPairs and
+    * lshDedupPairs carry: a (band, bucket) holding m docs emits ~m²/2
+    * candidate pairs, so one template-spam cluster of near-identical
+    * texts (identical signatures → every band collides) would turn the
+    * candidate join quadratic at corpus scale. Buckets above the cap
+    * are dropped whole — such clusters are exact-dup territory
+    * ([[graft.operators.TextQueries]] `dedup_exact`) — and the dropped
+    * set is observable via [[minhashOversizedBuckets]]. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.6, bands: Int = 8,
-                   rowsPer: Int = 4): DataFrame = {
+                   rowsPer: Int = 4, maxBucket: Int = 100000): DataFrame = {
     // The pipeline is genuinely multi-pass over the shingles (signature,
     // sizes, exact verify), so the exploded shingle relation is persisted
     // — computed once, reused by every pass within the job, LRU-evicted
@@ -122,9 +130,14 @@ object Dedup {
         explode(TextQueries.shingles3(col(textCol))).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ex.groupBy("id").agg(count("*").as("n"))
-    val buckets = minhashSignatures(ex, bands * rowsPer)
+    val allBuckets = minhashSignatures(ex, bands * rowsPer)
       .withColumn("bkt", explode(lshBuckets(col("sig"), bands, rowsPer)))
       .select(col("id"), col("bkt.band"), col("bkt.bucket"))
+    val oversized = allBuckets.groupBy("band", "bucket")
+      .agg(count("*").as("__bn")).where(col("__bn") > maxBucket)
+      .select("band", "bucket")
+    val buckets = allBuckets.join(broadcast(oversized),
+      Seq("band", "bucket"), "left_anti")
     // Candidates as bare id pairs: the bucket self-join and the
     // dropDuplicates shuffle move 16-byte pairs only.
     val cands = buckets.as("a").join(buckets.as("b"),
@@ -152,6 +165,24 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (col("i") / (col("a_n") + col("b_n") - col("i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** (band, bucket, bucket_n) groups above `maxBucket` for this corpus/
+    * banding — the exact set [[minhashDedup]] drops; count()==0 means no
+    * candidate was lost to the hot-bucket guard (same observability
+    * contract as [[simhashOversizedBuckets]]). */
+  def minhashOversizedBuckets(docs: DataFrame, idCol: String,
+                              textCol: String, bands: Int = 8,
+                              rowsPer: Int = 4,
+                              maxBucket: Int = 100000): DataFrame = {
+    val ex = docs
+      .where(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol).as("id"),
+        explode(TextQueries.shingles3(col(textCol))).as("shingle"))
+    minhashSignatures(ex, bands * rowsPer)
+      .withColumn("bkt", explode(lshBuckets(col("sig"), bands, rowsPer)))
+      .groupBy(col("bkt.band").as("band"), col("bkt.bucket").as("bucket"))
+      .agg(count("*").as("bucket_n")).where(col("bucket_n") > maxBucket)
   }
 
   /** 64-bit SimHash of a token array. Two 32-bit murmur hashes (seeded)
