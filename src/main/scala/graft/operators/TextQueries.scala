@@ -34,6 +34,65 @@ object TextQueries {
       (a, bc) => concat(a, lit(" "), bc)))
   }
 
+  /** Within-document repetition signals (Gopher, Rae et al. 2021 §A1.1),
+    * re-expressed over the word stream (the synthetic corpus is
+    * single-line): duplicate-word fraction, duplicate-2-gram fraction,
+    * and the fraction of characters covered by the most frequent 2-gram
+    * (ties resolved by maxing count×length over all 2-grams — that max
+    * is deterministic where "the" top gram under ties is not). One
+    * narrow projection; the per-row work is O(distinct × total) array
+    * HOFs on ~100-word docs, no shuffle, pushes onto the scan. Rows
+    * need ≥2 words (and non-null text) for a 2-gram to exist — callers
+    * filter first; [[defs]]' `rep_stats` entry shows the canonical form. */
+  def repStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = split(col(textCol), " ")
+    val nW = size(w)
+    val bg = zip_with(slice(w, lit(1), nW - 1),
+      slice(w, lit(2), nW - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val topChars = array_max(transform(array_distinct(bg),
+      g => size(filter(bg, x => x === g)) * length(g)))
+    df.select(col(idCol), nW.as("n_words"),
+      round(lit(1) - size(array_distinct(w)) / nW, 6)
+        .as("dup_word_frac"),
+      round(lit(1) - size(array_distinct(bg)) / size(bg), 6)
+        .as("dup_2gram_frac"),
+      round(topChars / length(col(textCol)), 6)
+        .as("top_2gram_char_frac"))
+  }
+
+  /** Train/eval contamination check (GPT-3 App. C / PaLM-style n-gram
+    * overlap): for each eval document, how many of its word-3-gram
+    * shingles appear anywhere in the training corpus. The shape is the
+    * scalable one — both sides explode to shingles and join on a
+    * fixed-width digest (md5 so the DuckDB oracle can replay it;
+    * xxhash64 at deployment), so the shuffle carries 16-byte keys, never
+    * text, and the train side is distinct-ed before the join. At 100 TB
+    * a broadcast Bloom filter of train digests prefilters the join.
+    * Docs under 3 words carry no shingle and are excluded on both sides. */
+  def contaminationCheck(evalDocs: DataFrame, trainDocs: DataFrame,
+                         evalIdCol: String, textCol: String): DataFrame = {
+    val evalSh = evalDocs
+      .where(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= 3)
+      .select(col(evalIdCol).as("eval_id"),
+        explode(shingles3(col(textCol))).as("sh"))
+      .select(col("eval_id"), md5(col("sh")).as("h"))
+    val trainSh = trainDocs
+      .where(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= 3)
+      .select(explode(shingles3(col(textCol))).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+      .withColumn("hit", lit(1))
+    evalSh.join(trainSh, Seq("h"), "left")
+      .groupBy("eval_id")
+      .agg(count("*").as("n_shingles"),
+        count(col("hit")).as("n_hits"))
+      .select(col("eval_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits") / col("n_shingles"), 6).as("contam_frac"),
+        (col("n_hits") > 0).cast("int").as("is_contaminated"))
+  }
+
   val defs: Map[String, QDef] = Map(
 
     // Exact dedup: hash-groupBy on content hash; keep lowest doc_id.
@@ -224,6 +283,73 @@ object TextQueries {
         "CAST(s_fr AS INT) AS s_fr, CAST(s_de AS INT) AS s_de, " +
         "CAST(s_es AS INT) AS s_es, pred_lang, " +
         "CAST(pred_lang = lang AS INT) AS is_correct FROM p"),
+
+    // Within-document repetition signals (see [[repStats]]): high values
+    // flag boilerplate/template spam for the quality filter.
+    "rep_stats" -> QDef(
+      (s, d) => repStats(
+        docs(s, d).where(col("text").isNotNull &&
+          size(split(col("text"), " ")) >= 2),
+        "doc_id", "text"),
+      "WITH q AS (SELECT doc_id, string_split(text, ' ') AS w, " +
+        "length(text) AS nc FROM documents WHERE text IS NOT NULL " +
+        "AND len(string_split(text, ' ')) >= 2), " +
+        "b AS (SELECT doc_id, w, nc, " +
+        "[array_to_string(w[x:x+1], ' ') FOR x IN range(1, len(w))] " +
+        "AS bg FROM q) " +
+        "SELECT doc_id, CAST(len(w) AS INT) AS n_words, " +
+        "ROUND(1 - len(list_distinct(w)) / len(w), 6) AS dup_word_frac, " +
+        "ROUND(1 - len(list_distinct(bg)) / len(bg), 6) " +
+        "AS dup_2gram_frac, " +
+        "ROUND(list_max([len(list_filter(bg, x -> x = g)) * length(g) " +
+        "FOR g IN list_distinct(bg)]) / nc, 6) AS top_2gram_char_frac " +
+        "FROM b"),
+
+    // Train/eval contamination check (see [[contaminationCheck]]). The
+    // synthetic corpus has no natural eval set, so the gate plants one
+    // (pii_scrub pattern, negative ids): every 25th doc's 12-word prefix
+    // re-enters as a CONTAMINATED eval doc (a prefix's 3-grams are a
+    // subset of the source doc's), and docs ≡7 (mod 25) contribute a
+    // CLEAN eval doc of id-derived tokens that exist nowhere in the
+    // corpus — both branches of the measurement exercised and
+    // hash-checked.
+    "contamination_check" -> QDef(
+      (s, d) => {
+        val base = docs(s, d).where(col("text").isNotNull)
+        val w = split(col("text"), " ")
+        val contam = base.where(col("doc_id") % 25 === 0)
+          .select((-col("doc_id") - 1).as("eval_id"),
+            concat_ws(" ", slice(w, lit(1), lit(12))).as("text"))
+        val clean = base.where(col("doc_id") % 25 === 7)
+          .select((-col("doc_id") - 1).as("eval_id"),
+            concat_ws(" ", (0 until 8).map(i =>
+              concat(lit("q"), col("doc_id").cast("string"),
+                lit(s"x$i"))): _*).as("text"))
+        contaminationCheck(contam.unionByName(clean), base,
+          "eval_id", "text")
+      },
+      "WITH ev AS (SELECT -doc_id - 1 AS eval_id, " +
+        "array_to_string(string_split(text, ' ')[1:12], ' ') AS text " +
+        "FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0 " +
+        "UNION ALL SELECT -doc_id - 1, " +
+        (0 until 8).map(i => s"'q' || doc_id || 'x$i'")
+          .mkString("", " || ' ' || ", " ") +
+        "FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 7), " +
+        "evw AS (SELECT eval_id, string_split(text, ' ') AS w FROM ev " +
+        "WHERE len(string_split(text, ' ')) >= 3), " +
+        "evs AS (SELECT eval_id, md5(unnest(list_distinct(" +
+        "[array_to_string(w[x:x+2], ' ') FOR x IN range(1, len(w) - 1)]" +
+        "))) AS h FROM evw), " +
+        "tw AS (SELECT string_split(text, ' ') AS w FROM documents " +
+        "WHERE text IS NOT NULL " +
+        "AND len(string_split(text, ' ')) >= 3), " +
+        "ts AS (SELECT DISTINCT md5(unnest(list_distinct(" +
+        "[array_to_string(w[x:x+2], ' ') FOR x IN range(1, len(w) - 1)]" +
+        "))) AS h FROM tw) " +
+        "SELECT eval_id, COUNT(*) AS n_shingles, COUNT(ts.h) AS n_hits, " +
+        "ROUND(COUNT(ts.h) / COUNT(*), 6) AS contam_frac, " +
+        "CAST(COUNT(ts.h) > 0 AS INT) AS is_contaminated " +
+        "FROM evs LEFT JOIN ts ON evs.h = ts.h GROUP BY eval_id"),
 
     // Document fingerprinting: content-hash prefix (the rolling-hash
     // variant is functions.TextFunctions.rollingHash, scalatest-checked).
