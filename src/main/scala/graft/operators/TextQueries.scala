@@ -93,6 +93,44 @@ object TextQueries {
         (col("n_hits") > 0).cast("int").as("is_contaminated"))
   }
 
+  /** C4/Gopher-style keep/drop decision composed from the individual
+    * quality signals, with the FIRST failing rule recorded as the drop
+    * reason (rule order is part of the contract — audits depend on
+    * stable reason codes). One narrow projection, no shuffle; at 100 TB
+    * this is a map-only pass and the downstream `.where(keep === 1)`
+    * combines with it into the same codegen stage. Thresholds are
+    * caller-supplied; [[defs]]' `corpus_filter` entry registers the
+    * canonical ones (minWords=20, minStopRatio=0.03, maxDupFrac=0.65 —
+    * chosen so the sf corpus exercises every branch). */
+  def corpusFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int, minStopRatio: Double,
+                   maxDupFrac: Double): DataFrame = {
+    val w = split(col(textCol), " ")
+    val nW = size(w)
+    val stopRatio = size(filter(w, x =>
+      x.isin(stopwords.map(_.asInstanceOf[Any]): _*))) / nW
+    val dupFrac = lit(1) - size(array_distinct(w)) / nW
+    val reason = when(nW < minWords, "too_short")
+      .when(stopRatio < minStopRatio, "low_stopword")
+      .when(dupFrac > maxDupFrac, "repetitive")
+      .otherwise("kept")
+    df.select(col(idCol), nW.as("n_words"), reason.as("reason"),
+      (reason === "kept").cast("int").as("keep"))
+  }
+
+  /** Deterministic per-source downsampling — the mixture-reweighting
+    * step of a pre-training pipeline (hold back over-represented web
+    * sources, keep books/reference at full rate). Keep decision is
+    * `mixKey(id) mod 1e6 < rate(source)·1e6`: pure integer arithmetic
+    * (RelationalOps.mixKey), so the SAME rows survive in any engine, on
+    * any partitioning, under any retry — no `rand()`, no RNG state.
+    * Map-only; the rate lookup is an expression over the source name
+    * (callers with a source→rate dim table broadcast-join it instead). */
+  def sourceMixSample(df: DataFrame, idCol: String,
+                      rateMillionths: Column): DataFrame =
+    df.where(RelationalOps.mixKey(col(idCol)) % lit(1000000L)
+      < rateMillionths)
+
   val defs: Map[String, QDef] = Map(
 
     // Exact dedup: hash-groupBy on content hash; keep lowest doc_id.
@@ -350,6 +388,43 @@ object TextQueries {
         "ROUND(COUNT(ts.h) / COUNT(*), 6) AS contam_frac, " +
         "CAST(COUNT(ts.h) > 0 AS INT) AS is_contaminated " +
         "FROM evs LEFT JOIN ts ON evs.h = ts.h GROUP BY eval_id"),
+
+    // Composed C4-style filter chain (see [[corpusFilter]]): every doc
+    // gets a keep flag + stable first-failing-rule reason code.
+    "corpus_filter" -> QDef(
+      (s, d) => corpusFilter(docs(s, d).where(col("text").isNotNull),
+        "doc_id", "text", 20, 0.03, 0.65),
+      "WITH q AS (SELECT doc_id, " +
+        "len(string_split(text, ' ')) AS n_words, " +
+        "len(list_filter(string_split(text, ' '), x -> x IN " +
+        stopwords.mkString("('", "','", "')") + ")) AS stop_cnt, " +
+        "len(list_distinct(string_split(text, ' '))) AS n_distinct " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "r AS (SELECT doc_id, n_words, " +
+        "CASE WHEN n_words < 20 THEN 'too_short' " +
+        "WHEN stop_cnt / n_words < 0.03 THEN 'low_stopword' " +
+        "WHEN 1 - n_distinct / n_words > 0.65 THEN 'repetitive' " +
+        "ELSE 'kept' END AS reason FROM q) " +
+        "SELECT doc_id, CAST(n_words AS INT) AS n_words, reason, " +
+        "CAST(reason = 'kept' AS INT) AS keep FROM r"),
+
+    // Source-mixture downsampling (see [[sourceMixSample]]): rate
+    // derived from the numeric source suffix (n%4+1)/4 so the gate
+    // exercises four distinct rates incl. keep-all; the keep set is
+    // closed-form integer arithmetic, bit-identical in DuckDB.
+    "source_mix_sample" -> QDef(
+      (s, d) => {
+        val srcNum = substring(col("source"), 4, 10).cast("int")
+        sourceMixSample(docs(s, d), "doc_id",
+          (srcNum % 4 + 1).cast("long") * lit(250000L))
+          .select(col("doc_id"), col("source"),
+            ((srcNum % 4 + 1).cast("double") / 4).as("rate"))
+      },
+      "SELECT doc_id, source, " +
+        "CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) / 4 " +
+        "AS rate FROM documents " +
+        "WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 " +
+        "% 1000000 < (CAST(substr(source, 4) AS INT) % 4 + 1) * 250000"),
 
     // Document fingerprinting: content-hash prefix (the rolling-hash
     // variant is functions.TextFunctions.rollingHash, scalatest-checked).

@@ -63,6 +63,49 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(-3L).getAs[Int]("is_contaminated") === 0)
   }
 
+  test("corpusFilter: first-failing-rule precedence and keep flag") {
+    // doc 1 fails BOTH too_short and low_stopword → reason must be the
+    // first rule (too_short); doc 2 long but no stopwords; doc 3 long,
+    // stopworded, but one word repeated → repetitive; doc 4 passes all.
+    val mk = (n: Int, s: String) => (s + " ") * n
+    val df = Seq(
+      (1L, "zz yy"),
+      (2L, Seq.tabulate(25)(i => s"w$i").mkString(" ")),
+      (3L, "the " + mk(24, "x").trim),
+      (4L, "the " + Seq.tabulate(24)(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextQueries.corpusFilter(df, "doc_id", "text", 20, 0.03, 0.65)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("reason") === "too_short")
+    assert(out(2L).getAs[String]("reason") === "low_stopword")
+    assert(out(3L).getAs[String]("reason") === "repetitive")
+    assert(out(4L).getAs[String]("reason") === "kept")
+    assert(out(4L).getAs[Int]("keep") === 1)
+    assert(out(3L).getAs[Int]("keep") === 0)
+  }
+
+  test("sourceMixSample: deterministic, rate-ordered, partition-stable") {
+    val df = spark.range(0, 4000)
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), (col("id") % 8).cast("string")).as("source"))
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    def run() = TextQueries.sourceMixSample(df, "doc_id",
+      (srcNum % 4 + 1).cast("long") * lit(250000L))
+    val a = run().collect().map(_.getLong(0)).sorted
+    val b = run().repartition(13).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b)) // partitioning cannot change the keep set
+    val bySrc = run().groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 candidates per source; expected keep ≈ 500·(n%4+1)/4 — the
+    // mixKey stream is uniform enough that observed counts order by
+    // rate and land within a loose band of the expectation.
+    for (n <- 0 until 8) {
+      val exp = 500.0 * (n % 4 + 1) / 4
+      val got = bySrc.getOrElse(s"src$n", 0L).toDouble
+      assert(math.abs(got - exp) < 90, s"src$n: got $got expected $exp")
+    }
+  }
+
   test("contaminationCheck: partial overlap fraction is exact") {
     val train = Seq((1L, "p q r s")).toDF("doc_id", "text")
     // eval shingles: [p q r, q r s, r s z] — first two hit → 2/3
