@@ -106,6 +106,49 @@ object TextQueries {
         (col("n_hits") > 0).cast("int").as("is_contaminated"))
   }
 
+  /** [[contaminationCheck]]'s 100 TB shape: a Bloom filter over the
+    * train digests is built in one train-side pass and broadcast, and
+    * eval shingles are pruned map-side BEFORE the exact join — the
+    * shuffle then carries only candidate digests (true hits + the fpp
+    * sliver) instead of every eval shingle. Bloom filters have no
+    * false negatives, and the exact join still verifies every
+    * candidate, so the output is IDENTICAL to the exact form — the
+    * filter changes cost, never answers (asserted by
+    * TextPipelineSpec). Per-doc shingle totals are counted before the
+    * prune so `n_shingles`/`contam_frac` stay exact. `expectedItems`
+    * sizes the filter (train-side distinct-digest estimate; ~1.2 GB
+    * per 10⁹ digests at 1% fpp — driver-resident, the standard
+    * broadcast-sketch trade). */
+  def contaminationCheckBloom(evalDocs: DataFrame, trainDocs: DataFrame,
+                              evalIdCol: String, textCol: String,
+                              expectedItems: Long,
+                              fpp: Double = 0.01): DataFrame = {
+    val evalSh = evalDocs
+      .where(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= 3)
+      .select(col(evalIdCol).as("eval_id"),
+        explode(shingles3(col(textCol))).as("sh"))
+      .select(col("eval_id"), md5(col("sh")).as("h"))
+    val trainSh = trainDocs
+      .where(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= 3)
+      .select(explode(shingles3(col(textCol))).as("sh"))
+      .select(md5(col("sh")).as("h")).distinct()
+    val bf = trainSh.stat.bloomFilter("h", expectedItems, fpp)
+    val bc = trainDocs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    val totals = evalSh.groupBy("eval_id")
+      .agg(count("*").as("n_shingles"))
+    val hits = evalSh.where(mightContain(col("h")))
+      .join(trainSh, Seq("h"))
+      .groupBy("eval_id").agg(count("*").as("n_hits"))
+    totals.join(hits, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("eval_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits") / col("n_shingles"), 6).as("contam_frac"),
+        (col("n_hits") > 0).cast("int").as("is_contaminated"))
+  }
+
   /** C4/Gopher-style keep/drop decision composed from the individual
     * quality signals, with the FIRST failing rule recorded as the drop
     * reason (rule order is part of the contract — audits depend on
@@ -115,19 +158,28 @@ object TextQueries {
     * caller-supplied; [[defs]]' `corpus_filter` entry registers the
     * canonical ones (minWords=20, minStopRatio=0.03, maxDupFrac=0.65 —
     * chosen so the sf corpus exercises every branch). */
-  def corpusFilter(df: DataFrame, idCol: String, textCol: String,
-                   minWords: Int, minStopRatio: Double,
-                   maxDupFrac: Double): DataFrame = {
-    val w = split(col(textCol), " ")
+  /** First-failing-rule reason code for [[corpusFilter]] — shared with
+    * the mixture report so thresholds live in exactly one expression. */
+  def filterReason(textCol: Column, minWords: Int, minStopRatio: Double,
+                   maxDupFrac: Double): Column = {
+    val w = split(textCol, " ")
     val nW = size(w)
     val stopRatio = size(filter(w, x =>
       x.isin(stopwords.map(_.asInstanceOf[Any]): _*))) / nW
     val dupFrac = lit(1) - size(array_distinct(w)) / nW
-    val reason = when(nW < minWords, "too_short")
+    when(nW < minWords, "too_short")
       .when(stopRatio < minStopRatio, "low_stopword")
       .when(dupFrac > maxDupFrac, "repetitive")
       .otherwise("kept")
-    df.select(col(idCol), nW.as("n_words"), reason.as("reason"),
+  }
+
+  def corpusFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int, minStopRatio: Double,
+                   maxDupFrac: Double): DataFrame = {
+    val reason = filterReason(col(textCol), minWords, minStopRatio,
+      maxDupFrac)
+    df.select(col(idCol), size(split(col(textCol), " ")).as("n_words"),
+      reason.as("reason"),
       (reason === "kept").cast("int").as("keep"))
   }
 
@@ -438,6 +490,39 @@ object TextQueries {
         "AS rate FROM documents " +
         "WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 " +
         "% 1000000 < (CAST(substr(source, 4) AS INT) % 4 + 1) * 250000"),
+
+    // Corpus mixture report: per-(source, lang) doc/token counts and
+    // the post-filter survival rate — the reporting step that drives
+    // mixture-rate decisions ([[sourceMixSample]]). One scan, one
+    // partial-aggregated shuffle of (source, lang) rows; thresholds
+    // shared with corpus_filter via [[filterReason]].
+    "corpus_report" -> QDef(
+      (s, d) => {
+        val keep = (filterReason(col("text"), 20, 0.03, 0.65) === "kept")
+          .cast("int")
+        docs(s, d).where(col("text").isNotNull)
+          .groupBy(col("source"), col("lang"))
+          .agg(count("*").as("n_docs"),
+            sum(size(split(col("text"), " "))).as("n_tokens"),
+            sum(keep).as("n_kept"),
+            round(sum(keep) / count("*"), 6).as("kept_frac"))
+      },
+      "WITH q AS (SELECT source, lang, " +
+        "len(string_split(text, ' ')) AS n_words, " +
+        "len(list_filter(string_split(text, ' '), x -> x IN " +
+        stopwords.mkString("('", "','", "')") + ")) AS stop_cnt, " +
+        "len(list_distinct(string_split(text, ' '))) AS n_distinct " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "k AS (SELECT source, lang, n_words, " +
+        "CASE WHEN n_words < 20 THEN 0 " +
+        "WHEN stop_cnt / n_words < 0.03 THEN 0 " +
+        "WHEN 1 - n_distinct / n_words > 0.65 THEN 0 " +
+        "ELSE 1 END AS keep FROM q) " +
+        "SELECT source, lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_words) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(keep) AS BIGINT) AS n_kept, " +
+        "ROUND(SUM(keep) / COUNT(*), 6) AS kept_frac " +
+        "FROM k GROUP BY source, lang"),
 
     // Document fingerprinting: content-hash prefix (the rolling-hash
     // variant is functions.TextFunctions.rollingHash, scalatest-checked).

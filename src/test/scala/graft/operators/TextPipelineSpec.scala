@@ -106,6 +106,26 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("contaminationCheckBloom: identical to the exact form") {
+    // 200 train docs + 60 eval docs with mixed overlap: full prefix
+    // copies, partial tails, and fully novel texts. The Bloom prefilter
+    // may only change cost — every output cell must match the exact
+    // join, including n_shingles counted before the prune.
+    val train = spark.range(0, 200).selectExpr("id AS doc_id",
+      "concat_ws(' ', 'w', id, 'x', id + 1, 'y', id % 7, 'z') AS text")
+    val eval = spark.range(0, 60).selectExpr("-id - 1 AS eval_id",
+      "CASE WHEN id % 3 = 0 THEN concat_ws(' ', 'w', id, 'x', id + 1) " +
+        "WHEN id % 3 = 1 THEN concat_ws(' ', 'y', id % 7, 'z', 'q', id) " +
+        "ELSE concat_ws(' ', 'n', id, 'o', id, 'p') END AS text")
+    val exact = TextQueries.contaminationCheck(eval, train,
+      "eval_id", "text").collect().map(_.toSeq).toSet
+    val bloom = TextQueries.contaminationCheckBloom(eval, train,
+      "eval_id", "text", expectedItems = 2000, fpp = 0.01)
+      .collect().map(_.toSeq).toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty)
+  }
+
   test("contaminationCheck: partial overlap fraction is exact") {
     val train = Seq((1L, "p q r s")).toDF("doc_id", "text")
     // eval shingles: [p q r, q r s, r s z] — first two hit → 2/3
