@@ -196,6 +196,53 @@ object TextQueries {
     df.where(RelationalOps.mixKey(col(idCol)) % lit(1000000L)
       < rateMillionths)
 
+  /** Planted eval set for the contamination gates (pii_scrub pattern,
+    * negative ids disjoint from real doc_ids at any scale): every 25th
+    * doc's 12-word prefix re-enters as a CONTAMINATED eval doc (a
+    * prefix's 3-grams are a subset of the source doc's), and docs ≡7
+    * (mod 25) contribute a CLEAN eval doc of id-derived tokens that
+    * exist nowhere in the corpus — both branches of the measurement
+    * exercised and hash-checked. */
+  private def plantedEval(base: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val contam = base.where(col("doc_id") % 25 === 0)
+      .select((-col("doc_id") - 1).as("eval_id"),
+        concat_ws(" ", slice(w, lit(1), lit(12))).as("text"))
+    val clean = base.where(col("doc_id") % 25 === 7)
+      .select((-col("doc_id") - 1).as("eval_id"),
+        concat_ws(" ", (0 until 8).map(i =>
+          concat(lit("q"), col("doc_id").cast("string"),
+            lit(s"x$i"))): _*).as("text"))
+    contam.unionByName(clean)
+  }
+
+  /** DuckDB replay of [[plantedEval]] + [[contaminationCheck]] — shared
+    * verbatim by the exact and Bloom gate entries (their outputs are
+    * identical by construction; the shared oracle enforces it). */
+  private val contamOracleSql: String =
+    "WITH ev AS (SELECT -doc_id - 1 AS eval_id, " +
+      "array_to_string(string_split(text, ' ')[1:12], ' ') AS text " +
+      "FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0 " +
+      "UNION ALL SELECT -doc_id - 1, " +
+      (0 until 8).map(i => s"'q' || doc_id || 'x$i'")
+        .mkString("", " || ' ' || ", " ") +
+      "FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 7), " +
+      "evw AS (SELECT eval_id, string_split(text, ' ') AS w FROM ev " +
+      "WHERE len(string_split(text, ' ')) >= 3), " +
+      "evs AS (SELECT eval_id, md5(unnest(list_distinct(" +
+      "[array_to_string(w[x:x+2], ' ') FOR x IN range(1, len(w) - 1)]" +
+      "))) AS h FROM evw), " +
+      "tw AS (SELECT string_split(text, ' ') AS w FROM documents " +
+      "WHERE text IS NOT NULL " +
+      "AND len(string_split(text, ' ')) >= 3), " +
+      "ts AS (SELECT DISTINCT md5(unnest(list_distinct(" +
+      "[array_to_string(w[x:x+2], ' ') FOR x IN range(1, len(w) - 1)]" +
+      "))) AS h FROM tw) " +
+      "SELECT eval_id, COUNT(*) AS n_shingles, COUNT(ts.h) AS n_hits, " +
+      "ROUND(COUNT(ts.h) / COUNT(*), 6) AS contam_frac, " +
+      "CAST(COUNT(ts.h) > 0 AS INT) AS is_contaminated " +
+      "FROM evs LEFT JOIN ts ON evs.h = ts.h GROUP BY eval_id"
+
   val defs: Map[String, QDef] = Map(
 
     // Exact dedup: hash-groupBy on content hash; keep lowest doc_id.
@@ -419,40 +466,21 @@ object TextQueries {
     "contamination_check" -> QDef(
       (s, d) => {
         val base = docs(s, d).where(col("text").isNotNull)
-        val w = split(col("text"), " ")
-        val contam = base.where(col("doc_id") % 25 === 0)
-          .select((-col("doc_id") - 1).as("eval_id"),
-            concat_ws(" ", slice(w, lit(1), lit(12))).as("text"))
-        val clean = base.where(col("doc_id") % 25 === 7)
-          .select((-col("doc_id") - 1).as("eval_id"),
-            concat_ws(" ", (0 until 8).map(i =>
-              concat(lit("q"), col("doc_id").cast("string"),
-                lit(s"x$i"))): _*).as("text"))
-        contaminationCheck(contam.unionByName(clean), base,
-          "eval_id", "text")
+        contaminationCheck(plantedEval(base), base, "eval_id", "text")
       },
-      "WITH ev AS (SELECT -doc_id - 1 AS eval_id, " +
-        "array_to_string(string_split(text, ' ')[1:12], ' ') AS text " +
-        "FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0 " +
-        "UNION ALL SELECT -doc_id - 1, " +
-        (0 until 8).map(i => s"'q' || doc_id || 'x$i'")
-          .mkString("", " || ' ' || ", " ") +
-        "FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 7), " +
-        "evw AS (SELECT eval_id, string_split(text, ' ') AS w FROM ev " +
-        "WHERE len(string_split(text, ' ')) >= 3), " +
-        "evs AS (SELECT eval_id, md5(unnest(list_distinct(" +
-        "[array_to_string(w[x:x+2], ' ') FOR x IN range(1, len(w) - 1)]" +
-        "))) AS h FROM evw), " +
-        "tw AS (SELECT string_split(text, ' ') AS w FROM documents " +
-        "WHERE text IS NOT NULL " +
-        "AND len(string_split(text, ' ')) >= 3), " +
-        "ts AS (SELECT DISTINCT md5(unnest(list_distinct(" +
-        "[array_to_string(w[x:x+2], ' ') FOR x IN range(1, len(w) - 1)]" +
-        "))) AS h FROM tw) " +
-        "SELECT eval_id, COUNT(*) AS n_shingles, COUNT(ts.h) AS n_hits, " +
-        "ROUND(COUNT(ts.h) / COUNT(*), 6) AS contam_frac, " +
-        "CAST(COUNT(ts.h) > 0 AS INT) AS is_contaminated " +
-        "FROM evs LEFT JOIN ts ON evs.h = ts.h GROUP BY eval_id"),
+      contamOracleSql),
+
+    // The Bloom-prefiltered scale path ([[contaminationCheckBloom]])
+    // under the SAME oracle as the exact form — the gate hash-checks
+    // that the prefilter changed cost, not answers, on the full
+    // planted corpus.
+    "contamination_check_bloom" -> QDef(
+      (s, d) => {
+        val base = docs(s, d).where(col("text").isNotNull)
+        contaminationCheckBloom(plantedEval(base), base, "eval_id",
+          "text", expectedItems = 1000000L)
+      },
+      contamOracleSql),
 
     // Composed C4-style filter chain (see [[corpusFilter]]): every doc
     // gets a keep flag + stable first-failing-rule reason code.
