@@ -129,12 +129,20 @@ object TextQueries {
       .select(col(evalIdCol).as("eval_id"),
         explode(shingles3(col(textCol))).as("sh"))
       .select(col("eval_id"), md5(col("sh")).as("h"))
+    // Persisted: the digest relation feeds BOTH the BF build (an
+    // action, runs now) and the candidate-verify join (runs when the
+    // caller executes the result). Without the persist the second use
+    // re-derives digests with a full pass over the train corpus — the
+    // double-scan shape ivfIndex was rightly dinged for. Persisting
+    // 16-byte digest rows costs ~distinct-shingles × 16 B (disk-backed
+    // if it doesn't fit), orders of magnitude under re-reading text.
     val trainSh = trainDocs
       .where(col(textCol).isNotNull &&
         size(split(col(textCol), " ")) >= 3)
       .select(explode(shingles3(col(textCol))).as("sh"))
       .select(md5(col("sh")).as("h")).distinct()
-    val bf = trainSh.stat.bloomFilter("h", expectedItems, fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = buildBloom(trainSh, "h", expectedItems, fpp)
     val bc = trainDocs.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => bc.value.mightContainString(s))
     val totals = evalSh.groupBy("eval_id")
@@ -148,6 +156,29 @@ object TextQueries {
         round(col("n_hits") / col("n_shingles"), 6).as("contam_frac"),
         (col("n_hits") > 0).cast("int").as("is_contaminated"))
   }
+
+  /** Correctly-sized distributed Bloom filter over a string column.
+    *
+    * NOT `df.stat.bloomFilter`: in Spark 4 that routes through
+    * `BloomFilterAggregate`, which silently clamps the bitset to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 2^26 bits = 8 MB — sized for runtime join pruning, where a hot
+    * filter beats an exact one). Past ~7M distinct items the clamped
+    * filter saturates: at 31M items the measured fpp was 0.94 — the
+    * prefilter silently stopped pruning (caught by TextScaleStress at
+    * 10^6 docs; the 4×10^4 smoke corpus sat under the clamp and showed
+    * nothing). This is the classic one-pass treeAggregate build at the
+    * caller's requested size; each task pays one zero-filter copy
+    * (~1.2 MB per 10^6 items at 1%), same as Spark's own pre-clamp
+    * implementation. */
+  private[graft] def buildBloom(df: DataFrame, colName: String,
+                                expectedItems: Long, fpp: Double)
+      : org.apache.spark.util.sketch.BloomFilter =
+    df.select(col(colName)).rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems,
+        fpp))(
+      (f, row) => { f.putString(row.getString(0)); f },
+      (a, b) => { a.mergeInPlace(b); a })
 
   /** C4/Gopher-style keep/drop decision composed from the individual
     * quality signals, with the FIRST failing rule recorded as the drop
@@ -203,7 +234,7 @@ object TextQueries {
     * (mod 25) contribute a CLEAN eval doc of id-derived tokens that
     * exist nowhere in the corpus — both branches of the measurement
     * exercised and hash-checked. */
-  private def plantedEval(base: DataFrame): DataFrame = {
+  private[graft] def plantedEval(base: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val contam = base.where(col("doc_id") % 25 === 0)
       .select((-col("doc_id") - 1).as("eval_id"),
