@@ -86,11 +86,16 @@ object Similarity {
     // of near-identical embeddings would blow the self-join up;
     // oversized buckets are dropped whole — pairs inside them belong
     // to exact-dup handling, and the drop is visible as a count here.
-    val oversized = indexed.groupBy("tbl", "bucket")
-      .agg(count("*").as("__bn")).where(col("__bn") > maxBucket)
-      .select("tbl", "bucket")
-    val pruned = indexed.join(broadcast(oversized), Seq("tbl", "bucket"),
-      "left_anti")
+    // (count-over-window, not broadcast anti-join: the anti-join form
+    // evaluates the index pipeline twice — see Dedup.minhashDedup —
+    // and here the duplicated subtree carries the VECTORS; the window
+    // folds the bucket count into the self-join's own (tbl, bucket)
+    // shuffle, so vectors cross the wire once.)
+    val pruned = indexed
+      .withColumn("__bn", count("*").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("tbl", "bucket")))
+      .where(col("__bn") <= maxBucket).drop("__bn")
     pruned.as("a").join(pruned.as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&

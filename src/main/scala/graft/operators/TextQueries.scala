@@ -40,8 +40,9 @@ object TextQueries {
     * and the fraction of characters covered by the most frequent 2-gram
     * (ties resolved by maxing count×length over all 2-grams — that max
     * is deterministic where "the" top gram under ties is not). One
-    * narrow projection; the per-row work is O(distinct × total) array
-    * HOFs on ~100-word docs, no shuffle, pushes onto the scan. Rows
+    * narrow projection; per-row work is O(n log n) in doc words (a
+    * sort + linear run-length fold — see topChars below), no shuffle,
+    * pushes onto the scan. Rows
     * need ≥2 words (and non-null text) for a 2-gram to exist — callers
     * filter first; [[defs]]' `rep_stats` entry shows the canonical form. */
   def repStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -74,6 +75,20 @@ object TextQueries {
         .as("top_2gram_char_frac"))
   }
 
+  /** Per-doc word-3-gram digest stream: (keep columns…, h = md5 of
+    * each distinct shingle). The ONE construction every contamination
+    * surface shares — exact form, Bloom form, and the scale harness —
+    * so a change to the digest (e.g. md5 → xxhash64 at deployment) or
+    * the ≥3-word rule cannot desynchronize them. Docs under 3 words
+    * carry no shingle and are excluded. */
+  private[graft] def shingleDigests(df: DataFrame, textCol: String,
+                                    keep: Seq[String]): DataFrame =
+    df.where(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= 3)
+      .select(keep.map(col) :+
+        explode(shingles3(col(textCol))).as("sh"): _*)
+      .select(keep.map(col) :+ md5(col("sh")).as("h"): _*)
+
   /** Train/eval contamination check (GPT-3 App. C / PaLM-style n-gram
     * overlap): for each eval document, how many of its word-3-gram
     * shingles appear anywhere in the training corpus. The shape is the
@@ -85,18 +100,11 @@ object TextQueries {
     * Docs under 3 words carry no shingle and are excluded on both sides. */
   def contaminationCheck(evalDocs: DataFrame, trainDocs: DataFrame,
                          evalIdCol: String, textCol: String): DataFrame = {
-    val evalSh = evalDocs
-      .where(col(textCol).isNotNull &&
-        size(split(col(textCol), " ")) >= 3)
-      .select(col(evalIdCol).as("eval_id"),
-        explode(shingles3(col(textCol))).as("sh"))
-      .select(col("eval_id"), md5(col("sh")).as("h"))
-    val trainSh = trainDocs
-      .where(col(textCol).isNotNull &&
-        size(split(col(textCol), " ")) >= 3)
-      .select(explode(shingles3(col(textCol))).as("sh"))
-      .select(md5(col("sh")).as("h")).distinct()
-      .withColumn("hit", lit(1))
+    val evalSh = shingleDigests(
+      evalDocs.select(col(evalIdCol).as("eval_id"), col(textCol)),
+      textCol, Seq("eval_id"))
+    val trainSh = shingleDigests(trainDocs, textCol, Seq.empty)
+      .distinct().withColumn("hit", lit(1))
     evalSh.join(trainSh, Seq("h"), "left")
       .groupBy("eval_id")
       .agg(count("*").as("n_shingles"),
@@ -118,30 +126,29 @@ object TextQueries {
     * prune so `n_shingles`/`contam_frac` stay exact. `expectedItems`
     * sizes the filter (train-side distinct-digest estimate; ~1.2 GB
     * per 10⁹ digests at 1% fpp — driver-resident, the standard
-    * broadcast-sketch trade). */
+    * broadcast-sketch trade; UNDER-sizing degrades fpp silently, so
+    * estimate high — bits are cheap, a saturated filter is not).
+    *
+    * Lifecycle: both digest relations are persisted MEMORY_AND_DISK —
+    * train feeds the BF build (an action, runs now) AND the
+    * candidate-verify join; eval feeds the totals aggregate AND the
+    * pruned join (the prune must happen BEFORE the join's exchange to
+    * save the shuffle, so totals/hits are genuinely two consumers).
+    * Without the persists each second use would re-scan its corpus —
+    * the double-scan shape ivfIndex was rightly dinged for. They stay
+    * cached until the session evicts them (LRU) or the caller clears
+    * them; a service looping over many corpora should
+    * `spark.catalog.clearCache()` between iterations. */
   def contaminationCheckBloom(evalDocs: DataFrame, trainDocs: DataFrame,
                               evalIdCol: String, textCol: String,
                               expectedItems: Long,
                               fpp: Double = 0.01): DataFrame = {
-    val evalSh = evalDocs
-      .where(col(textCol).isNotNull &&
-        size(split(col(textCol), " ")) >= 3)
-      .select(col(evalIdCol).as("eval_id"),
-        explode(shingles3(col(textCol))).as("sh"))
-      .select(col("eval_id"), md5(col("sh")).as("h"))
-    // Persisted: the digest relation feeds BOTH the BF build (an
-    // action, runs now) and the candidate-verify join (runs when the
-    // caller executes the result). Without the persist the second use
-    // re-derives digests with a full pass over the train corpus — the
-    // double-scan shape ivfIndex was rightly dinged for. Persisting
-    // 16-byte digest rows costs ~distinct-shingles × 16 B (disk-backed
-    // if it doesn't fit), orders of magnitude under re-reading text.
-    val trainSh = trainDocs
-      .where(col(textCol).isNotNull &&
-        size(split(col(textCol), " ")) >= 3)
-      .select(explode(shingles3(col(textCol))).as("sh"))
-      .select(md5(col("sh")).as("h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val evalSh = shingleDigests(
+      evalDocs.select(col(evalIdCol).as("eval_id"), col(textCol)),
+      textCol, Seq("eval_id")).persist(disk)
+    val trainSh = shingleDigests(trainDocs, textCol, Seq.empty)
+      .distinct().persist(disk)
     val bf = buildBloom(trainSh, "h", expectedItems, fpp)
     val bc = trainDocs.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => bc.value.mightContainString(s))
@@ -508,8 +515,16 @@ object TextQueries {
     "contamination_check_bloom" -> QDef(
       (s, d) => {
         val base = docs(s, d).where(col("text").isNotNull)
+        // Filter sizing from a one-column aggregate: distinct train
+        // shingles ≤ total words < sum(n_chars)/4 (words average >4
+        // chars with separator). A narrow pre-pass over one int column
+        // beats a silently saturating filter at larger sf — the exact
+        // trap buildBloom documents.
+        val hint = math.max(1000000L,
+          base.agg(coalesce(sum(col("n_chars")), lit(0L)))
+            .head.getLong(0) / 4)
         contaminationCheckBloom(plantedEval(base), base, "eval_id",
-          "text", expectedItems = 1000000L)
+          "text", expectedItems = hint)
       },
       contamOracleSql),
 
