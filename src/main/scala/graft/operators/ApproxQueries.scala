@@ -214,6 +214,67 @@ object ApproxQueries {
       },
       "SELECT -vec_id - 1 AS q_id, vec_id AS neighbor_id, " +
         "CAST(1 AS INT) AS nn_rank, 1.0 AS cosine FROM embeddings " +
-        "WHERE vec_id % 10 = 0")
+        "WHERE vec_id % 10 = 0"),
+
+    // Product quantization with trained codebooks: code ranking is a
+    // function of the sample-trained centroids, so like ann_lsh/ann_ivf
+    // the general form is rows-only here; recall vs the exact L2
+    // baseline is pinned in scalatest, and the full encode→ADC→rank
+    // machinery is hash-gated by `ann_pq_probe` below.
+    "ann_pq" -> QDef.noOracle(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val cbs = Similarity.pqTrain(e, dim = 64, m = 16, ksub = 16)
+        val codes = Similarity.pqEncode(e, cbs)
+        val queries = VectorQueries.withNorm(e)
+          .where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("id"), col("v"))
+        Similarity.pqTopK(codes, cbs, queries, k = 10)
+          .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
+            round(col("adc"), 6).as("adc_dist"))
+      }),
+
+    // Hash-exact PQ gate: scalar quarter-spaced grid codebooks
+    // (subDim 1, 16 centroids/dim) make quantization and distances
+    // EXACTLY representable — snapped values are quarters, squared
+    // differences are multiples of 1/16, and sums of them are exact in
+    // double, so the DuckDB replay (snap via bracketing grid points,
+    // tie to the lower index = the encoder's first-min) hash-matches
+    // bit for bit. Queries are every 25th vector DECODED from its own
+    // code (symmetric-distance PQ — feeding the reconstruction to the
+    // ADC ranker), so the gate exercises pqEncode, pqDecode, and
+    // pqTopK end to end with zero floating-point slack.
+    "ann_pq_probe" -> QDef(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val cbs = Similarity.gridCodebooks(dim = 64)
+        val codes = Similarity.pqEncode(e, cbs)
+        val queries = Similarity.pqDecode(
+          codes.where(col("id") % 25 === 0), cbs)
+        Similarity.pqTopK(codes, cbs, queries, k = 5)
+          .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
+            round(col("adc"), 6).as("adc_dist"))
+      },
+      "WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
+        "AS x, generate_subscripts(embedding, 1) AS pos " +
+        "FROM embeddings), " +
+        "lo AS (SELECT vec_id, pos, x, LEAST(15, GREATEST(0, " +
+        "CAST(FLOOR((x + 2.0) * 4) AS INT))) AS li FROM el), " +
+        "sn AS (SELECT vec_id, pos, CASE WHEN " +
+        "ABS(x - (-2.0 + 0.25 * li)) <= " +
+        "ABS(x - (-2.0 + 0.25 * LEAST(li + 1, 15))) " +
+        "THEN -2.0 + 0.25 * li " +
+        "ELSE -2.0 + 0.25 * LEAST(li + 1, 15) END AS s FROM lo), " +
+        "q AS (SELECT vec_id AS q_id, pos, s AS qs FROM sn " +
+        "WHERE vec_id % 25 = 0), " +
+        "p AS (SELECT q.q_id, c.vec_id AS neighbor_id, " +
+        "SUM((q.qs - c.s) * (q.qs - c.s)) AS adc FROM q " +
+        "JOIN sn c ON q.pos = c.pos AND c.vec_id <> q.q_id " +
+        "GROUP BY q.q_id, c.vec_id), " +
+        "r AS (SELECT q_id, neighbor_id, adc, ROW_NUMBER() OVER " +
+        "(PARTITION BY q_id ORDER BY adc, neighbor_id) AS nn_rank " +
+        "FROM p) " +
+        "SELECT q_id, neighbor_id, CAST(nn_rank AS INT) AS nn_rank, " +
+        "ROUND(adc, 6) AS adc_dist FROM r WHERE nn_rank <= 5")
   )
 }

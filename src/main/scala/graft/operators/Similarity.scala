@@ -275,4 +275,119 @@ object Similarity {
     pairs.withColumn("nn_rank", row_number().over(w))
       .where(col("nn_rank") <= k)
   }
+
+  // ---- product quantization (the third standard ANN family) ----------
+
+  /** PQ codebooks: `m` subspaces of `dim/m` dims, `ksub` centroids
+    * each, trained per-subspace on the same one-pass deterministic
+    * sample [[ivfIndex]] uses (the FAISS PQ-trainer shape: codebook
+    * placement needs O(m·ksub) representative points, not the corpus).
+    * Returned as codebooks(subspace)(code) = centroid vector. */
+  def pqTrain(emb: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
+              seed: Long = 42L, trainPoints: Int = 4096)
+      : Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val subDim = dim / m
+    val pts = emb
+      .select(xxhash64(col("vec_id"), lit(seed)).as("__h"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .orderBy("__h").limit(trainPoints).select("v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    Array.tabulate(m) { i =>
+      trainCentroids(pts.map(_.slice(i * subDim, (i + 1) * subDim)),
+        ksub, seed + i)
+    }
+  }
+
+  /** Uniform scalar grid codebooks (subDim = 1, one subspace per
+    * dimension): centroid c of every subspace is `lo + step·c`.
+    * Quantization and distances over quarter-spaced grids are exactly
+    * representable in binary floating point, which is what makes the
+    * `ann_pq_probe` driver gate hash-exact against DuckDB. */
+  def gridCodebooks(dim: Int, lo: Double = -2.0, step: Double = 0.25,
+                    ksub: Int = 16): Array[Array[Array[Double]]] =
+    Array.fill(dim)(Array.tabulate(ksub)(c => Array(lo + step * c)))
+
+  /** Encode vectors to PQ codes — ONE narrow pass, the index is
+    * m bytes-ish per vector instead of 4·dim: at 10⁹ vectors the whole
+    * code table fits where the raw vectors cannot, which is the point
+    * of PQ (the ADC scan cost matches exact search at these dims; the
+    * win is index size, memory residency, and shuffle width).
+    * Ties take the FIRST minimal code (strict `<`), matching the
+    * oracle's argmin convention. */
+  def pqEncode(emb: DataFrame,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val enc = udf { (v: Seq[Double]) =>
+      val code = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val cb = codebooks(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0
+          var j = 0
+          while (j < subDim) {
+            val t = v(i * subDim + j) - cb(c)(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        code(i) = best
+        i += 1
+      }
+      code
+    }
+    emb.select(col("vec_id").as("id"),
+      enc(transform(col("embedding"), x => x.cast("double")))
+        .as("code"))
+  }
+
+  /** Decode codes back to their centroid vectors (the reconstruction;
+    * feeding a decoded query to [[pqTopK]] gives symmetric-distance
+    * PQ search, the mode the hash-exact probe gate uses). */
+  def pqDecode(codes: DataFrame,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val dec = udf { (code: Seq[Int]) =>
+      codebooks.indices.flatMap(i => codebooks(i)(code(i))).toArray
+    }
+    codes.select(col("id"), dec(col("code")).as("v"))
+  }
+
+  /** Asymmetric-distance top-k over the code table: queries stay raw,
+    * every corpus vector is represented by its code's centroids, and
+    * the scan touches ONLY (id, code) rows — the corpus vectors never
+    * load. Queries broadcast (the exact-knn shape); squared-L2
+    * distance; ties rank by neighbor id. Composes with [[ivfIndex]]
+    * for IVF-PQ (assign cells first, ADC within probed cells). */
+  def pqTopK(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+             queries: DataFrame, k: Int): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val adc = udf { (qv: Seq[Double], code: Seq[Int]) =>
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        val ct = codebooks(i)(code(i))
+        var j = 0
+        while (j < subDim) {
+          val t = qv(i * subDim + j) - ct(j); d += t * t; j += 1
+        }
+        i += 1
+      }
+      d
+    }
+    val q = queries.select(col("id").as("q_id"), col("v").as("qv"))
+    val pairs = codes.alias("c").join(broadcast(q),
+        col("c.id") =!= col("q_id"))
+      .select(col("q_id"), col("c.id").as("neighbor_id"),
+        adc(col("qv"), col("c.code")).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc"), col("neighbor_id"))
+    pairs.withColumn("nn_rank", row_number().over(w))
+      .where(col("nn_rank") <= k)
+  }
 }

@@ -85,6 +85,70 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.keySet === approx.keySet)
   }
 
+  test("PQ: encode is partition-stable; ADC recall vs exact L2; " +
+    "decoded query ranks an identical-code vector first at adc 0") {
+    val cbs = Similarity.pqTrain(emb, dim = 64, m = 16, ksub = 16)
+    val codes = Similarity.pqEncode(emb, cbs).cache()
+    // determinism: the code table is a pure per-row function
+    val a = codes.as[(Long, Seq[Int])].collect().toMap
+    val b = Similarity.pqEncode(emb.repartition(7), cbs)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a === b)
+    // ADC recall@10 vs exact L2 (PQ ranks by squared L2, so the truth
+    // set must too — cosine truth would punish the metric, not the op)
+    val queries = VectorQueries.withNorm(emb)
+      .where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id"), col("v"))
+    val approx = Similarity.pqTopK(codes, cbs, queries, k = 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = {
+      val e = VectorQueries.withNorm(emb)
+      val q = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val l2 = {
+        val d = VectorQueries.dot(col("qv"), col("v"))
+        val qq = VectorQueries.dot(col("qv"), col("qv"))
+        val vv = VectorQueries.dot(col("v"), col("v"))
+        qq + vv - lit(2.0) * d
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("l2"), col("neighbor_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          l2.as("l2"))
+        .withColumn("r", row_number().over(w)).where(col("r") <= 10)
+        .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    // 16 centroids × 16 subspaces on clustered 64-dim data: coarse but
+    // must stay far above chance (10/500 ≈ 0.02)
+    assert(mean >= 0.3, s"mean ADC recall@10 = $mean")
+    // symmetric-distance sanity: a query decoded from vector x's own
+    // code is at squared-L2 exactly 0 from x's reconstruction, so x
+    // (or an identical-code vector) must rank first with adc 0.0
+    val grid = Similarity.gridCodebooks(dim = 64)
+    val gcodes = Similarity.pqEncode(emb, grid)
+    val q0 = Similarity.pqDecode(gcodes.where(col("id") === 0), grid)
+    val top = Similarity.pqTopK(gcodes, grid, q0, k = 1)
+      .select("neighbor_id", "adc").as[(Long, Double)].collect()
+    val codeOf0 = gcodes.where(col("id") === 0)
+      .as[(Long, Seq[Int])].collect()(0)._2
+    val sameCode = gcodes.where(col("id") =!= 0)
+      .as[(Long, Seq[Int])].collect().filter(_._2 == codeOf0)
+      .map(_._1)
+    if (sameCode.nonEmpty) {
+      assert(top(0)._2 === 0.0)
+      assert(top(0)._1 === sameCode.min)
+    } else {
+      assert(top(0)._2 > 0.0) // unique code: nearest is a real neighbor
+    }
+  }
+
   test("IVF top-k recall improves with nprobe, hits 1.0 at full probe") {
     val (model, indexed) = Similarity.ivfIndex(emb, nlist = 8)
     val cached = indexed.cache()
