@@ -598,6 +598,23 @@ object TextQueries {
         "ROUND(SUM(keep) / COUNT(*), 6) AS kept_frac " +
         "FROM k GROUP BY source, lang"),
 
+    // Vocabulary building: top-100 words by corpus frequency with a
+    // fully deterministic order (freq desc, then word — a bare LIMIT
+    // over ties is engine-dependent). The tokenizer-training entry
+    // point (functions.Bpe trains from exactly this histogram). Plan:
+    // explode → map-side partial count → one shuffle → TakeOrdered;
+    // the result is vocabulary-sized regardless of corpus size.
+    "vocab_topk" -> QDef(
+      (s, d) => docs(s, d).where(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count("*").as("freq"))
+        .orderBy(col("freq").desc, col("word"))
+        .limit(100),
+      "SELECT word, freq FROM (SELECT word, COUNT(*) AS freq FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS word " +
+        "FROM documents WHERE text IS NOT NULL) u GROUP BY word) c " +
+        "ORDER BY freq DESC, word LIMIT 100"),
+
     // Document fingerprinting: content-hash prefix (the rolling-hash
     // variant is functions.TextFunctions.rollingHash, scalatest-checked).
     "doc_fingerprint" -> QDef(
