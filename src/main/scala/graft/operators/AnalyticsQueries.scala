@@ -161,6 +161,43 @@ object AnalyticsQueries {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') " +
         "AS BIGINT) AS k FROM events"),
 
+    // Min-max feature scaling to [0,1] (MinMaxScaler semantics): the
+    // global min/max is ONE tiny aggregate row broadcast back over the
+    // scan — the scan side stays narrow (no sort, no wide shuffle), so
+    // the shape survives any corpus size. Integer-free but still
+    // hash-safe: (x−mn)/(mx−mn) is two IEEE ops on identical parquet
+    // doubles in both engines, then round(6).
+    "minmax_scale" -> QDef(
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val stats = li.agg(
+          min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))
+        li.crossJoin(broadcast(stats))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round((col("l_extendedprice") - col("mn")) /
+              (col("mx") - col("mn")), 6).as("scaled"))
+      },
+      "SELECT l_orderkey, l_linenumber, ROUND((l_extendedprice - mn) " +
+        "/ (mx - mn), 6) AS scaled FROM lineitem CROSS JOIN " +
+        "(SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) " +
+        "AS mx FROM lineitem)"),
+
+    // Equal-frequency decile binning (QuantileDiscretizer semantics,
+    // exact form): NTILE over a deterministic (value, key) order. The
+    // unpartitioned window is the documented exact-form trade (same as
+    // kfold_assign); the scale path computes approximate decile
+    // boundaries on a sample and broadcast-bins — no global sort.
+    "quantile_bin" -> QDef(
+      (s, d) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_totalprice"),
+          ntile(10).over(w).as("decile"))
+      },
+      "SELECT o_orderkey, o_totalprice, CAST(ntile(10) OVER (ORDER " +
+        "BY o_totalprice, o_orderkey) AS INT) AS decile FROM orders"),
+
     // Histogram binning by arithmetic bucket (portable in any engine,
     // unlike width_bucket variants).
     "histogram_agg" -> QDef(

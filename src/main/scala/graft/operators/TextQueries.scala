@@ -623,6 +623,71 @@ object TextQueries {
         substring(md5(col("text")), 1, 16).as("fp16")),
       "SELECT doc_id, substring(md5(text), 1, 16) AS fp16 FROM documents"),
 
+    // Sequence packing for training shards (GPT-style concatenate-and-
+    // chunk): every doc's tokens are laid out on one global token
+    // stream in doc_id order; tok_offset is the doc's start position
+    // and shard the 4096-token context window its first token lands
+    // in. Registered as the DISTRIBUTED prefix sum
+    // ([[PackingOps.packTokens]]: range partition → per-partition
+    // totals → broadcast prefix → narrow cumulative pass — no
+    // single-reducer window stage), hash-checked against the oracle's
+    // window form; PackingSpec additionally proves the two forms equal
+    // row-for-row.
+    "seq_pack" -> QDef(
+      (s, d) => {
+        val counted = docs(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        PackingOps.packTokens(counted, "doc_id", "n_tokens", 4096L)
+      },
+      "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) " +
+        "AS BIGINT) AS n_tokens FROM documents WHERE text IS NOT " +
+        "NULL), o AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) " +
+        "OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens " +
+        "AS BIGINT) AS tok_offset FROM t) " +
+        "SELECT doc_id, n_tokens, tok_offset, " +
+        "CAST(tok_offset // 4096 AS BIGINT) AS shard FROM o"),
+
+    // Corpus-frequency quality filter (the unigram-LM signal made
+    // integer-exact): the fraction of a doc's tokens occurring < 3
+    // times corpus-wide. The synthetic vocabulary is 31 words with
+    // min frequency 26, so rarity is PLANTED per doc_id — every 7th
+    // doc gains a unique `junkN` token (corpus frequency exactly 1)
+    // and both engines replicate the construction, so the join and
+    // both aggregations are exercised genuinely. The frequency side is
+    // corpus-derived and unbounded at scale (rare tokens dominate a
+    // 100 TB vocabulary), so it stays a SHUFFLE join on the token —
+    // deliberately not a broadcast; both sides shuffle short tokens +
+    // counts, never documents.
+    "rare_token_filter" -> QDef(
+      (s, d) => {
+        val planted = docs(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" junk"), col("doc_id")))
+              .otherwise(col("text")).as("text"))
+        val tok = planted.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        val freq = tok.groupBy("w").agg(count("*").as("freq"))
+        tok.join(freq, "w")
+          .groupBy("doc_id")
+          .agg(count("*").as("n_tokens"),
+            sum(when(col("freq") < 3, 1L).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+            round(col("n_rare") / col("n_tokens"), 6).as("rare_frac"))
+      },
+      "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN " +
+        "text || ' junk' || doc_id ELSE text END AS text " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM p), " +
+        "freq AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN freq < 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_rare, ROUND(CAST(SUM(CASE WHEN freq < 3 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) / COUNT(*), 6) AS rare_frac " +
+        "FROM tok JOIN freq USING (w) GROUP BY doc_id"),
+
     // Driver-gate probe for the BPE trainer + tokenizer (functions.Bpe):
     // the corpus is PLANTED per doc_id so the learned merge table is
     // closed-form for ANY corpus size — doc d contributes

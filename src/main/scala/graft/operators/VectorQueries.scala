@@ -94,6 +94,38 @@ object VectorQueries {
         "SELECT a_id, b_id, ROUND(cos, 6) AS cosine FROM p " +
         "WHERE cos >= 0.44"),
 
+    // Int8 scalar quantization (the SQ8 codec of the standard vector
+    // stores: 4× smaller than float32, 8× smaller than the double
+    // form): per-vector max-abs scale, code_i = floor(127·x_i/maxabs
+    // + 0.5). floor(+0.5) instead of round() so Spark and DuckDB
+    // round identically (their ROUND tie rules differ); codes are
+    // integers → hash-exact. Emitted comma-joined (the array type
+    // itself isn't SQL-comparable — same trade as aov_vector's cell
+    // dump). One narrow projection, no shuffle, scan-fused.
+    "embed_quantize" -> QDef(
+      (s, d) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        Tables.load(s, d, "embeddings")
+          .select(col("vec_id"), v.as("v"))
+          .withColumn("maxabs",
+            array_max(transform(col("v"), x => abs(x))))
+          .select(col("vec_id"), round(col("maxabs"), 6).as("scale"),
+            concat_ws(",", transform(col("v"), x =>
+              when(col("maxabs") === 0d, lit(0))
+                .otherwise(
+                  floor(x * lit(127.0) / col("maxabs") + lit(0.5))
+                    .cast("int"))
+                .cast("string"))).as("codes"))
+      },
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "m AS (SELECT vec_id, v, " +
+        "list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e) " +
+        "SELECT vec_id, ROUND(maxabs, 6) AS scale, " +
+        "array_to_string(list_transform(v, x -> CASE WHEN maxabs = 0 " +
+        "THEN 0 ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS INT) " +
+        "END), ',') AS codes FROM m"),
+
     // LSH-bucketed near-dup dedup — the scale-safe candidate generator
     // ([[Similarity.lshDedupPairs]]): corpus indexed into L hyperplane
     // tables, pairs generated within buckets only, exact-cosine verify.

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-4 feature-prep/quantization
+  * queries (their value equality vs DuckDB is the driver gate; these
+  * pin the properties the hash can't express). */
+class FeaturePrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minmax_scale maps into [0,1] and hits both endpoints") {
+    val out = Registry.all("minmax_scale").fn(spark, sfDir)
+      .agg(min("scaled"), max("scaled")).as[(Double, Double)].head()
+    assert(out._1 == 0.0 && out._2 == 1.0)
+  }
+
+  test("quantile_bin deciles are equal-frequency within 1 row") {
+    val sizes = Registry.all("quantile_bin").fn(spark, sfDir)
+      .groupBy("decile").count().as[(Int, Long)].collect()
+    assert(sizes.length == 10)
+    assert(sizes.map(_._2).max - sizes.map(_._2).min <= 1)
+    assert(sizes.map(_._1).sorted.toSeq == (1 to 10))
+  }
+
+  test("rare_token_filter flags exactly the planted docs") {
+    val out = Registry.all("rare_token_filter").fn(spark, sfDir)
+      .select("doc_id", "n_rare").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nRare) =>
+      assert(nRare == (if (id % 7 == 0) 1L else 0L),
+        s"doc $id: n_rare=$nRare")
+    }
+  }
+
+  test("embed_quantize codes are int8-bounded and reconstruct " +
+      "within half a quantization step") {
+    val rows = Registry.all("embed_quantize").fn(spark, sfDir)
+      .select("vec_id", "scale", "codes")
+      .as[(Long, Double, String)].collect()
+    assert(rows.nonEmpty)
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, scale, codes) =>
+      val q = codes.split(",").map(_.toInt)
+      val v = emb(id)
+      assert(q.length == v.length)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      if (scale > 0) {
+        val step = v.map(math.abs).max / 127.0
+        v.zip(q).foreach { case (x, c) =>
+          assert(math.abs(x - c * step) <= step / 2 + 1e-9,
+            s"vec $id: x=$x code=$c step=$step")
+        }
+      }
+    }
+  }
+
+  test("embed_quantize guards the zero vector") {
+    val df = Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val out = df.select(col("vec_id"), v.as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .select(concat_ws(",", transform(col("v"), x =>
+        when(col("maxabs") === 0d, lit(0))
+          .otherwise(floor(x * lit(127.0) / col("maxabs") + lit(0.5))
+            .cast("int")).cast("string"))).as("codes"))
+      .as[String].head()
+    assert(out == "0,0,0")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed prefix-sum packer must equal the single-reducer
+  * window form row-for-row — on skewed sizes, sparse ids, and across
+  * multiple range partitions — and its shard assignment must respect
+  * the concat-and-chunk invariants. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowForm(df: org.apache.spark.sql.DataFrame,
+                         budget: Long) = {
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("tok_offset", sum(col("n")).over(w) - col("n"))
+      .withColumn("shard", floor(col("tok_offset") / budget)
+        .cast("long"))
+      .select("id", "n", "tok_offset", "shard")
+  }
+
+  test("packTokens equals the window prefix sum on a skewed corpus") {
+    // Sparse non-contiguous ids, size skew (one mega-doc), zero-token
+    // docs, enough rows to spread over several range partitions.
+    val rows = (0 until 5000).map { i =>
+      val id = i.toLong * 7 + (i % 3)
+      val n = if (i == 1234) 500000L
+              else if (i % 11 == 0) 0L
+              else (i % 97).toLong + 1
+      (id, n)
+    }
+    val df = rows.toDF("id", "n").repartition(13)
+    val got = PackingOps.packTokens(df, "id", "n", 4096L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val want = windowForm(df, 4096L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == rows.length)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("offsets are a gapless token stream and shards chunk it") {
+    val df = Seq((1L, 10L), (2L, 4090L), (3L, 5L), (4L, 8200L),
+      (5L, 1L)).toDF("id", "n")
+    val out = PackingOps.packTokens(df, "id", "n", 4096L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // Exclusive prefix: each doc starts where the previous ended.
+    assert(out.map(_._3).toSeq == Seq(0L, 10L, 4100L, 4105L, 12305L))
+    // Shard = window containing the doc's first token.
+    assert(out.map(_._4).toSeq == Seq(0L, 0L, 1L, 1L, 3L))
+  }
+
+  test("packTokens rejects a non-positive budget") {
+    val df = Seq((1L, 1L)).toDF("id", "n")
+    intercept[IllegalArgumentException] {
+      PackingOps.packTokens(df, "id", "n", 0L)
+    }
+  }
+}
