@@ -161,6 +161,81 @@ object AnalyticsQueries {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') " +
         "AS BIGINT) AS k FROM events"),
 
+    // Per-group argmax (max_by): each customer's most expensive order.
+    // One partial-aggregated shuffle of (custkey, candidate) pairs —
+    // the grouped-top-1 shape that needs no window sort. Ties on the
+    // price (one exists in the data) break on the order key: Spark
+    // orders by struct(price, key) lexicographically, the oracle by
+    // the equivalent DESC, DESC row_number.
+    "argmax_agg" -> QDef(
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_totalprice")),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"),
+          col("m.o_orderkey").as("best_order"),
+          col("m.o_totalprice").as("best_price")),
+      "WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY " +
+        "o_totalprice DESC, o_orderkey DESC) AS rn FROM orders) " +
+        "SELECT o_custkey, o_orderkey AS best_order, " +
+        "o_totalprice AS best_price FROM r WHERE rn = 1"),
+
+    // Wide→long reshape (pandas melt / SQL UNPIVOT): the four lineitem
+    // measures stacked into (measure, val) rows. Spark's native
+    // unpivot is a zero-shuffle 4× row expansion on the scan; the
+    // oracle spells it as the portable UNION ALL.
+    "unpivot_melt" -> QDef(
+      (s, d) => Tables.load(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(m => s"SELECT l_orderkey, l_linenumber, '$m' AS measure, " +
+          s"$m AS val FROM lineitem")
+        .mkString(" UNION ALL ")),
+
+    // Hourly resample + forward fill (the time-series gap-fill op):
+    // per (user, hour) keep the LAST event's value (deterministic pick
+    // = max (ts, event_id)), span each user's range with an hourly
+    // spine, and forward-fill empty hours from the most recent
+    // observation. All shuffles are keyed on user_id (grouped agg,
+    // spine join, ffill window) — no global sort; the spine explode is
+    // bounded by each user's time range, not the corpus.
+    "resample_ffill" -> QDef(
+      (s, d) => {
+        val hv = Tables.load(s, d, "events")
+          .groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(max_by(col("value"),
+            struct(col("ts"), col("event_id"))).as("v"))
+        val spine = hv.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hv, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+      },
+      "WITH h AS (SELECT user_id, date_trunc('hour', ts) AS h, value, " +
+        "row_number() OVER (PARTITION BY user_id, " +
+        "date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) " +
+        "AS rn FROM events), " +
+        "hv AS (SELECT user_id, h, value AS v FROM h WHERE rn = 1), " +
+        "spine AS (SELECT user_id, unnest(generate_series(min(h), " +
+        "max(h), INTERVAL 1 HOUR)) AS h FROM hv GROUP BY user_id), " +
+        "j AS (SELECT s.user_id, s.h, hv.v FROM spine s LEFT JOIN hv " +
+        "ON s.user_id = hv.user_id AND s.h = hv.h) " +
+        "SELECT user_id, h, last_value(v IGNORE NULLS) OVER (" +
+        "PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) " +
+        "AS v_ffill FROM j"),
+
     // Min-max feature scaling to [0,1] (MinMaxScaler semantics): the
     // global min/max is ONE tiny aggregate row broadcast back over the
     // scan — the scan side stays narrow (no sort, no wide shuffle), so

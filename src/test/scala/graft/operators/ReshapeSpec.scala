@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{Registry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the argmax / unpivot / resample queries that the
+  * driver's value-hash can't express. */
+class ReshapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("argmax_agg picks each customer's lexicographic-max order") {
+    val got = Registry.all("argmax_agg").fn(spark, sfDir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val want = Tables.load(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (ck, rows) =>
+        val best = rows.maxBy(r => (r._3, r._2))
+        ck -> (best._2, best._3)
+      }
+    assert(got == want)
+  }
+
+  test("unpivot_melt is an exact 4x reshape with no value drift") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val out = Registry.all("unpivot_melt").fn(spark, sfDir)
+    assert(out.count() == li.count() * 4)
+    // Sum per measure equals the column sum it came from.
+    val sums = out.groupBy("measure").agg(sum("val").as("s"))
+      .as[(String, Double)].collect().toMap
+    val direct = li.agg(sum("l_quantity"), sum("l_extendedprice"),
+      sum("l_discount"), sum("l_tax"))
+      .as[(Double, Double, Double, Double)].head()
+    assert(math.abs(sums("l_quantity") - direct._1) < 1e-6)
+    assert(math.abs(sums("l_extendedprice") - direct._2) < 1e-4)
+    assert(math.abs(sums("l_discount") - direct._3) < 1e-6)
+    assert(math.abs(sums("l_tax") - direct._4) < 1e-6)
+  }
+
+  test("resample_ffill spans each user's range gapless with no " +
+      "nulls after the first observation") {
+    val out = Registry.all("resample_ffill").fn(spark, sfDir)
+      .as[(Long, java.sql.Timestamp, Option[Double])].collect()
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (_, rows) =>
+      val hours = rows.map(_._2.getTime).sorted
+      // Gapless hourly spine.
+      hours.sliding(2).foreach { case Array(a, b) =>
+        assert(b - a == 3600000L)
+      case _ => }
+      // First bucket holds a real observation → nothing is ever null.
+      assert(rows.forall(_._3.isDefined))
+    }
+  }
+}
