@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSONL (one JSON object per line) source/sink — the interchange
+  * format public LLM corpora actually ship in (C4, The Pile,
+  * RedPajama dumps are (compressed) JSONL). Spark's `json` source is
+  * line-delimited by default, but two of its defaults are wrong at
+  * corpus scale and these wrappers pin them:
+  *
+  *  - **No schema inference.** Inference is a full pre-scan of the
+  *    data (a second 100 TB read before the first real one). The
+  *    schema is required here; the read plans straight off it and
+  *    column pruning reaches the parser (Spark's JSON reader skips
+  *    parsing unprojected fields).
+  *  - **No silent corruption.** PERMISSIVE mode turns an unparseable
+  *    line into an all-null row; at billions of lines that is data
+  *    loss with no witness. [[read]] routes bad lines into a
+  *    `_corrupt` column so callers count/quarantine them explicitly;
+  *    [[readStrict]] fails the job on the first bad line.
+  *
+  * Compression: pass e.g. `compression = "gzip"` on write. Note gzip
+  * files are NOT splittable — one multi-GB .jsonl.gz becomes one
+  * task. Large corpora should shard (many files, the default here
+  * since each partition writes its own file) rather than concatenate.
+  */
+object Jsonl {
+
+  val CorruptCol = "_corrupt"
+
+  /** Read with explicit schema; unparseable lines appear as rows with
+    * every data column null and the raw line in `_corrupt`. (Spark
+    * requires the corrupt column to be part of the read schema, and a
+    * query may not select ONLY the corrupt column — always carry at
+    * least one data column when filtering on it.) */
+  def read(spark: SparkSession, path: String,
+           schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Read with explicit schema, failing loudly on the first
+    * unparseable line. */
+  def readStrict(spark: SparkSession, path: String,
+                 schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** The parsed rows and the corrupt raw lines, separately — the
+    * quarantine split a production ingest wants. Implemented as ONE
+    * text scan + `from_json` rather than the corrupt-record column:
+    * Spark refuses plans whose file read projects only the corrupt
+    * column ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]),
+    * and the documented workaround (cache the parse) is a corpus-sized
+    * materialization. The expression-level corrupt record has neither
+    * problem: the corrupt field rides INSIDE the parsed struct (an
+    * unparseable line sets it to the raw text; `from_json` itself
+    * never returns a null struct), and both branches plan off the
+    * same scan. A line that parses but mismatches field types yields
+    * null FIELDS with a null corrupt field — that routes to the
+    * parsed side, same as the PERMISSIVE reader. */
+  def readSplit(spark: SparkSession, path: String,
+                schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.from_json
+    val full = schema.add(CorruptCol, StringType)
+    val parsed = spark.read.text(path)
+      .select(from_json(col("value"), full,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol).asJava).as("j"))
+    val bad = col(s"j.$CorruptCol")
+    (parsed.where(bad.isNull).select("j.*").drop(CorruptCol),
+      parsed.where(bad.isNotNull).select(bad.as(CorruptCol)))
+  }
+
+  /** Write as sharded JSONL, one file per partition. */
+  def write(df: DataFrame, path: String,
+            compression: String = "none"): Unit =
+    df.write.mode("overwrite")
+      .option("compression", compression).json(path)
+}

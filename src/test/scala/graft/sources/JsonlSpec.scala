@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+class JsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  test("documents round-trip through sharded JSONL exactly") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    Jsonl.write(docs, s"$dir/docs")
+    val back = Jsonl.readStrict(spark, s"$dir/docs", docSchema)
+    val a = docs.as[(Long, String, String, String, Long)]
+      .collect().sortBy(_._1)
+    val b = back.select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("gzip round-trip preserves rows") {
+    val dir = Files.createTempDirectory("jsonlgz").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    Jsonl.write(docs, s"$dir/docs", compression = "gzip")
+    assert(Files.list(Paths.get(s"$dir/docs")).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .hasNext)
+    val back = Jsonl.readStrict(spark, s"$dir/docs", docSchema)
+    assert(back.count() == docs.count())
+  }
+
+  test("corrupt lines are quarantined, not silently nulled") {
+    val dir = Files.createTempDirectory("jsonlbad").toString
+    Files.write(Paths.get(s"$dir/part-0.jsonl"),
+      ("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s",""" +
+        """ "n_chars": 2}""" + "\n" +
+        """not json at all""" + "\n" +
+        """{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s",""" +
+        """ "n_chars": 3}""" + "\n").getBytes("UTF-8"))
+    val (good, bad) = Jsonl.readSplit(spark, dir, docSchema)
+    assert(good.count() == 2)
+    assert(bad.as[String].collect().toSeq == Seq("not json at all"))
+    // Strict mode refuses the same file.
+    intercept[org.apache.spark.SparkException] {
+      Jsonl.readStrict(spark, dir, docSchema).collect()
+    }
+  }
+}
