@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -12,68 +11,97 @@ import org.apache.spark.sql.functions._
   * the window its first token lands in.
   *
   * The natural Spark expression — `sum(n).over(Window.orderBy(id))` —
-  * is exact but funnels every row through ONE reducer (an unpartitioned
-  * window), which is the classic global-sort scale-killer. [[packTokens]]
-  * is the distributed form of the same prefix sum:
+  * is exact but funnels every row through ONE reducer (an
+  * unpartitioned window), the classic global-sort scale-killer.
+  * [[packTokens]] is the distributed form of the same prefix sum:
   *
-  *  1. range-partition + sort within partitions on the id (the same
-  *     one-shuffle layout Spark's own global sort uses — no
-  *     single-reducer stage);
-  *  2. per-partition token totals: one narrow pass emitting
-  *     #partitions rows, collected to the driver (bounded by the
-  *     partition count, not the data — the same justified-collect
-  *     doctrine as `Similarity.ivfIndex`'s quantizer sample);
-  *  3. broadcast the exclusive prefix of those totals and run one
-  *     narrow per-partition cumulative pass.
+  *  1. split the id domain into ordered range buckets (boundaries
+  *     from one approx-quantile sketch pass over the id column alone,
+  *     or caller-supplied to skip that pass);
+  *  2. per-bucket token totals — one partial-aggregated shuffle of
+  *     (bucket, sum) rows, collected: #buckets values, bounded by
+  *     configuration, not data (the same justified-collect doctrine
+  *     as `Similarity.ivfIndex`'s quantizer sample);
+  *  3. broadcast the exclusive prefix over buckets in id order and
+  *     run one hash-shuffle + within-partition sort pass that emits
+  *     each row's offset with a per-bucket running sum.
   *
-  * Two passes read the range-shuffled data, but both are shuffle-file
-  * re-reads of the same exchange, not corpus re-scans. Output is
-  * invariant to the partitioning: offsets derive from the global id
-  * order alone (ids must be unique — ties would make the order, and so
-  * the offsets, nondeterministic).
+  * Correctness depends ONLY on deterministic column values (the
+  * bucket of an id under a fixed boundary array, the in-bucket id
+  * order) — never on physical partition ids. An earlier formulation
+  * keyed the broadcast prefix by `TaskContext.getPartitionId` across
+  * two jobs; at 10^7 rows AQE coalesced the two jobs' shuffles to
+  * DIFFERENT partition counts and the prefix array misindexed
+  * (caught by `PackScale`). Whole-bucket co-location survives any
+  * AQE coalescing because coalescing merges partitions, never splits
+  * groups of equal hash keys.
   *
-  * PackingSpec proves this equals the window form row-for-row;
-  * `TextQueries.defs("seq_pack")` registers it against a DuckDB window
-  * oracle in the driver gate.
+  * `PackingSpec` proves equality with the window form row-for-row;
+  * `PackScale` re-proves it at 10^7 rows and measures the linearity;
+  * `TextQueries.defs("seq_pack")` registers it against a DuckDB
+  * window oracle in the driver gate.
   */
 object PackingOps {
 
-  /** @param df      input with a unique orderable id and a token count
-    * @param idCol   unique id column (defines the stream order)
-    * @param nTokCol per-doc token count (non-negative)
-    * @param budget  context-window size in tokens (> 0)
+  /** @param df         input with a unique orderable id and a token count
+    * @param idCol      unique id column (defines the stream order; ties
+    *                   would make offsets nondeterministic)
+    * @param nTokCol    per-doc token count (non-negative)
+    * @param budget     context-window size in tokens (> 0)
+    * @param boundaries optional ascending id-range boundaries (bucket
+    *                   i = ids in (boundaries(i-1), boundaries(i)]);
+    *                   supplying them skips the quantile-sketch pass.
+    *                   Boundary quality only affects balance, never
+    *                   correctness.
     * @return (idCol, nTokCol, tok_offset, shard), one row per input row
     */
   def packTokens(df: DataFrame, idCol: String, nTokCol: String,
-                 budget: Long): DataFrame = {
+                 budget: Long,
+                 boundaries: Option[Array[Long]] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = df.sparkSession
     import spark.implicits._
-    val ds = df
-      .select(col(idCol).cast("long"), col(nTokCol).cast("long"))
-      .as[(Long, Long)]
-      .repartitionByRange(col(idCol))
-      .sortWithinPartitions(col(idCol))
-    // Pass 1: per-partition totals (numPartitions tiny rows).
-    val totals = ds.mapPartitions { it =>
-      var s = 0L
-      it.foreach(s += _._2)
-      Iterator((TaskContext.getPartitionId(), s))
-    }.collect().sortBy(_._1)
-    val nParts = totals.length
-    val prefix = new Array[Long](nParts)
+    val ds0 = df.select(col(idCol).cast("long").as("id"),
+      col(nTokCol).cast("long").as("n"))
+    val nBuckets = spark.sessionState.conf.numShufflePartitions * 4
+    val bnds: Array[Long] = boundaries.getOrElse {
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      if (probs.isEmpty) Array.empty[Long]
+      else ds0.stat.approxQuantile("id", probs, 0.01)
+        .map(_.toLong).distinct.sorted
+    }
+    require(bnds.sameElements(bnds.distinct.sorted),
+      "boundaries must be ascending and distinct")
+    // Bucket of an id: count of boundaries < id (searchsorted-left) —
+    // a pure function of (id, bnds), identical in every job that
+    // evaluates it. Binary search has no built-in expressionform for
+    // an arbitrary array; the UDF is a narrow per-row Long op.
+    val bndsLocal = bnds
+    val bucketOf = udf { id: Long =>
+      val i = java.util.Arrays.binarySearch(bndsLocal, id)
+      if (i >= 0) i else -i - 1
+    }
+    val withG = ds0.withColumn("g", bucketOf(col("id")))
+    // Per-bucket totals: #buckets tiny rows, driver-side prefix.
+    val totals = withG.groupBy("g").agg(sum("n").as("t"))
+      .as[(Int, Long)].collect().sortBy(_._1)
     var acc = 0L
-    totals.foreach { case (pid, tot) => prefix(pid) = acc; acc += tot }
+    val prefix: Map[Int, Long] = totals.map { case (g, t) =>
+      val e = g -> acc; acc += t; e
+    }.toMap
     val bc = spark.sparkContext.broadcast(prefix)
-    // Pass 2: narrow per-partition cumulative offsets.
     val b = budget
-    ds.mapPartitions { it =>
-      var off = bc.value(TaskContext.getPartitionId())
-      it.map { case (id, n) =>
-        val start = off
-        off += n
-        (id, n, start, start / b)
-      }
-    }.toDF(idCol, nTokCol, "tok_offset", "shard")
+    withG.repartition(col("g")).sortWithinPartitions("g", "id")
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        var curG = Int.MinValue
+        var off = 0L
+        it.map { case (id, n, g) =>
+          if (g != curG) { curG = g; off = bc.value(g) }
+          val start = off
+          off += n
+          (id, n, start, start / b)
+        }
+      }.toDF(idCol, nTokCol, "tok_offset", "shard")
   }
 }
