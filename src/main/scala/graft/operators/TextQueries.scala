@@ -656,9 +656,12 @@ object TextQueries {
     // and both engines replicate the construction, so the join and
     // both aggregations are exercised genuinely. The frequency side is
     // corpus-derived and unbounded at scale (rare tokens dominate a
-    // 100 TB vocabulary), so it stays a SHUFFLE join on the token —
-    // deliberately not a broadcast; both sides shuffle short tokens +
-    // counts, never documents.
+    // 100 TB vocabulary), so the join is written as a plain equi-join
+    // and the strategy left to Catalyst: a small vocabulary broadcasts
+    // (as it does at test scale), an unbounded one falls back to a
+    // shuffle of short tokens + counts — never documents. No forced
+    // broadcast(): that would collect the vocabulary to the driver
+    // unconditionally.
     "rare_token_filter" -> QDef(
       (s, d) => {
         val planted = docs(s, d).where(col("text").isNotNull)

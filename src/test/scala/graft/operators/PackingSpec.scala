@@ -51,6 +51,31 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == Seq(0L, 0L, 1L, 1L, 3L))
   }
 
+  test("packTokens equals the window form over generated corpora " +
+      "and budgets (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      n <- Gen.chooseNum(1, 400)
+      budget <- Gen.oneOf(1L, 7L, 128L, 4096L)
+      sizes <- Gen.listOfN(n, Gen.chooseNum(0L, 5000L))
+      // ids: unique but clustered/sparse in bursts
+      gaps <- Gen.listOfN(n, Gen.chooseNum(1L, 1000L))
+    } yield (budget, sizes.zip(gaps.scanLeft(0L)(_ + _)).map {
+      case (s, id) => (id, s)
+    })
+    (0 until 25).flatMap(i =>
+      genCase.apply(Gen.Parameters.default, Seed(1234L + i)))
+      .foreach { case (budget, rows) =>
+        val df = rows.toDF("id", "n").repartition(5)
+        val got = PackingOps.packTokens(df, "id", "n", budget)
+          .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+        val want = windowForm(df, budget)
+          .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+        assert(got == want, s"budget=$budget n=${rows.size}")
+      }
+  }
+
   test("packTokens rejects a non-positive budget") {
     val df = Seq((1L, 1L)).toDF("id", "n")
     intercept[IllegalArgumentException] {
