@@ -104,4 +104,31 @@ object PackingOps {
         }
       }.toDF(idCol, nTokCol, "tok_offset", "shard")
   }
+
+  /** Materialize the packing as training-shard files: join the
+    * assignment back to the payload and write one partition directory
+    * per `shardsPerFile` consecutive context windows, rows ordered by
+    * stream offset inside each. A trainer then consumes
+    * `file_grp=0,1,2,…` in order and sees the exact concatenated
+    * token stream.
+    *
+    * Shapes: one shuffle join on the id (both sides hash-partitioned;
+    * the packing side is 4 longs/row), one range exchange on the
+    * file group (contiguous by construction — `file_grp` is a
+    * monotone function of `tok_offset`), ordered parquet write. The
+    * payload never moves twice.
+    */
+  def writeShards(packed: DataFrame, payload: DataFrame, idCol: String,
+                  outDir: String, shardsPerFile: Long = 64L): Unit = {
+    require(shardsPerFile > 0,
+      s"shardsPerFile must be positive, got $shardsPerFile")
+    packed
+      .withColumn("file_grp",
+        floor(col("shard") / shardsPerFile).cast("long"))
+      .join(payload, idCol)
+      .repartitionByRange(col("file_grp"))
+      .sortWithinPartitions("file_grp", "tok_offset")
+      .write.mode("overwrite").partitionBy("file_grp")
+      .parquet(outDir)
+  }
 }

@@ -76,6 +76,21 @@ object Jsonl {
       parsed.where(bad.isNotNull).select(bad.as(CorruptCol)))
   }
 
+  /** Streaming JSONL ingest (Structured Streaming file source): tail a
+    * landing directory of JSONL drops with the same pinned schema
+    * discipline as [[read]] — no inference (a streaming source cannot
+    * re-scan for it anyway; Spark requires the schema up front) and
+    * corrupt lines quarantined into `_corrupt` instead of nulled.
+    * Compose with `writeStream` + watermarked transforms downstream;
+    * `JsonlSpec` drives it through a file-source round trip. */
+  def readStream(spark: SparkSession, path: String,
+                 schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
   /** Write as sharded JSONL, one file per partition. */
   def write(df: DataFrame, path: String,
             compression: String = "none"): Unit =

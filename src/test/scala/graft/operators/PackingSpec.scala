@@ -76,6 +76,38 @@ class PackingSpec extends SparkSpec {
       }
   }
 
+  test("writeShards materializes ordered, non-overlapping shard files " +
+      "covering every doc once") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .where(col("text").isNotNull)
+    val counted = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = PackingOps.packTokens(counted, "doc_id", "n_tokens",
+      512L)
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    PackingOps.writeShards(packed, docs, "doc_id", out,
+      shardsPerFile = 4L)
+    val back = spark.read.parquet(out)
+    // Every doc exactly once, text intact.
+    assert(back.count() == docs.count())
+    assert(back.join(docs, Seq("doc_id", "text")).count() == docs.count())
+    // File groups hold non-overlapping, contiguous offset ranges.
+    val ranges = back.groupBy("file_grp")
+      .agg(min("tok_offset").as("lo"),
+        max(col("tok_offset") + col("n_tokens")).as("hi"))
+      .orderBy("file_grp")
+      .as[(Long, Long, Long)].collect()
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hiA), (_, loB, _)) => assert(hiA == loB)
+      case _ =>
+    }
+    // Group boundary honors shardsPerFile × budget.
+    ranges.foreach { case (g, lo, _) =>
+      assert(lo / (512L * 4L) == g)
+    }
+  }
+
   test("packTokens rejects a non-positive budget") {
     val df = Seq((1L, 1L)).toDF("id", "n")
     intercept[IllegalArgumentException] {

@@ -38,6 +38,31 @@ class JsonlSpec extends SparkSpec {
     assert(back.count() == docs.count())
   }
 
+  test("streaming ingest tails a landing dir with the same schema " +
+      "discipline and corrupt quarantine") {
+    val dir = Files.createTempDirectory("jsonlstream").toString
+    Files.write(Paths.get(s"$dir/drop1.jsonl"),
+      ("""{"doc_id": 1, "text": "a", "lang": "en", "source": "s",""" +
+        """ "n_chars": 1}""" + "\n" +
+        """garbage line""" + "\n").getBytes("UTF-8"))
+    val q = Jsonl.readStream(spark, dir, docSchema)
+      .select(col("doc_id"), col(Jsonl.CorruptCol))
+      .writeStream.format("memory").queryName("jsonlstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second drop arrives while the stream runs
+      Files.write(Paths.get(s"$dir/drop2.jsonl"),
+        ("""{"doc_id": 2, "text": "b", "lang": "en", "source": "s",""" +
+          """ "n_chars": 1}""" + "\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("jsonlstream")
+      .as[(Option[Long], Option[String])].collect()
+    assert(rows.flatMap(_._1).sorted.toSeq == Seq(1L, 2L))
+    assert(rows.flatMap(_._2).toSeq == Seq("garbage line"))
+  }
+
   test("corrupt lines are quarantined, not silently nulled") {
     val dir = Files.createTempDirectory("jsonlbad").toString
     Files.write(Paths.get(s"$dir/part-0.jsonl"),
