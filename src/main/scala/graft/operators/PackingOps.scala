@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for LLM pretraining shards: lay every document's
@@ -61,8 +61,22 @@ object PackingOps {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = df.sparkSession
     import spark.implicits._
-    val ds0 = df.select(col(idCol).cast("long").as("id"),
-      col(nTokCol).cast("long").as("n"))
+    // Fail loudly at entry on precondition violations (null/uncastable
+    // id or count, negative count) — without this a null survives the
+    // cast and surfaces rows later as an opaque encoder NPE. A
+    // JSONL-ingested corpus (every column nullable) is exactly the
+    // input that hits this.
+    def checked(name: String, c: Column, allowNeg: Boolean): Column = {
+      val v = c.cast("long")
+      val bad = if (allowNeg) v.isNull else v.isNull || v < 0
+      when(bad, raise_error(concat(
+        lit(s"packTokens: null/invalid $name: "),
+        coalesce(c.cast("string"), lit("null")))))
+        .otherwise(v)
+    }
+    val ds0 = df.select(
+      checked(idCol, col(idCol), allowNeg = true).as("id"),
+      checked(nTokCol, col(nTokCol), allowNeg = false).as("n"))
     val nBuckets = spark.sessionState.conf.numShufflePartitions * 4
     val bnds: Array[Long] = boundaries.getOrElse {
       val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray

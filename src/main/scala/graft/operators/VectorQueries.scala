@@ -18,6 +18,19 @@ object VectorQueries {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dot(a, b)
 
+  /** SQ8 quantization codes of a double array under a max-abs scale,
+    * comma-joined: code_i = floor(127·x_i/maxabs + 0.5) — explicit
+    * floor(+0.5) so Spark and DuckDB round identically (their ROUND
+    * tie rules differ); a zero vector (maxabs = 0) codes to zeros.
+    * Shared by the `embed_quantize` QDef and its spec so the
+    * registered query and the tested expression cannot drift. */
+  def sq8Codes(v: Column, maxabs: Column): Column =
+    concat_ws(",", transform(v, x =>
+      when(maxabs === 0d, lit(0))
+        .otherwise(floor(x * lit(127.0) / maxabs + lit(0.5))
+          .cast("int"))
+        .cast("string")))
+
   /** Embeddings with a cast-to-double vector and precomputed L2 norm.
     * Norms are computed once per row (narrow), not per pair. */
   def withNorm(emb: DataFrame): DataFrame = {
@@ -110,12 +123,7 @@ object VectorQueries {
           .withColumn("maxabs",
             array_max(transform(col("v"), x => abs(x))))
           .select(col("vec_id"), round(col("maxabs"), 6).as("scale"),
-            concat_ws(",", transform(col("v"), x =>
-              when(col("maxabs") === 0d, lit(0))
-                .otherwise(
-                  floor(x * lit(127.0) / col("maxabs") + lit(0.5))
-                    .cast("int"))
-                .cast("string"))).as("codes"))
+            sq8Codes(col("v"), col("maxabs")).as("codes"))
       },
       "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
         "FROM embeddings), " +

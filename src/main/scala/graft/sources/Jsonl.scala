@@ -57,23 +57,34 @@ object Jsonl {
     * column ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]),
     * and the documented workaround (cache the parse) is a corpus-sized
     * materialization. The expression-level corrupt record has neither
-    * problem: the corrupt field rides INSIDE the parsed struct (an
-    * unparseable line sets it to the raw text; `from_json` itself
-    * never returns a null struct), and both branches plan off the
-    * same scan. A line that parses but mismatches field types yields
-    * null FIELDS with a null corrupt field — that routes to the
-    * parsed side, same as the PERMISSIVE reader. */
+    * problem: the corrupt field rides INSIDE the parsed struct and
+    * both branches plan off the same scan.
+    *
+    * Routing: whitespace-only lines are separators, not records —
+    * skipped, matching the PERMISSIVE file reader. Everything else
+    * lands in exactly one side: unparseable lines AND lines whose
+    * fields mismatch the schema's types go to the quarantine (the
+    * corrupt field carries the raw line — type drift is surfaced, not
+    * silently nulled); only lines that parse cleanly reach the good
+    * side. The residual null-struct defense (`j.isNull`) exists
+    * because `from_json` returns a null struct for some degenerate
+    * inputs (e.g. a literal `null`) rather than setting the corrupt
+    * field — those quarantine the raw line too, so no input can
+    * become an all-null "parsed" row. */
   def readSplit(spark: SparkSession, path: String,
                 schema: StructType): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.from_json
+    import org.apache.spark.sql.functions.{coalesce, from_json, trim}
     val full = schema.add(CorruptCol, StringType)
     val parsed = spark.read.text(path)
-      .select(from_json(col("value"), full,
+      .where(trim(col("value")) =!= "")
+      .select(col("value"), from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol).asJava).as("j"))
-    val bad = col(s"j.$CorruptCol")
-    (parsed.where(bad.isNull).select("j.*").drop(CorruptCol),
-      parsed.where(bad.isNotNull).select(bad.as(CorruptCol)))
+    val bad = col("j").isNull || col(s"j.$CorruptCol").isNotNull
+    (parsed.where(!bad).select("j.*").drop(CorruptCol),
+      parsed.where(bad)
+        .select(coalesce(col(s"j.$CorruptCol"), col("value"))
+          .as(CorruptCol)))
   }
 
   /** Streaming JSONL ingest (Structured Streaming file source): tail a

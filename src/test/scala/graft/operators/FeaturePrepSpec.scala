@@ -63,10 +63,8 @@ class FeaturePrepSpec extends SparkSpec {
     val v = transform(col("embedding"), x => x.cast("double"))
     val out = df.select(col("vec_id"), v.as("v"))
       .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
-      .select(concat_ws(",", transform(col("v"), x =>
-        when(col("maxabs") === 0d, lit(0))
-          .otherwise(floor(x * lit(127.0) / col("maxabs") + lit(0.5))
-            .cast("int")).cast("string"))).as("codes"))
+      .select(VectorQueries.sq8Codes(col("v"), col("maxabs"))
+        .as("codes"))
       .as[String].head()
     assert(out == "0,0,0")
   }

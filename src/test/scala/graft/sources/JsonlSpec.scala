@@ -27,13 +27,17 @@ class JsonlSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
-  test("gzip round-trip preserves rows") {
+  test("gzip round-trip preserves rows and actually compresses") {
     val dir = Files.createTempDirectory("jsonlgz").toString
     val docs = Tables.load(spark, sfDir, "documents")
     Jsonl.write(docs, s"$dir/docs", compression = "gzip")
-    assert(Files.list(Paths.get(s"$dir/docs")).iterator()
-      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-      .hasNext)
+    val listing = Files.list(Paths.get(s"$dir/docs"))
+    val gzParts = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".json.gz"))
+    } finally listing.close()
+    assert(gzParts > 0, "no .json.gz part files written")
     val back = Jsonl.readStrict(spark, s"$dir/docs", docSchema)
     assert(back.count() == docs.count())
   }
@@ -69,11 +73,21 @@ class JsonlSpec extends SparkSpec {
       ("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s",""" +
         """ "n_chars": 2}""" + "\n" +
         """not json at all""" + "\n" +
+        "   \n" + // whitespace-only separator: skipped, not a record
+        """{"doc_id": "NaL", "text": "t", "lang": "en",""" +
+        """ "source": "s", "n_chars": 0}""" + "\n" + // type mismatch
         """{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s",""" +
         """ "n_chars": 3}""" + "\n").getBytes("UTF-8"))
     val (good, bad) = Jsonl.readSplit(spark, dir, docSchema)
+    // Good side: only cleanly parsed rows — no all-null ghosts from
+    // the blank line, no half-null row from the type-mismatch line.
     assert(good.count() == 2)
-    assert(bad.as[String].collect().toSeq == Seq("not json at all"))
+    assert(good.where(col("doc_id").isNull).count() == 0)
+    // Quarantine: the unparseable line AND the type-drift line, raw.
+    val quarantined = bad.as[String].collect().toSeq.sorted
+    assert(quarantined.size == 2)
+    assert(quarantined.contains("not json at all"))
+    assert(quarantined.exists(_.contains("\"NaL\"")))
     // Strict mode refuses the same file.
     intercept[org.apache.spark.SparkException] {
       Jsonl.readStrict(spark, dir, docSchema).collect()
