@@ -161,6 +161,41 @@ object AnalyticsQueries {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') " +
         "AS BIGINT) AS k FROM events"),
 
+    // Grouped top-k (k=3): each customer's three most expensive
+    // orders. Partitioned window — shuffles on the group key, sorts
+    // only within groups; no global sort stage. The deterministic
+    // (value desc, key) order pins ties.
+    "topk_per_group" -> QDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.load(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice"), row_number().over(w).as("rk"))
+          .where(col("rk") <= 3)
+      },
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY " +
+        "o_totalprice DESC, o_orderkey) AS INT) AS rk FROM orders) " +
+        "WHERE rk <= 3"),
+
+    // Grouped holdout split (sklearn GroupShuffleSplit semantics): a
+    // WHOLE group (customer) lands in train or test — row-level
+    // splits leak a user's behavior across sides. The side comes from
+    // the same multiplicative mix-key doctrine as `shuffled` /
+    // `source_mix_sample`: deterministic integer arithmetic on the
+    // GROUP key, bit-identical in any engine, stable under retries,
+    // no shuffle at all (a narrow projection).
+    "group_split" -> QDef(
+      (s, d) => Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          when((col("o_custkey") % 1000000007L) * 2654435761L %
+            1000000007L % 100 < 80, "train").otherwise("test")
+            .as("side")),
+      "SELECT o_orderkey, o_custkey, CASE WHEN " +
+        "((o_custkey % 1000000007) * 2654435761) % 1000000007 " +
+        "% 100 < 80 THEN 'train' ELSE 'test' END AS side FROM orders"),
+
     // Per-group argmax (max_by): each customer's most expensive order.
     // One partial-aggregated shuffle of (custkey, candidate) pairs —
     // the grouped-top-1 shape that needs no window sort. Ties on the

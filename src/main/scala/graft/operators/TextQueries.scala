@@ -615,6 +615,32 @@ object TextQueries {
         "FROM documents WHERE text IS NOT NULL) u GROUP BY word) c " +
         "ORDER BY freq DESC, word LIMIT 100"),
 
+    // Bigram vocabulary: top-100 word 2-grams by corpus frequency with
+    // the same deterministic (freq desc, gram) order as vocab_topk —
+    // the n>1 companion the contamination/repetition ops build on.
+    // Explode → partial-aggregated shuffle → TakeOrdered; result is
+    // vocabulary-sized regardless of corpus size.
+    "ngram_topk" -> QDef(
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val bg = zip_with(slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        docs(s, d)
+          .where(col("text").isNotNull &&
+            size(split(col("text"), " ")) >= 2)
+          .select(explode(bg).as("bigram"))
+          .groupBy("bigram").agg(count("*").as("freq"))
+          .orderBy(col("freq").desc, col("bigram"))
+          .limit(100)
+      },
+      "WITH q AS (SELECT string_split(text, ' ') AS w FROM documents " +
+        "WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2), " +
+        "b AS (SELECT unnest([array_to_string(w[x:x+1], ' ') " +
+        "FOR x IN range(1, len(w))]) AS bigram FROM q) " +
+        "SELECT bigram, COUNT(*) AS freq FROM b GROUP BY bigram " +
+        "ORDER BY freq DESC, bigram LIMIT 100"),
+
     // Document fingerprinting: content-hash prefix (the rolling-hash
     // variant is functions.TextFunctions.rollingHash, scalatest-checked).
     "doc_fingerprint" -> QDef(

@@ -38,6 +38,33 @@ class ReshapeSpec extends SparkSpec {
     assert(math.abs(sums("l_tax") - direct._4) < 1e-6)
   }
 
+  test("topk_per_group emits at most 3 rows per customer, " +
+      "rank-contiguous") {
+    val out = Registry.all("topk_per_group").fn(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+      // ranks follow price desc
+      assert(rows.sortBy(_._4).map(_._3).sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      })
+    }
+  }
+
+  test("group_split keeps every customer wholly on one side at a " +
+      "plausible group ratio") {
+    val out = Registry.all("group_split").fn(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+    val byCust = out.groupBy(_._2)
+    assert(byCust.forall(_._2.map(_._3).distinct.length == 1))
+    val trainFrac = byCust.count(_._2.head._3 == "train").toDouble /
+      byCust.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"frac=$trainFrac")
+  }
+
   test("resample_ffill spans each user's range gapless with no " +
       "nulls after the first observation") {
     val out = Registry.all("resample_ffill").fn(spark, sfDir)
