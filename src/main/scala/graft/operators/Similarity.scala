@@ -367,24 +367,41 @@ object Similarity {
              queries: DataFrame, k: Int): DataFrame = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
-    val adc = udf { (qv: Seq[Double], code: Seq[Int]) =>
-      var d = 0.0
+    val ksub = codebooks(0).length
+    // Textbook ADC: precompute each query's lookup table of
+    // per-subspace partial distances ONCE (m·ksub doubles, on the
+    // tiny broadcast side), so the per-(query, corpus-code) hot path
+    // is O(m) codegen'd lookups ([[graft.functions.VectorExpressions
+    // .adcLookup]]) instead of an O(m·subDim) re-subtracting UDF that
+    // boxed both arrays per pair. Per-subspace partials sum in the
+    // same order as the direct form — bit-identical on the
+    // exactly-representable grid codebooks the probe gate uses.
+    val lutOf = udf { (qv: Seq[Double]) =>
+      val lut = new Array[Double](m * ksub)
       var i = 0
       while (i < m) {
-        val ct = codebooks(i)(code(i))
-        var j = 0
-        while (j < subDim) {
-          val t = qv(i * subDim + j) - ct(j); d += t * t; j += 1
+        val cb = codebooks(i)
+        var c = 0
+        while (c < ksub) {
+          var d = 0.0
+          var j = 0
+          while (j < subDim) {
+            val t = qv(i * subDim + j) - cb(c)(j); d += t * t; j += 1
+          }
+          lut(i * ksub + c) = d
+          c += 1
         }
         i += 1
       }
-      d
+      lut
     }
-    val q = queries.select(col("id").as("q_id"), col("v").as("qv"))
+    val q = queries.select(col("id").as("q_id"),
+      lutOf(col("v")).as("lut"))
     val pairs = codes.alias("c").join(broadcast(q),
         col("c.id") =!= col("q_id"))
       .select(col("q_id"), col("c.id").as("neighbor_id"),
-        adc(col("qv"), col("c.code")).as("adc"))
+        graft.functions.VectorExpressions
+          .adcLookup(col("lut"), col("c.code"), ksub).as("adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("adc"), col("neighbor_id"))
     pairs.withColumn("nn_rank", row_number().over(w))

@@ -30,6 +30,67 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(1).isNullAt(0) && out(2).isNullAt(0))
   }
 
+  test("adcLookup sums the coded lut cells and stays codegen'd") {
+    val ksub = 4
+    // lut for m=3 subspaces × ksub=4: cell (i, c) = 10*i + c (exactly
+    // representable → equality is exact)
+    // spark.range input (not a literal Seq): ConvertToLocalRelation
+    // folds literal projections into a LocalTableScan, which would
+    // bypass codegen and make the plan assertion vacuous.
+    val lutCol = array(Seq.tabulate(3 * ksub)(x =>
+      lit((10 * (x / ksub) + x % ksub).toDouble)): _*)
+    val codeCol = array((col("id") % ksub).cast("int"),
+      ((col("id") + 1) % ksub).cast("int"),
+      ((col("id") + 2) % ksub).cast("int"))
+    val out = spark.range(3)
+      .select(col("id"), lutCol.as("lut"), codeCol.as("code"))
+      .select(col("id"), VectorExpressions
+        .adcLookup(col("lut"), col("code"), ksub).as("d"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*(1) Project"),
+      s"adc Project not codegen'd:\n$plan")
+    // id=0 → codes (0,1,2) → 0+11+22; id=1 → (1,2,3) → 1+12+23;
+    // id=2 → (2,3,0) → 2+13+20
+    assert(out.orderBy("id").select("d").as[Double].collect().toSeq ==
+      Seq(33.0, 36.0, 35.0))
+  }
+
+  test("adcLookup equals the direct per-subspace distance on the " +
+      "probe gate's grid codebooks") {
+    import graft.operators.Similarity
+    val cb = Similarity.gridCodebooks(8)
+    val m = cb.length
+    val ksub = cb(0).length
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => -2.0 + 0.25 *
+        ((i * 13 + j * 7) % 16)))
+    }
+    val codes = Similarity.pqEncode(
+      vecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double"))
+            .as("embedding")), cb)
+    val queries = vecs.take(5)
+      .toDF("id", "v")
+    val got = Similarity.pqTopK(codes, cb, queries, k = 3)
+      .select("q_id", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect().toSet
+    // direct recompute
+    val byId = vecs.toMap
+    val want = vecs.take(5).flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (nid, nv) =>
+        // codes reconstruct exactly on the grid → ADC = exact sq-L2
+        val d = qv.zip(nv).map { case (a, b) =>
+          val t = a - b; t * t
+        }.sum
+        (qid, nid, d)
+      }
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(3)
+    }.toSet
+    assert(got == want)
+  }
+
   test("participates in whole-stage codegen") {
     val df = spark.range(10)
       .select(array(col("id").cast("double"),
