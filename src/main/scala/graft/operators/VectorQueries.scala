@@ -134,6 +134,74 @@ object VectorQueries {
         "THEN 0 ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS INT) " +
         "END), ',') AS codes FROM m"),
 
+    // Top-k search over the SQ8-quantized corpus — the end-to-end
+    // composition embed_quantize exists for: the scan side holds int8
+    // codes + one scale (≈1/4 the float32 footprint, ≈1/8 of double),
+    // dequantizes on the fly (code·maxabs/127, a narrow codegen'd
+    // projection), and ranks by exact cosine against raw broadcast
+    // queries. Dequantization is deterministic arithmetic on integers
+    // → the whole path is SQL-expressible and hash-checked, unlike
+    // the probabilistic ANN families. Quantized recall vs the exact
+    // top-10 is pinned in DedupSimilaritySpec territory by the oracle
+    // itself being the quantized ground truth.
+    "knn_sq8" -> QDef(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("maxabs",
+            array_max(transform(col("v"), x => abs(x))))
+        // corpus side: int codes + scale only (what an SQ8 index stores)
+        val codes = e.select(col("vec_id"),
+          (col("maxabs") / 127.0).as("step"),
+          transform(col("v"), x =>
+            when(col("maxabs") === 0d, lit(0))
+              .otherwise(floor(x * lit(127.0) / col("maxabs") +
+                lit(0.5)).cast("int"))).as("q"))
+        val deq = codes.select(col("vec_id"),
+          transform(col("q"), c => c * col("step")).as("dv"))
+          .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+        val queries = withNorm(Tables.load(s, d, "embeddings"))
+          .where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val pairs = deq.join(broadcast(queries),
+            col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            (dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+              .as("cos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        pairs.withColumn("nn_rank", row_number().over(w))
+          .where(col("nn_rank") <= 10)
+          .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
+            round(col("cos"), 6).as("cosine"))
+      },
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "m AS (SELECT vec_id, v, " +
+        "list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e), " +
+        "c AS (SELECT vec_id, maxabs / 127.0 AS step, " +
+        "list_transform(v, x -> CASE WHEN maxabs = 0 THEN 0 ELSE " +
+        "CAST(floor(x * 127.0 / maxabs + 0.5) AS INT) END) AS q " +
+        "FROM m), " +
+        "dq AS (SELECT vec_id, list_transform(q, x -> x * step) " +
+        "AS dv FROM c), " +
+        "dn AS (SELECT vec_id, dv, " +
+        "sqrt(list_dot_product(dv, dv)) AS dnrm FROM dq), " +
+        "qs AS (SELECT vec_id AS q_id, v AS qv, " +
+        "sqrt(list_dot_product(v, v)) AS qn FROM e " +
+        "WHERE vec_id % 50 = 0), " +
+        "p AS (SELECT q_id, vec_id AS neighbor_id, " +
+        "list_dot_product(qv, dv) / (qn * dnrm) AS cos " +
+        "FROM qs CROSS JOIN dn WHERE vec_id <> q_id), " +
+        "r AS (SELECT q_id, neighbor_id, cos, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk " +
+        "FROM p) " +
+        "SELECT q_id, neighbor_id, CAST(rnk AS INT) AS nn_rank, " +
+        "ROUND(cos, 6) AS cosine FROM r WHERE rnk <= 10"),
+
     // LSH-bucketed near-dup dedup — the scale-safe candidate generator
     // ([[Similarity.lshDedupPairs]]): corpus indexed into L hyperplane
     // tables, pairs generated within buckets only, exact-cosine verify.

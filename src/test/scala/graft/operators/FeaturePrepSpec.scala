@@ -58,6 +58,18 @@ class FeaturePrepSpec extends SparkSpec {
     }
   }
 
+  test("knn_sq8 recall@10 vs exact cosine top-10 is high") {
+    val exact = Registry.all("knn_cosine").fn(spark, sfDir)
+      .select("q_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val quant = Registry.all("knn_sq8").fn(spark, sfDir)
+      .select("q_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && quant.nonEmpty)
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall@10 = $recall")
+  }
+
   test("embed_quantize guards the zero vector") {
     val df = Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
     val v = transform(col("embedding"), x => x.cast("double"))
