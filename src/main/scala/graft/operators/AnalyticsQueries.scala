@@ -109,8 +109,15 @@ object AnalyticsQueries {
         val ev = Tables.load(s, d, "events")
         val purchases = ev.where(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"))
+        // Pre-aggregate ties AWAY: two clicks sharing (user, ts) have
+        // no defined "latest", and DuckDB's native ASOF JOIN offers no
+        // tie-break (it returns whichever duplicate its scan yields,
+        // where asofJoin picks the payload-hash max) — so both engines
+        // resolve (user, ts) to max(value) first and the compare is
+        // deterministic on ANY data, not just tie-free fixtures.
         val clicks = ev.where(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), col("value"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("value"))
         RelationalOps.asofJoin(purchases, clicks, "user_id", "ts",
           Seq("value"))
           .select(col("event_id"), col("user_id"),
@@ -118,8 +125,8 @@ object AnalyticsQueries {
       },
       "WITH p AS (SELECT event_id, user_id, ts FROM events " +
         "WHERE event_type = 'purchase'), " +
-        "c AS (SELECT user_id, ts, value FROM events " +
-        "WHERE event_type = 'click') " +
+        "c AS (SELECT user_id, ts, MAX(value) AS value FROM events " +
+        "WHERE event_type = 'click' GROUP BY user_id, ts) " +
         "SELECT p.event_id, p.user_id, c.value AS asof_value " +
         "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
 

@@ -23,6 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hot-bucket guard shared by every banding/bucketing pipeline
+    * (minhash bands, simhash tables, hyperplane-LSH buckets): drop
+    * `keys` groups holding more than `maxBucket` rows BEFORE a bucket
+    * self-join — an m-row bucket emits ~m²/2 candidate pairs, so a
+    * mega-cluster of identical signatures would blow the join up; its
+    * pairs belong to exact-dup handling, and each pipeline's
+    * `*OversizedBuckets` function makes the dropped set observable.
+    *
+    * Count-over-window, not broadcast anti-join: the anti-join form
+    * evaluates the upstream pipeline TWICE (the two subtrees prune
+    * differently, so exchange reuse never fires — measured 24 stages /
+    * 6.1 MB shuffle vs 19 / 3.7 MB at sf0.1 in minhashDedup), while
+    * the window folds the count into the SAME shuffle the self-join
+    * partitions by, so upstream rows cross the wire once. Window
+    * state is bounded by the largest bucket — which is what the guard
+    * bounds anyway. */
+  private[graft] def pruneOversized(df: DataFrame, keys: Seq[String],
+                                    maxBucket: Int): DataFrame =
+    df.withColumn("__bn", count("*").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)))
+      .where(col("__bn") <= maxBucket).drop("__bn")
+
   /** Exact pairwise intersection sizes via the inverted-index shape:
     * explode the (distinct) shingle arrays, self-join on the shingle
     * (plus optional block columns), count matches per (a, b) pair. All
@@ -63,7 +86,14 @@ object Dedup {
     * projection — CollapseProject inlines the shingle expression into all
     * k transforms, recomputing the shingling k times per row. Prefer
     * [[minhashSignatures]], which aggregates exploded shingles with k
-    * codegen'd `min`s (one shingle pass, partial-aggregated map-side). */
+    * codegen'd `min`s (one shingle pass, partial-aggregated map-side).
+    *
+    * NOT signature-compatible with [[minhashSignatures]]: the two
+    * forms use different hash families (per-permutation `xxhash64(j,
+    * s)` here vs affine transforms of one `xxhash64(s)` there), so
+    * their signatures never collide with each other. Sign an entire
+    * index — including later incremental batches — with ONE form;
+    * mixing them silently drops banding recall to zero. */
   def minhashSignature(shingles: Column, k: Int): Column =
     array((0 until k).map { j =>
       array_min(transform(shingles, s => xxhash64(lit(j), s)))
@@ -133,22 +163,11 @@ object Dedup {
     val allBuckets = minhashSignatures(ex, bands * rowsPer)
       .withColumn("bkt", explode(lshBuckets(col("sig"), bands, rowsPer)))
       .select(col("id"), col("bkt.band"), col("bkt.bucket"))
-    // Hot-bucket guard as a count-over-window, not a broadcast
-    // anti-join: the anti-join shape evaluated the signature pipeline
-    // TWICE (once under the oversized aggregate, once under the join's
-    // probe side — the two subtrees prune to different columns, so
-    // exchange reuse never fires; measured 24 stages / 6.1 MB shuffle
-    // vs 19 / 3.7 MB at sf0.1). The window computes the bucket count
-    // in the SAME shuffle that partitions the self-join below — one
-    // pass, no broadcast round-trip, and the window's (band, bucket)
-    // partitioning is exactly the join's, so no re-exchange. Window
-    // state is bounded by the largest bucket, which is what the guard
-    // bounds anyway.
-    val buckets = allBuckets
-      .withColumn("__bn", count("*").over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket")))
-      .where(col("__bn") <= maxBucket).drop("__bn")
+    // Hot-bucket guard — see [[pruneOversized]] for the
+    // window-vs-anti-join rationale; dropped set observable via
+    // [[minhashOversizedBuckets]].
+    val buckets = pruneOversized(allBuckets, Seq("band", "bucket"),
+      maxBucket)
     // Candidates as bare id pairs: the bucket self-join and the
     // dropDuplicates shuffle move 16-byte pairs only.
     val cands = buckets.as("a").join(buckets.as("b"),
@@ -221,11 +240,16 @@ object Dedup {
   private val simhashUdf = udf(simhash64 _)
 
   /** SimHash signatures for a corpus: docs(idCol, textCol) →
-    * (id, simhash). */
+    * (id, simhash). Null texts are excluded (they cannot carry a
+    * signature; without the filter the UDF received a null token
+    * array and killed the job with an opaque task NPE — the same
+    * ingest-with-nullable-columns input every other dedup entry
+    * filters). */
   def simhashSignatures(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-      simhashUdf(split(col(textCol), " ")).as("simhash"))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        simhashUdf(split(col(textCol), " ")).as("simhash"))
 
   /** SimHash near-dup candidate pairs from precomputed signatures, with
     * a recall GUARANTEE at `maxHamming` via block-permuted tables (Manku
@@ -260,16 +284,9 @@ object Dedup {
   def simhashPairs(sigs: DataFrame, maxHamming: Int,
                    maxBucket: Int = 10000, blocks: Int = 0): DataFrame = {
     val keyed = keyedSigs(sigs, maxHamming, resolveBlocks(maxHamming, blocks))
-    // Skew guard: drop oversized buckets before the self-join, as a
-    // count-over-window (see minhashDedup — the broadcast-anti-join
-    // form evaluates the keyed-signature pipeline twice because the
-    // two subtrees prune differently and exchange reuse never fires;
-    // the window folds the count into the self-join's own
-    // (c, v) shuffle).
-    val pruned = keyed
-      .withColumn("__bn", count("*").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("c", "v")))
-      .where(col("__bn") <= maxBucket).drop("__bn")
+    // Skew guard — see [[pruneOversized]]; dropped set observable via
+    // [[simhashOversizedBuckets]].
+    val pruned = pruneOversized(keyed, Seq("c", "v"), maxBucket)
     val cands = pruned.as("a").join(pruned.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))

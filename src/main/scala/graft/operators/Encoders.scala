@@ -57,11 +57,17 @@ object Encoders {
     * from [[codeIndex]]) are dropped BEFORE the flat-index transform:
     * (doy-1)*width - 1 is in-range for doy ≥ 2 and would silently set
     * the previous day's last cell — toSparse's bounds guard can't see
-    * it once flattened. */
+    * it once flattened. The symmetric overflow (an index ≥ `width`,
+    * i.e. a vocabulary/width mismatch) fails LOUDLY instead: it would
+    * scatter into the NEXT day's block, inside toSparse's 366·width
+    * bound, corrupting features with no witness. */
   def mheVector(dayOfYear: Column, codeIdxs: Column, width: Int): Column =
     toSparse(lit(366 * width),
       transform(filter(codeIdxs, i => i >= 0),
-        i => (dayOfYear - 1) * width + i))
+        i => when(i >= width, raise_error(concat(
+            lit(s"mheVector: code index >= width $width: "),
+            i.cast("string"))))
+          .otherwise((dayOfYear - 1) * width + i)))
 
   /** M4 pooling-first GRU approximation (SURVEY §2.7): pool the day axis
     * of an MHE grid (366×W flat sparse vector) into [max | mean | min]
@@ -112,8 +118,14 @@ object Encoders {
     val demoPairs = array(demoCols.zipWithIndex.map { case (c, j) =>
       struct((offExpr + j).as("i"), col(c).cast("double").as("v"))
     }: _*)
+    // An indicator index ≥ width would slide into the NEXT year block
+    // (same silent-corruption mode as mheVector's overflow) — reject.
     val indPairs = transform(col(idxCol), i =>
-      struct((offExpr + lit(demoCols.size) + i).as("i"), lit(1.0).as("v")))
+      struct(when(i >= width, raise_error(concat(
+          lit(s"aovFlatten: indicator index >= width $width: "),
+          i.cast("string"))))
+        .otherwise(offExpr + lit(demoCols.size) + i).as("i"),
+        lit(1.0).as("v")))
     val pairs = concat(demoPairs, indPairs)
     val toVec = udf { (ps: Seq[org.apache.spark.sql.Row]) =>
       // null demo values (e.g. an absent demographic) contribute no slot

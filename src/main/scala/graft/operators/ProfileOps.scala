@@ -29,18 +29,10 @@ object ProfileOps {
       // MapType isn't hashable: count_distinct/approx_count_distinct
       // reject it at analysis and would fail the WHOLE one-pass agg,
       // not just this column — report distinct as 0 (no estimate)
-      // instead.
-      def hasMap(t: org.apache.spark.sql.types.DataType): Boolean =
-        t match {
-          case _: org.apache.spark.sql.types.MapType => true
-          case a: org.apache.spark.sql.types.ArrayType =>
-            hasMap(a.elementType)
-          case st: org.apache.spark.sql.types.StructType =>
-            st.fields.exists(x => hasMap(x.dataType))
-          case _ => false
-        }
+      // instead. (Type walk shared with saltedAgg's salt derivation.)
       val distinct =
-        if (hasMap(f.dataType)) max(lit(null).cast("long"))
+        if (RelationalOps.containsMapType(f.dataType))
+          max(lit(null).cast("long"))
         else if (exactDistinct) count_distinct(c)
         else approx_count_distinct(c)
       Seq(

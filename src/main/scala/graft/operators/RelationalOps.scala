@@ -196,20 +196,24 @@ object RelationalOps {
     * matters if one key's rows are near-all duplicates (then
     * pre-aggregate a count first).
     */
+  /** Whether a type transitively contains a MapType — maps aren't
+    * hashable/distinct-countable in Spark SQL; shared by [[saltedAgg]]
+    * (salt derivation) and [[ProfileOps.profile]] (distinct counts). */
+  private[operators] def containsMapType(
+      t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case a: org.apache.spark.sql.types.ArrayType =>
+      containsMapType(a.elementType)
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.exists(x => containsMapType(x.dataType))
+    case _ => false
+  }
+
   def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
                 partials: Seq[Column], merges: Seq[Column]): DataFrame = {
-    val hashable = df.schema.fields.filterNot { f =>
-      def hasMap(t: org.apache.spark.sql.types.DataType): Boolean =
-        t match {
-          case _: org.apache.spark.sql.types.MapType => true
-          case a: org.apache.spark.sql.types.ArrayType =>
-            hasMap(a.elementType)
-          case s: org.apache.spark.sql.types.StructType =>
-            s.fields.exists(x => hasMap(x.dataType))
-          case _ => false
-        }
-      hasMap(f.dataType)
-    }.map(f => col(f.name))
+    val hashable = df.schema.fields
+      .filterNot(f => containsMapType(f.dataType))
+      .map(f => col(f.name))
     require(hashable.nonEmpty,
       "saltedAgg needs at least one non-map column to derive the salt")
     val salted = df.withColumn("__salt",

@@ -81,21 +81,11 @@ object Similarity {
                     seed: Long = 42L,
                     maxBucket: Int = 100000): DataFrame = {
     val indexed = index(emb, nBits, dim, tables, seed)
-    // Hot-bucket guard (same shape as simhashPairs): a (table, bucket)
-    // holding m vectors emits ~m²/2 candidate pairs, so a mega-cluster
-    // of near-identical embeddings would blow the self-join up;
-    // oversized buckets are dropped whole — pairs inside them belong
-    // to exact-dup handling, and the drop is visible as a count here.
-    // (count-over-window, not broadcast anti-join: the anti-join form
-    // evaluates the index pipeline twice — see Dedup.minhashDedup —
-    // and here the duplicated subtree carries the VECTORS; the window
-    // folds the bucket count into the self-join's own (tbl, bucket)
-    // shuffle, so vectors cross the wire once.)
-    val pruned = indexed
-      .withColumn("__bn", count("*").over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("tbl", "bucket")))
-      .where(col("__bn") <= maxBucket).drop("__bn")
+    // Hot-bucket guard — see [[Dedup.pruneOversized]]; the stakes are
+    // higher here because the duplicated anti-join subtree would carry
+    // the VECTORS, where the window form shuffles them once.
+    val pruned = Dedup.pruneOversized(indexed, Seq("tbl", "bucket"),
+      maxBucket)
     pruned.as("a").join(pruned.as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
@@ -144,9 +134,19 @@ object Similarity {
       case Some(n) if n > trainPoints =>
         val frac = math.min(1.0, 1.2 * trainPoints.toDouble / n)
         val bound = (frac * (1L << 32)).toLong
+        // orderBy before the bounding limit: a bare limit+collect
+        // returns rows in partition-layout order, so the seeded
+        // k-means would pick different points under different
+        // partitioning/AQE decisions — the nondeterminism the no-hint
+        // path's orderBy was added to prevent. The sort runs on the
+        // already-filtered sample (~1.2×trainPoints rows), not the
+        // corpus.
         base.where(pmod(xxhash64(col("id"), lit(seed)), lit(1L << 32))
             < bound)
-          .select("v").limit(4 * trainPoints) // bound collect vs bad hints
+          .select(xxhash64(col("id"), lit(seed)).as("__h"), col("v"))
+          .orderBy("__h")
+          .limit(4 * trainPoints) // bound collect vs bad hints
+          .select("v")
       case _ =>
         base.select(xxhash64(col("id"), lit(seed)).as("__h"), col("v"))
           .orderBy("__h").limit(trainPoints).select("v")
@@ -320,6 +320,8 @@ object Similarity {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     val enc = udf { (v: Seq[Double]) =>
+      require(v != null && v.length >= m * subDim,
+        s"pqEncode: vector null or shorter than m*subDim = ${m * subDim}")
       val code = new Array[Int](m)
       var i = 0
       while (i < m) {
@@ -377,6 +379,8 @@ object Similarity {
     // same order as the direct form — bit-identical on the
     // exactly-representable grid codebooks the probe gate uses.
     val lutOf = udf { (qv: Seq[Double]) =>
+      require(qv != null && qv.length >= m * subDim,
+        s"pqTopK: query null or shorter than m*subDim = ${m * subDim}")
       val lut = new Array[Double](m * ksub)
       var i = 0
       while (i < m) {

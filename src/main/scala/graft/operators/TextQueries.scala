@@ -515,14 +515,16 @@ object TextQueries {
     "contamination_check_bloom" -> QDef(
       (s, d) => {
         val base = docs(s, d).where(col("text").isNotNull)
-        // Filter sizing from a one-column aggregate: distinct train
-        // shingles ≤ total words < sum(n_chars)/4 (words average >4
-        // chars with separator). A narrow pre-pass over one int column
-        // beats a silently saturating filter at larger sf — the exact
-        // trap buildBloom documents.
+        // Filter sizing from a one-pass aggregate of the true word
+        // count: distinct train shingles ≤ total words, always — the
+        // previous sum(n_chars)/4 proxy assumed words average >4
+        // chars, which silently UNDERSIZES the filter on short-token
+        // corpora (codes, CJK-style segmentation) and reopens the
+        // saturating-filter trap buildBloom documents.
         val hint = math.max(1000000L,
-          base.agg(coalesce(sum(col("n_chars")), lit(0L)))
-            .head.getLong(0) / 4)
+          base.agg(coalesce(
+            sum(size(split(col("text"), " ")).cast("long")), lit(0L)))
+            .head.getLong(0))
         contaminationCheckBloom(plantedEval(base), base, "eval_id",
           "text", expectedItems = hint)
       },

@@ -19,17 +19,23 @@ object VectorQueries {
     graft.functions.VectorExpressions.dot(a, b)
 
   /** SQ8 quantization codes of a double array under a max-abs scale,
-    * comma-joined: code_i = floor(127·x_i/maxabs + 0.5) — explicit
+    * as `array<int>`: code_i = floor(127·x_i/maxabs + 0.5) — explicit
     * floor(+0.5) so Spark and DuckDB round identically (their ROUND
     * tie rules differ); a zero vector (maxabs = 0) codes to zeros.
-    * Shared by the `embed_quantize` QDef and its spec so the
-    * registered query and the tested expression cannot drift. */
-  def sq8Codes(v: Column, maxabs: Column): Column =
-    concat_ws(",", transform(v, x =>
+    * The ONE definition of the codec expression — `embed_quantize`,
+    * `knn_sq8`, and the specs all build on it, so the quantize and
+    * search paths cannot drift. */
+  def sq8CodeInts(v: Column, maxabs: Column): Column =
+    transform(v, x =>
       when(maxabs === 0d, lit(0))
         .otherwise(floor(x * lit(127.0) / maxabs + lit(0.5))
-          .cast("int"))
-        .cast("string")))
+          .cast("int")))
+
+  /** [[sq8CodeInts]] comma-joined for hash-comparable output (the
+    * array type itself isn't SQL-comparable). */
+  def sq8Codes(v: Column, maxabs: Column): Column =
+    concat_ws(",",
+      transform(sq8CodeInts(v, maxabs), c => c.cast("string")))
 
   /** Embeddings with a cast-to-double vector and precomputed L2 norm.
     * Norms are computed once per row (narrow), not per pair. */
@@ -151,18 +157,16 @@ object VectorQueries {
             transform(col("embedding"), x => x.cast("double")).as("v"))
           .withColumn("maxabs",
             array_max(transform(col("v"), x => abs(x))))
-        // corpus side: int codes + scale only (what an SQ8 index stores)
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        // corpus side: int codes + scale only (what an SQ8 index
+        // stores); the codec expression is the shared [[sq8CodeInts]]
         val codes = e.select(col("vec_id"),
           (col("maxabs") / 127.0).as("step"),
-          transform(col("v"), x =>
-            when(col("maxabs") === 0d, lit(0))
-              .otherwise(floor(x * lit(127.0) / col("maxabs") +
-                lit(0.5)).cast("int"))).as("q"))
+          sq8CodeInts(col("v"), col("maxabs")).as("q"))
         val deq = codes.select(col("vec_id"),
           transform(col("q"), c => c * col("step")).as("dv"))
           .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
-        val queries = withNorm(Tables.load(s, d, "embeddings"))
-          .where(col("vec_id") % 50 === 0)
+        val queries = e.where(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qn"))
         val pairs = deq.join(broadcast(queries),
