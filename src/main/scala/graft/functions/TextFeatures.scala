@@ -12,11 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object TextFeatures {
 
-  /** Non-empty lowercase whitespace tokens: the raw split keeps an
-    * empty element for leading whitespace, which would otherwise claim
-    * a vocabulary slot as a bogus high-DF "token". */
+  /** Non-empty lowercase whitespace tokens — the one shared "token"
+    * definition ([[TextFunctions.wsTokens]]) under a lower(). */
   private def tokensOf(textCol: String) =
-    filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    TextFunctions.wsTokens(lower(col(textCol)))
 
   /** Fit a count vocabulary over a text column. `minDF` drops rare
     * tokens (vocabulary size is driver/broadcast-resident — bound it at
@@ -29,18 +28,31 @@ object TextFeatures {
       .fit(tokens)
   }
 
-  /** Add `tf` (term counts) and `tfidf` vectors to `docs`. Two narrow
-    * passes plus the one-time IDF aggregate. The vocabulary model is
-    * COPIED before configuring columns — in-place setters would mutate
-    * the caller's shared model object. */
-  def tfidf(docs: DataFrame, textCol: String,
-            vocab: CountVectorizerModel): DataFrame = {
-    val withTokens = docs.withColumn("tokens", tokensOf(textCol))
-    val tf = vocab.copy(org.apache.spark.ml.param.ParamMap.empty)
+  /** Term-count vectors for `docs` under the frozen vocabulary. The
+    * vocabulary model is COPIED before configuring columns — in-place
+    * setters would mutate the caller's shared model object. */
+  private def termCounts(docs: DataFrame, textCol: String,
+                         vocab: CountVectorizerModel): DataFrame =
+    vocab.copy(org.apache.spark.ml.param.ParamMap.empty)
       .setInputCol("tokens").setOutputCol("tf")
-      .transform(withTokens)
+      .transform(docs.withColumn("tokens", tokensOf(textCol)))
+
+  /** Fit the IDF weights on a TRAINING corpus (one aggregate). Like
+    * the vocabulary, the IDF is learned once and reused — refitting it
+    * per-transform would weight the same token differently in train
+    * and test (and degenerately on a small test frame), skewing any
+    * estimator trained on the tfidf column. */
+  def fitIdf(docs: DataFrame, textCol: String,
+             vocab: CountVectorizerModel): org.apache.spark.ml.feature
+      .IDFModel =
     new IDF().setInputCol("tf").setOutputCol("tfidf")
-      .fit(tf).transform(tf)
-      .drop("tokens")
-  }
+      .fit(termCounts(docs, textCol, vocab))
+
+  /** Add `tf` (term counts) and `tfidf` vectors to `docs` using the
+    * FROZEN vocabulary + IDF pair — pure transform, no fitting, so
+    * train and test share one weighting. Two narrow passes. */
+  def tfidf(docs: DataFrame, textCol: String,
+            vocab: CountVectorizerModel,
+            idf: org.apache.spark.ml.feature.IDFModel): DataFrame =
+    idf.transform(termCounts(docs, textCol, vocab)).drop("tokens")
 }

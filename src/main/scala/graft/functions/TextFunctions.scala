@@ -22,15 +22,23 @@ object TextFunctions {
 
   /** Non-empty whitespace tokens — split('\s+') keeps an empty element
     * for leading whitespace and yields [""] for "", so the raw split is
-    * NOT a token list; every counter here filters it. */
-  private def wsTokens(text: Column): Column =
+    * NOT a token list; every counter here filters it. (Shared with
+    * TextFeatures' tokenizer — one definition of "token".) */
+  private[graft] def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  /** Character n-grams of a lowercased, space-normalized string. */
+  /** Character n-grams of a lowercased, space-normalized string.
+    * Strings shorter than n yield an EMPTY array: the old
+    * `sequence(1, greatest(len-(n-1), 0))` form produced the
+    * descending sequence [1, 0] there (Spark's sequence steps -1 when
+    * stop < start), emitting two spurious truncated grams per short
+    * document. */
   def charNgrams(text: Column, n: Int): Column = {
     val s = lower(regexp_replace(text, "\\s+", " "))
-    transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(0))),
-      i => s.substr(i, lit(n)))
+    val cnt = length(s) - (n - 1)
+    when(cnt < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt),
+        i => s.substr(i, lit(n))))
   }
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation. */
@@ -44,9 +52,12 @@ object TextFunctions {
 
   /** Language score: fraction of the doc's words found in `markers`
     * (stopword profile for one language). argmax across profiles =
-    * language-ID; see TextQueries.lang_id for the oracle-checked form. */
+    * language-ID; see TextQueries.lang_id for the oracle-checked form.
+    * Tokenized with [[wsTokens]] — a bare single-space split left
+    * tab/newline-glued words unmatched and counted empty strings in
+    * the denominator, systematically deflating whitespace-heavy docs. */
   def langScore(text: Column, markers: Seq[String]): Column = {
-    val w = split(lower(text), " ")
+    val w = wsTokens(lower(text))
     size(filter(w, x => x.isin(markers.map(_.asInstanceOf[Any]): _*))) /
       greatest(size(w), lit(1))
   }

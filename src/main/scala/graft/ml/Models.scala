@@ -50,13 +50,28 @@ object Models {
       .setLabelCol("label")
       .setPredictionCol("score")
 
-  /** M3: the CNN-equivalent dense head (see scaladoc). */
+  /** M3: the CNN-equivalent dense head (see scaladoc). Emits the
+    * classifier's own `prediction`/`probability` columns; thread the
+    * output through [[mlpScored]] to get the continuous `score` column
+    * the M5-M11 helpers expect (a classifier estimator can't emit it
+    * directly, and its hard 0/1 prediction is the wrong thing to
+    * threshold-sweep). */
   def mlp(inputSize: Int, hidden: Int = 100): MultilayerPerceptronClassifier =
     new MultilayerPerceptronClassifier()
       .setLayers(Array(inputSize, hidden, 2))
       .setFeaturesCol("features")
       .setLabelCol("label")
       .setSeed(42L)
+
+  /** Adapt M3 output to the module's score contract: `score` =
+    * P(label=1) from the probability vector, so
+    * [[bestThreshold]]/[[evaluate]]/[[precisionAtRecall]] compose with
+    * the MLP exactly as with M1/M2. `prediction` is left in place for
+    * hard-label callers. */
+  def mlpScored(transformed: DataFrame): DataFrame =
+    transformed.withColumn("score",
+      org.apache.spark.ml.functions
+        .vector_to_array(col("probability"))(1))
 
   /** M5: threshold sweep — argmax weighted F1 over t ∈ {0,.01,…,.99}
     * (ml_models.ipynb:243-253). Returns the chosen threshold. */
@@ -150,12 +165,18 @@ object Models {
       val model = lasso().fit(train)
       val scored = model.transform(valid).select(
         col("label").cast("int").as("label"), col("score"))
-      val m = MetricsOps.mse(scored, col("label"), col("score")).head()
-        .getDouble(0)
-      val a = MetricsOps.accuracy(scored, col("label"),
-        when(col("score") > threshold, 1).otherwise(0)).head()
-        .getDouble(0)
-      (f, m, a)
+      // Both metrics in ONE aggregation (same formulas as
+      // MetricsOps.mse/accuracy): two separate .head() actions
+      // re-planned and re-ran the model transform over the fold twice.
+      val pred = when(col("score") > threshold, 1).otherwise(0)
+      val se = ((col("label") - col("score")) *
+        (col("label") - col("score")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8))
+      val r = scored.agg(
+        (sum(se).cast("double") / count("*")).as("mse"),
+        (sum(when(col("label") === pred, 1L).otherwise(0L))
+          .cast("double") / count("*")).as("accuracy")).head()
+      (f, r.getDouble(0), r.getDouble(1))
     }
     assigned.unpersist()
     val perFold = rows.toDF("fold", "mse", "accuracy")

@@ -153,13 +153,18 @@ object MultimodalOps {
     }
 
     /** "Resize": stub returns a content-derived thumbnail payload of
-      * `w*h` bytes. */
+      * `w*h` bytes. Null/empty payloads (0-byte files are common in
+      * real media dumps) yield an all-zero thumbnail — the old
+      * `content(i % max(len, 1))` guard dodged the modulo but then
+      * indexed the empty array and killed the task. */
     def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val out = new Array[Byte](w * h)
-      var i = 0
-      while (i < out.length) {
-        out(i) = content(i % math.max(content.length, 1))
-        i += 1
+      if (content != null && content.nonEmpty) {
+        var i = 0
+        while (i < out.length) {
+          out(i) = content(i % content.length)
+          i += 1
+        }
       }
       out
     }

@@ -67,31 +67,19 @@ object StreamingOps {
       : (List[Session], Option[SessionState]) = {
     var out = List.empty[Session]
     var cur = init
-    // Late events (t < lastTs — only cross-trigger) are deferred to a
-    // second phase: deciding "stale singleton" inline would be
-    // order-dependent, because a later-processed late event can extend
-    // `start` downwards and bring an earlier-seen one back into merge
-    // range. Late folds never move lastTs, so deferral can't change
-    // how on-time events fold.
-    var late = List.empty[Event]
-    evs.foreach { e =>
-      val t = e.ts.getTime
-      cur match {
-        case Some(s) if t >= s.lastTs && t - s.lastTs <= gapMs =>
-          cur = Some(s.copy(lastTs = t, n = s.n + 1,
-            sumValue = s.sumValue + e.value))
-        case Some(s) if t < s.lastTs =>
-          late ::= e
-        case Some(s) => // t > lastTs + gap
-          out ::= Session(uid, s.start, s.lastTs, s.n, s.sumValue)
-          cur = Some(SessionState(t, t, 1, e.value))
-        case None =>
-          cur = Some(SessionState(t, t, 1, e.value))
-      }
-    }
-    // Phase 2: newest-first, so each merge lowers `start` before the
-    // staler events are judged against it.
-    late.sortBy(-_.ts.getTime).foreach { e =>
+    // Since evs is sorted ascending, every late event (t < the CARRIED
+    // state's lastTs — only possible across triggers) forms a prefix.
+    // Judge that prefix against the carried session FIRST, newest-
+    // first so each merge lowers `start` before staler events are
+    // judged against it. The pre-fix design deferred late events to
+    // AFTER the on-time fold and judged them against the final
+    // session — wrong whenever an on-time event had meanwhile CLOSED
+    // the carried session: a late event inside the carried session's
+    // merge horizon was emitted as a spurious singleton instead of
+    // extending the (already-emitted) session it belonged to.
+    val initLast = init.map(_.lastTs).getOrElse(Long.MinValue)
+    val (latePrefix, onTime) = evs.span(_.ts.getTime < initLast)
+    latePrefix.reverse.foreach { e =>
       val t = e.ts.getTime
       cur match {
         case Some(s) if t >= s.start - gapMs =>
@@ -99,6 +87,25 @@ object StreamingOps {
             sumValue = s.sumValue + e.value))
         case _ => // stale beyond the merge horizon: singleton
           out ::= Session(uid, t, t, 1, e.value)
+      }
+    }
+    onTime.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t < s.lastTs =>
+          // impossible for sorted input (the late prefix was peeled
+          // off above and on-time folds only move lastTs forward) —
+          // fail loudly rather than corrupt session boundaries
+          throw new IllegalStateException(
+            s"foldSorted: unsorted event $t < lastTs ${s.lastTs}")
+        case Some(s) if t - s.lastTs <= gapMs =>
+          cur = Some(s.copy(lastTs = t, n = s.n + 1,
+            sumValue = s.sumValue + e.value))
+        case Some(s) => // t > lastTs + gap
+          out ::= Session(uid, s.start, s.lastTs, s.n, s.sumValue)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
       }
     }
     (out.reverse, cur)
@@ -136,14 +143,22 @@ object StreamingOps {
             val (closed, cur) = foldSorted(uid, evs, state.getOption,
               gapMs)
             cur match {
-              case Some(s) =>
+              case Some(s) if streaming =>
                 state.update(s)
-                if (streaming) state.setTimeoutTimestamp(
+                state.setTimeoutTimestamp(
                   math.max(s.lastTs + gapMs,
                     state.getCurrentWatermarkMs() + 1))
-              case None => ()
+                closed.iterator
+              case Some(s) =>
+                // Batch input is complete, so the open tail session is
+                // final — emit it. (Batch execution discards state and
+                // never fires a timeout; updating state here silently
+                // dropped every key's last session, contra the
+                // same-code-in-batch contract.)
+                closed.iterator ++ Iterator.single(
+                  Session(uid, s.start, s.lastTs, s.n, s.sumValue))
+              case None => closed.iterator
             }
-            closed.iterator
           }
       }
   }

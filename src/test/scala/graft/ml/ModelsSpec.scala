@@ -40,6 +40,25 @@ class ModelsSpec extends SparkSpec {
     assert(ev.getAs[Double]("accuracy") > 0.95)
   }
 
+  test("mlpScored adapts M3 output to the score contract so the " +
+      "M5-M11 helpers compose") {
+    val df = (0 until 40).map { i =>
+      val label = i % 2
+      (label.toDouble, org.apache.spark.ml.linalg.Vectors
+        .dense(label.toDouble, 1.0 - label))
+    }.toDF("label", "features")
+    val model = Models.mlp(inputSize = 2, hidden = 4).fit(df)
+    val scored = Models.mlpScored(model.transform(df))
+    // continuous probabilities, not hard labels
+    assert(scored.select("score").as[Double].collect()
+      .forall(s => s >= 0.0 && s <= 1.0))
+    // the documented M3 -> M5/M6 pipeline runs (this threw
+    // 'cannot resolve score' before mlpScored existed)
+    val t = Models.bestThreshold(spark, scored)
+    val ev = Models.evaluate(scored, t).head()
+    assert(ev.getAs[Double]("accuracy") >= 0.9)
+  }
+
   test("precisionAtRecall is 1.0 on a perfectly ranked set") {
     val scored = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1))
       .toDF("label", "score")

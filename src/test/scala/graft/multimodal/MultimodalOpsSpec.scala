@@ -44,6 +44,16 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
   }
 
+  test("StubCodec.resize yields a zero thumbnail for empty/null " +
+      "payloads instead of crashing") {
+    // 0-byte files are common in real media dumps; the old guard
+    // avoided the modulo-by-zero but then indexed the empty array.
+    assert(MultimodalOps.StubCodec.resize(Array.empty[Byte], 4, 4)
+      .toSeq === Seq.fill(16)(0.toByte))
+    assert(MultimodalOps.StubCodec.resize(null, 2, 2)
+      .toSeq === Seq.fill(4)(0.toByte))
+  }
+
   test("loadBinaryDir ingests a file directory into the media schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media")
     (1 to 5).foreach { i =>

@@ -286,4 +286,15 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(out === Seq("ab", "b ", " c"))
   }
+
+  test("charNgrams of strings shorter than n are empty, not " +
+      "truncated duplicates") {
+    // Regression: sequence(1, 0) steps DOWN in Spark, so the old form
+    // emitted ["ab","ab"] for a 2-char string at n=3 (and ["",""] for
+    // empty docs) — spurious duplicate grams in every short document.
+    val out = Seq("ab", "", " ").toDF("t")
+      .select(TextFunctions.charNgrams(col("t"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(out.forall(_.isEmpty), out.mkString("; "))
+  }
 }

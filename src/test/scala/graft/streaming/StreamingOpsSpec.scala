@@ -49,6 +49,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(sessions(2).user_id === 2)
   }
 
+  test("foldSorted merges a cross-trigger late event into the carried " +
+      "session even when the same trigger closes it") {
+    // Regression: the pre-fix fold judged deferred late events against
+    // the FINAL session; when an on-time event closed the carried
+    // session in the same trigger, an in-horizon late event became a
+    // spurious singleton and the emitted session missed its extension.
+    val init = Some(SessionState(100000L, 100000L, 1, 1.0))
+    val evs = Seq(
+      Event(1, new java.sql.Timestamp(99500L), 1, "click", 1.0),
+      Event(2, new java.sql.Timestamp(101500L), 1, "click", 1.0))
+    val (closed, cur) = StreamingOps.foldSorted(1L, evs, init, 1000L)
+    assert(closed === List(Session(1L, 99500L, 100000L, 2, 2.0)))
+    assert(cur === Some(SessionState(101500L, 101500L, 1, 1.0)))
+  }
+
+  test("sessionize on a batch Dataset emits the final open session " +
+      "(full parity with sessionizeBatch)") {
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(60), 1, "view", 3.0),
+      Event(4, ts(0), 2, "view", 5.0)).toDS()
+    val viaState = sessionize(events, gapMs = 30 * 60000L)
+      .collect().toSet
+    val viaBatch = sessionizeBatch(events, gapMs = 30 * 60000L)
+      .collect().toSet
+    // The pre-fix stateful form dropped every key's open tail in batch
+    // mode (state discarded, no timeout): 3 sessions here, not 1.
+    assert(viaState === viaBatch)
+    assert(viaState.size === 3)
+  }
+
   test("sessionize (stateful streaming form) emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
