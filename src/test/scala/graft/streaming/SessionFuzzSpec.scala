@@ -125,8 +125,18 @@ class SessionFuzzSpec extends SparkSpec {
     val locked = scala.collection.mutable.Set.empty[Int]
     sorted.indices.dropRight(1).foreach { i =>
       val c = chunkOf(i)
+      // The next session may begin in the SAME trigger the deferred
+      // event lands in (chunk c+1): foldSorted judges the late prefix
+      // against the carried session before the on-time fold, so a
+      // session closed within that trigger still absorbs its late
+      // event. (This was >= c + 2 while the fold judged late events
+      // against the FINAL session — the trigger-close case was broken
+      // and had to be excluded; see the regression test in
+      // StreamingOpsSpec.) Only a next session opening before the
+      // event's landing trigger (>= carried-state replacement) remains
+      // out of the parity domain.
       val sessionOpen = firstOf.get(sess(i) + 1)
-        .forall(fn => chunkOf(fn) >= c + 2)
+        .forall(fn => chunkOf(fn) >= c + 1)
       val succOk = sess(i + 1) == sess(i) && chunkOf(i + 1) <= c + 1 &&
         !locked.contains(i) &&
         (i == 0 || !deferred.contains(i - 1))
