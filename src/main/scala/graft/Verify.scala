@@ -30,8 +30,10 @@ object Verify {
         val stale = Paths.get(s"$outDir/$name")
         if (Files.exists(stale)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(stale).iterator().asScala.toSeq.reverse
+          val walk = Files.walk(stale)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(p => Files.deleteIfExists(p))
+          finally walk.close() // stream holds directory handles
         }
       }
     }

@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   *  - mega:        3n + [0, mega)        ONE identical template text —
   *                                       the adversarial near-dup blob
   *                                       (only in the "adv" corpus)
-  *  - embeddings:  base ids [0, m) in 50 gaussian-ish blobs; twins
+  *  - embeddings:  base ids [0, m) in 2000 gaussian-ish blobs (blob =
+  *                 id mod 2000 — the `label` column is an UNRELATED
+  *                 partition key, NOT blob ground truth); twins
   *                 m + b for b ≡0 (10) at cosine ≥ 0.999
   */
 object ScaleGen {

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * [[graft.functions.VectorExpressions.adcLookup]].
   */
 case class AdcLookup(left: Expression, right: Expression, ksub: Int)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   require(ksub > 0, s"ksub must be positive, got $ksub")
 

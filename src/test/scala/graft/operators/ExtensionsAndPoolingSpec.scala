@@ -42,6 +42,17 @@ class ExtensionsAndPoolingSpec extends SparkSpec {
       "SELECT double_dot_product(a, b) AS d FROM pairs_ext").head()
     assert(r.getDouble(0) === 11.0)
 
+    // The advertised pure-SQL use case on the engine's OWN vector
+    // table: embeddings is array<float>, so the expression must accept
+    // implicit casts (ImplicitCastInputTypes) — with plain
+    // ExpectsInputTypes this threw DATATYPE_MISMATCH on the only
+    // vector table the engine ships.
+    graft.Tables.load(s2, sfDir, "embeddings")
+      .createOrReplaceTempView("emb_ext")
+    val norm = s2.sql("SELECT double_dot_product(embedding, " +
+      "embedding) AS n FROM emb_ext LIMIT 1").head()
+    assert(norm.getDouble(0) > 0.0)
+
     // YearRangePushdown: year(ts) predicates become pushed scan ranges
     val orders = graft.Tables.load(s2, sfDir, "orders")
     val filtered = orders.where(year(col("o_orderdate")) === 1996 ||
