@@ -37,6 +37,18 @@ object Bench {
           .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200))
       }
     }
+    // Full untimed warmup pass before any timing: min-of-2 amortizes
+    // per-query JIT, but the FIRST queries in map-iteration order still
+    // paid whole-JVM cold-start (classloading, codegen compiler,
+    // parquet reader init) in BOTH their runs — the r4 driver bench
+    // showed rollup_agg/aov_pivot 4-6× their steady state purely from
+    // landing early in the iteration. One throwaway pass warms the
+    // shared machinery for everyone; failures surface in the timed
+    // runs where they are recorded per-query.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val r = (timeOnce(fn), timeOnce(fn)) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))

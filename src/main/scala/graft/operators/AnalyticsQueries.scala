@@ -315,6 +315,22 @@ object AnalyticsQueries {
       "SELECT o_orderkey, o_totalprice, CAST(ntile(10) OVER (ORDER " +
         "BY o_totalprice, o_orderkey) AS INT) AS decile FROM orders"),
 
+    // The scale path for the same decile binning — EXACT (row-for-row
+    // equal to the window form, same oracle SQL), but distributed: a
+    // quantile-sketch pass picks range buckets, ranks come from a
+    // per-bucket window plus broadcast bucket offsets (the packTokens
+    // prefix-sum shape), and the tile is NTILE's closed form over the
+    // global rank. ~128 parallel bucket windows instead of one
+    // reducer sorting the corpus. See RelationalOps.distributedNtile.
+    "quantile_bin_scale" -> QDef(
+      (s, d) => RelationalOps.distributedNtile(
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_totalprice"),
+        "o_totalprice", "o_orderkey", 10, "decile")
+        .select("o_orderkey", "o_totalprice", "decile"),
+      "SELECT o_orderkey, o_totalprice, CAST(ntile(10) OVER (ORDER " +
+        "BY o_totalprice, o_orderkey) AS INT) AS decile FROM orders"),
+
     // Histogram binning by arithmetic bucket (portable in any engine,
     // unlike width_bucket variants).
     "histogram_agg" -> QDef(

@@ -275,6 +275,55 @@ object ApproxQueries {
         "(PARTITION BY q_id ORDER BY adc, neighbor_id) AS nn_rank " +
         "FROM p) " +
         "SELECT q_id, neighbor_id, CAST(nn_rank AS INT) AS nn_rank, " +
-        "ROUND(adc, 6) AS adc_dist FROM r WHERE nn_rank <= 5")
+        "ROUND(adc, 6) AS adc_dist FROM r WHERE nn_rank <= 5"),
+
+    // IVF-PQ composition — the index shape a 100-TB corpus actually
+    // searches: coarse cells bound the candidate set, PQ codes bound
+    // the per-candidate cost, one narrow pass builds both. Trained
+    // codebooks + k-means cells are engine-specific → rows-only here;
+    // the full composed machinery is hash-gated by the probe below.
+    "ann_ivf_pq" -> QDef.noOracle(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val cbs = Similarity.pqTrain(e, dim = 64, m = 16, ksub = 16)
+        val (centroids, codes) = Similarity.ivfPqIndex(e, nlist = 8, cbs)
+        val queries = VectorQueries.withNorm(e)
+          .where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("id"), col("v"))
+        Similarity.ivfPqTopK(centroids, codes, cbs, queries,
+          k = 10, nprobe = 3)
+          .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
+            round(col("adc"), 6).as("adc_dist"))
+      }),
+
+    // Hash-exact IVF-PQ gate, combining the two probe constructions:
+    // identical-copy probes (negative ids) quantize to the SAME cell
+    // as their originals (ann_ivf_probe's argument) and to the SAME
+    // grid code (ann_pq_probe's codebooks), and each query enters as
+    // its own DECODED reconstruction — so its original sits in a
+    // probed cell at ADC exactly 0.0, every other candidate differs
+    // in ≥1 grid dimension (strictly positive ADC on the
+    // quarter-spaced grid), and the top-1 relation is closed-form.
+    // Exercises cell assignment, one-pass encode, probe selection,
+    // LUT build, and ADC ranking end to end with zero float slack.
+    "ann_ivf_pq_probe" -> QDef(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val probes = e.where(col("vec_id") % 10 === 0)
+          .select((-col("vec_id") - 1).as("vec_id"), col("label"),
+            col("embedding"))
+        val cbs = Similarity.gridCodebooks(dim = 64)
+        val (centroids, codes) = Similarity.ivfPqIndex(
+          e.unionByName(probes), nlist = 8, cbs)
+        val queries = Similarity.pqDecode(codes.where(col("id") < 0),
+          cbs)
+        Similarity.ivfPqTopK(centroids, codes, cbs, queries,
+          k = 1, nprobe = 3)
+          .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
+            round(col("adc"), 6).as("adc_dist"))
+      },
+      "SELECT -vec_id - 1 AS q_id, vec_id AS neighbor_id, " +
+        "CAST(1 AS INT) AS nn_rank, 0.0 AS adc_dist FROM embeddings " +
+        "WHERE vec_id % 10 = 0")
   )
 }

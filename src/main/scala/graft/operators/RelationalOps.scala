@@ -115,6 +115,78 @@ object RelationalOps {
     df.withColumn("fold", (pmod(mixKey(col(keyCol)), lit(k)) + 1)
       .cast("int"))
 
+  /** Exact integer division of non-negative columns, built from ops
+    * both engines define identically: `a - pmod(a,b)` is an exact
+    * multiple of `b`, and dividing an exact multiple (≤ 2^53) in
+    * double is exact — no reliance on engine-specific `div`
+    * semantics and no truncation surprises. */
+  private def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Exact NTILE(n) without the single-reducer global sort — the scale
+    * path for equal-frequency binning ([[kfoldAssign]] /
+    * `quantile_bin`'s shape, whose unpartitioned window funnels every
+    * row through ONE reducer at any cluster size). Same
+    * distributed-prefix-sum shape as [[PackingOps.packTokens]]:
+    *
+    *  1. one approx-quantile sketch pass over `valueCol` yields range
+    *     boundaries — boundary quality affects only bucket BALANCE,
+    *     never results (buckets are order-consistent by construction);
+    *  2. per-bucket row counts: #buckets tiny rows (bounded by
+    *     configuration, not data) collected, exclusive prefix computed
+    *     driver-side and broadcast-joined back;
+    *  3. global rank = bucket offset + within-bucket row_number, each
+    *     bucket its own window partition — parallel across
+    *     4×shuffle-partitions buckets instead of serial on one.
+    *
+    * The tile is then the closed-form function of (rank, total) that
+    * NTILE defines (first n%k tiles get one extra row), so the output
+    * EQUALS `ntile(k) OVER (ORDER BY valueCol, keyCol)` row for row —
+    * exact, not approximate, and DuckDB-oracle-able with the plain
+    * window SQL. Requires non-null `valueCol` and a unique `keyCol`
+    * (the deterministic tie-break, same doctrine as [[mixKey]]).
+    */
+  def distributedNtile(df: DataFrame, valueCol: String, keyCol: String,
+                       k: Int, tileCol: String = "tile"): DataFrame = {
+    require(k > 0, s"ntile k must be positive, got $k")
+    val spark = df.sparkSession
+    val nBuckets = spark.sessionState.conf.numShufflePartitions * 4
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bnds: Array[Double] =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
+    // Bucket of a value: count of boundaries < value (searchsorted),
+    // a pure function of (value, bnds) — identical in every job that
+    // evaluates it (never a physical partition id; see PackingOps'
+    // AQE-coalescing note). Equal values always share a bucket, and
+    // bucket i's values all precede bucket i+1's in the sort order.
+    val bucketOf = udf { v: Double =>
+      val i = java.util.Arrays.binarySearch(bnds, v)
+      if (i >= 0) i else -i - 1
+    }
+    val withG = df.withColumn("__g",
+      bucketOf(col(valueCol).cast("double")))
+    val counts = withG.groupBy("__g").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val prefix = counts.map { case (g, c) => val e = (g, acc); acc += c; e }
+    val n = acc
+    val offsets = spark.createDataFrame(prefix.toIndexedSeq)
+      .toDF("__g", "__off")
+    val w = Window.partitionBy("__g").orderBy(col(valueCol), col(keyCol))
+    val rank = col("__off") + row_number().over(w)
+    val size = n / k
+    val rem = n % k
+    val cut = (size + 1) * rem
+    // CaseWhen evaluates only the taken branch, so the size=0 edge
+    // (n < k: every rank ≤ cut) never reaches the /size division.
+    val tile = when(rank <= cut, intDiv(rank - 1, lit(size + 1)) + 1)
+      .otherwise(lit(rem) + intDiv(rank - cut - 1, lit(size)) + 1)
+    withG.join(broadcast(offsets), "__g")
+      .withColumn(tileCol, tile.cast("int"))
+      .drop("__g", "__off")
+  }
+
   /** Order-independent exact sum of a double column: route through
     * decimal(18,2) so partial-aggregate order cannot perturb the result
     * (needed for bit-exact cross-engine verification), then back to double.

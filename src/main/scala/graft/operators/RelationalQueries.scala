@@ -330,6 +330,32 @@ object RelationalQueries {
         "((o_orderkey % 1000000007) * 2654435761) % 1000000007, o_orderkey) AS INT) " +
         "AS fold FROM orders"),
 
+    // O5 scale path: shuffle-free fold assignment — a pure map (no
+    // window, no sort, no exchange at ANY cluster size), the form a
+    // billion-row corpus uses. Folds are equal in expectation rather
+    // than exactly; mixKey is non-negative so pmod ≡ %, and both
+    // engines compute identical integers.
+    "kfold_hash" -> QDef(
+      (s, d) => hashFold(
+        t(s, d, "orders").select("o_orderkey"), "o_orderkey", 5)
+        .select("o_orderkey", "fold"),
+      "SELECT o_orderkey, CAST((((o_orderkey % 1000000007) * " +
+        "2654435761) % 1000000007) % 5 + 1 AS INT) AS fold FROM orders"),
+
+    // O4 scale path: hash-threshold train/test split — the same pure
+    // map, replacing stratified_split's per-label window (2 reducers
+    // for a binary label regardless of cluster size). The literal
+    // threshold is Scala's (0.8 * 1000000007L).toLong, interpolated so
+    // both engines compare against the SAME integer.
+    "split_hash" -> QDef(
+      (s, d) => hashStratifiedSplit(
+        t(s, d, "orders").select("o_orderkey"), "o_orderkey", 0.8)
+        .select("o_orderkey", "is_train"),
+      "SELECT o_orderkey, CASE WHEN ((o_orderkey % 1000000007) * " +
+        "2654435761) % 1000000007 < " +
+        s"${(0.8 * 1000000007L).toLong} THEN 1 ELSE 0 END " +
+        "AS is_train FROM orders"),
+
     // ----- §2.6/E1 pivot ------------------------------------------------
 
     // E1: AOV flatten = groupBy + fixed-year conditional aggregation (ref

@@ -216,12 +216,13 @@ object Similarity {
     cents
   }
 
-  /** IVF search: each query row ranks the `nprobe` closest cells by
-    * centroid distance (tiny centroid table, broadcast in the closure)
-    * and exact-cosine-ranks only those cells' vectors. */
-  def ivfTopK(centroids: Array[Array[Double]], indexed: DataFrame,
-              queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val probeCells = udf { (v: Seq[Double]) =>
+  /** The `nprobe` closest cells to a query vector by centroid L2 —
+    * the probe selector shared by [[ivfTopK]] and [[ivfPqTopK]]
+    * (centroid table rides the closure: nlist·dim doubles). */
+  private def probeCellsUdf(centroids: Array[Array[Double]],
+                            nprobe: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
       centroids.zipWithIndex.map { case (c, i) =>
         var d = 0.0
         var j = 0
@@ -231,6 +232,13 @@ object Similarity {
         (i, d)
       }.sortBy(_._2).take(nprobe).map(_._1)
     }
+
+  /** IVF search: each query row ranks the `nprobe` closest cells by
+    * centroid distance (tiny centroid table, broadcast in the closure)
+    * and exact-cosine-ranks only those cells' vectors. */
+  def ivfTopK(centroids: Array[Array[Double]], indexed: DataFrame,
+              queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probeCells = probeCellsUdf(centroids, nprobe)
     val probes = queries
       .withColumn("probe", explode(probeCells(col("v"))))
       .select(col("probe"), col("id").as("q_id"), col("v").as("qv"),
@@ -317,9 +325,19 @@ object Similarity {
     * oracle's argmin convention. */
   def pqEncode(emb: DataFrame,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    emb.select(col("vec_id").as("id"),
+      encodeUdf(codebooks)(
+        transform(col("embedding"), x => x.cast("double")))
+        .as("code"))
+  }
+
+  /** The per-vector PQ encoder shared by [[pqEncode]] and
+    * [[ivfPqIndex]]. */
+  private def encodeUdf(codebooks: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
-    val enc = udf { (v: Seq[Double]) =>
+    udf { (v: Seq[Double]) =>
       require(v != null && v.length >= m * subDim,
         s"pqEncode: vector null or shorter than m*subDim = ${m * subDim}")
       val code = new Array[Int](m)
@@ -343,9 +361,6 @@ object Similarity {
       }
       code
     }
-    emb.select(col("vec_id").as("id"),
-      enc(transform(col("embedding"), x => x.cast("double")))
-        .as("code"))
   }
 
   /** Decode codes back to their centroid vectors (the reconstruction;
@@ -359,26 +374,17 @@ object Similarity {
     codes.select(col("id"), dec(col("code")).as("v"))
   }
 
-  /** Asymmetric-distance top-k over the code table: queries stay raw,
-    * every corpus vector is represented by its code's centroids, and
-    * the scan touches ONLY (id, code) rows — the corpus vectors never
-    * load. Queries broadcast (the exact-knn shape); squared-L2
-    * distance; ties rank by neighbor id. Composes with [[ivfIndex]]
-    * for IVF-PQ (assign cells first, ADC within probed cells). */
-  def pqTopK(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
-             queries: DataFrame, k: Int): DataFrame = {
+  /** Per-query ADC lookup table: m·ksub per-subspace partial squared
+    * distances, computed ONCE per query on the tiny broadcast side —
+    * shared by [[pqTopK]] and [[ivfPqTopK]]. Per-subspace partials
+    * sum in the same order as the direct form — bit-identical on the
+    * exactly-representable grid codebooks the probe gates use. */
+  private def lutUdf(codebooks: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     val ksub = codebooks(0).length
-    // Textbook ADC: precompute each query's lookup table of
-    // per-subspace partial distances ONCE (m·ksub doubles, on the
-    // tiny broadcast side), so the per-(query, corpus-code) hot path
-    // is O(m) codegen'd lookups ([[graft.functions.VectorExpressions
-    // .adcLookup]]) instead of an O(m·subDim) re-subtracting UDF that
-    // boxed both arrays per pair. Per-subspace partials sum in the
-    // same order as the direct form — bit-identical on the
-    // exactly-representable grid codebooks the probe gate uses.
-    val lutOf = udf { (qv: Seq[Double]) =>
+    udf { (qv: Seq[Double]) =>
       require(qv != null && qv.length >= m * subDim,
         s"pqTopK: query null or shorter than m*subDim = ${m * subDim}")
       val lut = new Array[Double](m * ksub)
@@ -399,13 +405,79 @@ object Similarity {
       }
       lut
     }
+  }
+
+  /** Asymmetric-distance top-k over the code table: queries stay raw,
+    * every corpus vector is represented by its code's centroids, and
+    * the scan touches ONLY (id, code) rows — the corpus vectors never
+    * load. Queries broadcast (the exact-knn shape); squared-L2
+    * distance; ties rank by neighbor id. */
+  def pqTopK(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+             queries: DataFrame, k: Int): DataFrame = {
+    val ksub = codebooks(0).length
     val q = queries.select(col("id").as("q_id"),
-      lutOf(col("v")).as("lut"))
+      lutUdf(codebooks)(col("v")).as("lut"))
     val pairs = codes.alias("c").join(broadcast(q),
         col("c.id") =!= col("q_id"))
       .select(col("q_id"), col("c.id").as("neighbor_id"),
         graft.functions.VectorExpressions
           .adcLookup(col("lut"), col("c.code"), ksub).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc"), col("neighbor_id"))
+    pairs.withColumn("nn_rank", row_number().over(w))
+      .where(col("nn_rank") <= k)
+  }
+
+  // ---- IVF-PQ: the composed index a 100-TB corpus actually runs ------
+
+  /** One-pass IVF-PQ index build: the coarse quantizer assigns each
+    * vector a cell AND the PQ encoder compresses it to m codes in the
+    * SAME narrow scan (both are map-side functions of `v`), so the
+    * corpus is read once and the materialized index is (id, code,
+    * cell) — m small ints + a cell id per vector, ~32 bytes where the
+    * raw 64-dim vector is 512. At 10⁹ vectors the index fits in
+    * cluster memory (or a cell-partitioned parquet whose probes are
+    * partition-pruned scans) while the vectors themselves never load
+    * at search time.
+    */
+  def ivfPqIndex(emb: DataFrame, nlist: Int,
+                 codebooks: Array[Array[Array[Double]]],
+                 seed: Long = 42L, trainPoints: Int = 4096,
+                 sizeHint: Option[Long] = None)
+      : (Array[Array[Double]], DataFrame) = {
+    val (centroids, indexed) =
+      ivfIndex(emb, nlist, seed, trainPoints, sizeHint)
+    (centroids,
+      indexed.select(col("id"),
+        encodeUdf(codebooks)(col("v")).as("code"), col("cell")))
+  }
+
+  /** IVF-PQ search (FAISS `IndexIVFPQ` shape): each query ranks the
+    * `nprobe` closest cells by centroid distance, then ADC-ranks ONLY
+    * those cells' codes via its precomputed lookup table — the
+    * candidate set shrinks by ~nlist/nprobe AND each candidate costs
+    * O(m) codegen'd lookups instead of O(dim) float ops. The scan
+    * side is the narrow (id, code, cell) table; queries (with their
+    * LUTs) broadcast. A (query, neighbor) pair appears in at most one
+    * cell, so no post-join dedup is needed (unlike the L-table LSH
+    * union). `codes` is [[ivfPqIndex]]'s table; `queries` carries
+    * (id, v). */
+  def ivfPqTopK(centroids: Array[Array[Double]], codes: DataFrame,
+                codebooks: Array[Array[Array[Double]]],
+                queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val ksub = codebooks(0).length
+    val probes = queries
+      .select(col("id").as("q_id"),
+        lutUdf(codebooks)(col("v")).as("lut"),
+        probeCellsUdf(centroids, nprobe)(col("v")).as("cells"))
+      .withColumn("probe", explode(col("cells")))
+      .drop("cells")
+    val pairs = codes.alias("c").join(broadcast(probes.alias("p")),
+        col("c.cell") === col("p.probe") &&
+          col("c.id") =!= col("p.q_id"))
+      .select(col("p.q_id").as("q_id"), col("c.id").as("neighbor_id"),
+        graft.functions.VectorExpressions
+          .adcLookup(col("p.lut"), col("c.code"), ksub).as("adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("adc"), col("neighbor_id"))
     pairs.withColumn("nn_rank", row_number().over(w))

@@ -188,6 +188,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(results.nonEmpty && results.values.forall(_.nonEmpty))
   }
 
+  test("ivfPqTopK: one-pass index matches join-built codes, and at " +
+    "nprobe = nlist equals plain pqTopK over the full code table") {
+    val cbs = Similarity.pqTrain(emb, dim = 64, m = 16, ksub = 16)
+    val (centroids, codes) = Similarity.ivfPqIndex(emb, nlist = 8, cbs)
+    // the one-pass (id, code, cell) table must equal the two-pass
+    // join of pqEncode with ivfIndex's cell assignment
+    val (c2, indexed) = Similarity.ivfIndex(emb, nlist = 8)
+    assert(centroids.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    val joined = Similarity.pqEncode(emb, cbs)
+      .join(indexed.select("id", "cell"), Seq("id"))
+      .select("id", "code", "cell").as[(Long, Seq[Int], Int)]
+      .collect().toSet
+    val onePass = codes.select("id", "code", "cell")
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    assert(onePass === joined)
+    // probing EVERY cell removes the IVF restriction: ivfPqTopK must
+    // then return exactly what pqTopK returns on the full table
+    val queries = indexed.where(col("id") % 50 === 0)
+      .select("id", "v")
+    val full = Similarity.pqTopK(codes.select("id", "code"), cbs,
+      queries, k = 10)
+      .select("q_id", "neighbor_id", "nn_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val composed = Similarity.ivfPqTopK(centroids, codes, cbs,
+      queries, k = 10, nprobe = 8)
+      .select("q_id", "neighbor_id", "nn_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(composed === full)
+    // and with a restrictive probe, every neighbor comes from one of
+    // the query's nprobe closest cells
+    val cellOf = codes.select("id", "cell").as[(Long, Int)]
+      .collect().toMap
+    val probed = Similarity.ivfPqTopK(centroids, codes, cbs,
+      queries, k = 10, nprobe = 2)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+    val qVecs = queries.as[(Long, Seq[Double])].collect().toMap
+    probed.foreach { case (qid, nid) =>
+      val cells = centroids.zipWithIndex.map { case (c, i) =>
+        (i, c.zip(qVecs(qid)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)
+      }.sortBy(_._2).take(2).map(_._1).toSet
+      assert(cells.contains(cellOf(nid)), s"q$qid leaked cell")
+    }
+  }
+
   test("IVF top-k recall improves with nprobe, hits 1.0 at full probe") {
     val (model, indexed) = Similarity.ivfIndex(emb, nlist = 8)
     val cached = indexed.cache()

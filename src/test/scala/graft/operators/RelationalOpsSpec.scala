@@ -71,6 +71,25 @@ class RelationalOpsSpec extends SparkSpec {
     assert(hashed.subsetOf(Set(1, 2, 3, 4, 5)))
   }
 
+  test("distributedNtile equals the window NTILE row-for-row, " +
+    "including ties, uneven tiles, and n < k") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile}
+    // values with heavy ties (v = k % 7) force the bucket and
+    // tie-break paths; 103 rows over 10 tiles exercises the
+    // first-n%k-tiles-get-one-extra closed form.
+    for ((n, k) <- Seq((103, 10), (100, 5), (7, 10), (1, 3))) {
+      val df = (1 to n).map(i => (i.toLong, (i % 7).toDouble))
+        .toDF("id", "v")
+      val expected = df.withColumn("tile",
+        ntile(k).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      val got = RelationalOps.distributedNtile(df, "v", "id", k)
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      assert(got === expected, s"n=$n k=$k")
+    }
+  }
+
   test("hashStratifiedSplit is deterministic and near the fraction") {
     val df = (1L to 10000L).toDF("k")
     val a = RelationalOps.hashStratifiedSplit(df, "k", 0.8)
