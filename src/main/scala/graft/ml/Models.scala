@@ -118,33 +118,66 @@ object Models {
     * Histogram-aggregate shape (mirrors [[MetricsOps.weightedF1Sweep]]):
     * one groupBy collapses the scores to a (score → positives, count)
     * histogram, the candidate thresholds ARE the distinct scores
-    * (sklearn's PR-curve convention — assumes bounded distinct scores;
-    * quantize first for continuous ones), and the cumulative TP/K per
+    * (sklearn's PR-curve convention), and the cumulative TP/K per
     * threshold comes from a broadcast range-join over the histogram —
     * no single-partition window over raw rows, no separate count()
     * action. Ties are deterministic by construction: equal scores fall
     * into one histogram row, so a threshold either takes all of a tie
-    * group or none of it. */
+    * group or none of it.
+    *
+    * The range-join is O(D²) pairs with a D-row broadcast where D =
+    * distinct scores, so D is BOUNDED: when a continuous-score input
+    * exceeds `maxDistinctScores`, scores are first snapped to the
+    * lower edges of a uniform `maxDistinctScores`-cell grid over
+    * [min, max] (deterministic; thresholds then have grid
+    * granularity, so the step read-off can differ from the unbounded
+    * curve by at most one grid cell's worth of rows — same spirit as
+    * the conservative step-function divergence above). A caller who
+    * needs the un-quantized curve on a high-cardinality input should
+    * pre-round scores instead of raising the bound past what a
+    * driver broadcast can hold. */
   def precisionAtRecall(scored: DataFrame,
-                        targetRecall: Double = 0.9): Double = {
-    val hist = scored.groupBy(col("score"))
+                        targetRecall: Double = 0.9,
+                        maxDistinctScores: Int = 4096): Double = {
+    require(maxDistinctScores > 0,
+      s"maxDistinctScores must be positive, got $maxDistinctScores")
+    val hist0 = scored.groupBy(col("score"))
       .agg(sum(col("label")).cast("long").as("pos"),
         count("*").as("n"))
-    val th = hist.select(col("score").as("t"))
-    val curve = hist.join(broadcast(th), col("score") >= col("t"))
-      .groupBy("t")
-      .agg(sum("pos").as("cum_tp"), sum("n").as("k"))
-    val total = hist.agg(sum("pos").as("total"))
-    // total > 0 guard: with zero positives the recall condition is
-    // vacuously true at every threshold and the read-off would return
-    // a fabricated 0.0 — recall@target is UNDEFINED there, so fail
-    // loudly (empty result → NoSuchElementException) instead.
-    curve.crossJoin(broadcast(total))
-      .where(col("total") > 0 &&
-        col("cum_tp") >= lit(targetRecall) * col("total"))
-      .orderBy(col("k"))
-      .select((col("cum_tp").cast("double") / col("k")).as("precision"))
-      .head().getDouble(0)
+      .persist()
+    try {
+      // one action: cardinality + range, deciding the quantize path
+      val stats = hist0.agg(count("*").as("d"),
+        min(col("score")).as("mn"), max(col("score")).as("mx")).head()
+      val hist = if (stats.getLong(0) <= maxDistinctScores) hist0
+      else {
+        val mn = stats.getDouble(1)
+        val mx = stats.getDouble(2)
+        val g = maxDistinctScores
+        val bin =
+          if (mx > mn)
+            least(floor((col("score") - mn) / (mx - mn) * g), lit(g - 1))
+          else lit(0)
+        hist0.groupBy((lit(mn) + bin * lit((mx - mn) / g)).as("score"))
+          .agg(sum("pos").as("pos"), sum("n").as("n"))
+      }
+      val th = hist.select(col("score").as("t"))
+      val curve = hist.join(broadcast(th), col("score") >= col("t"))
+        .groupBy("t")
+        .agg(sum("pos").as("cum_tp"), sum("n").as("k"))
+      val total = hist.agg(sum("pos").as("total"))
+      // total > 0 guard: with zero positives the recall condition is
+      // vacuously true at every threshold and the read-off would return
+      // a fabricated 0.0 — recall@target is UNDEFINED there, so fail
+      // loudly (empty result → NoSuchElementException) instead.
+      curve.crossJoin(broadcast(total))
+        .where(col("total") > 0 &&
+          col("cum_tp") >= lit(targetRecall) * col("total"))
+        .orderBy(col("k"))
+        .select((col("cum_tp").cast("double") / col("k"))
+          .as("precision"))
+        .head().getDouble(0)
+    } finally hist0.unpersist()
   }
 
   /** M9 exactly as the reference reports it (`ml_models.ipynb` cell 2:

@@ -62,15 +62,20 @@ object PackingOps {
     val spark = df.sparkSession
     import spark.implicits._
     // Fail loudly at entry on precondition violations (null/uncastable
-    // id or count, negative count) — without this a null survives the
-    // cast and surfaces rows later as an opaque encoder NPE. A
-    // JSONL-ingested corpus (every column nullable) is exactly the
-    // input that hits this.
+    // id or count, negative count, NON-INTEGRAL value) — without this a
+    // null survives the cast and surfaces rows later as an opaque
+    // encoder NPE, and a fractional double id would TRUNCATE silently,
+    // merging distinct ids and making offsets nondeterministic despite
+    // the unique-orderable-id contract. The integrality check compares
+    // the double views of the raw and cast values: exact for any value
+    // that long truncation could actually change (< 2^53).
     def checked(name: String, c: Column, allowNeg: Boolean): Column = {
       val v = c.cast("long")
-      val bad = if (allowNeg) v.isNull else v.isNull || v < 0
+      val nonIntegral = c.cast("double") =!= v.cast("double")
+      val bad0 = v.isNull || nonIntegral
+      val bad = if (allowNeg) bad0 else bad0 || v < 0
       when(bad, raise_error(concat(
-        lit(s"packTokens: null/invalid $name: "),
+        lit(s"packTokens: null/invalid/non-integral $name: "),
         coalesce(c.cast("string"), lit("null")))))
         .otherwise(v)
     }
@@ -96,26 +101,56 @@ object PackingOps {
       if (i >= 0) i else -i - 1
     }
     val withG = ds0.withColumn("g", bucketOf(col("id")))
-    // Per-bucket totals: #buckets tiny rows, driver-side prefix.
-    val totals = withG.groupBy("g").agg(sum("n").as("t"))
-      .as[(Int, Long)].collect().sortBy(_._1)
+    // Per-bucket totals: #buckets tiny rows, driver-side prefix. Row
+    // counts ride along for the cross-job invariant below.
+    val totals = withG.groupBy("g")
+      .agg(sum("n").as("t"), count("*").as("c"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
     var acc = 0L
-    val prefix: Map[Int, Long] = totals.map { case (g, t) =>
-      val e = g -> acc; acc += t; e
-    }.toMap
+    // bucket -> (exclusive token prefix, token total, row count)
+    val prefix: Map[Int, (Long, Long, Long)] =
+      totals.map { case (g, t, c) =>
+        val e = g -> (acc, t, c); acc += t; e
+      }.toMap
     val bc = spark.sparkContext.broadcast(prefix)
     val b = budget
     withG.repartition(col("g")).sortWithinPartitions("g", "id")
       .as[(Long, Long, Int)]
       .mapPartitions { it =>
+        // Cross-job determinism invariant: the offsets are only correct
+        // if THIS pass sees the same per-bucket token/row totals the
+        // collect pass saw. A deterministic input guarantees that; a
+        // nondeterministic one (sample()/rand()-derived) that happens
+        // to produce the same bucket keys with different totals would
+        // silently corrupt every downstream offset — so each bucket is
+        // closed against its collected (total, count) and any drift
+        // fails the job loudly instead.
         var curG = Int.MinValue
         var off = 0L
-        it.map { case (id, n, g) =>
-          if (g != curG) { curG = g; off = bc.value(g) }
+        var rows = 0L
+        var expTokens = 0L
+        var expRows = 0L
+        var base = 0L
+        def closeBucket(): Unit =
+          if (curG != Int.MinValue &&
+            (off - base != expTokens || rows != expRows))
+            throw new IllegalStateException(
+              s"packTokens: bucket $curG totals drifted between jobs " +
+                s"(expected $expTokens tokens/$expRows rows, saw " +
+                s"${off - base}/$rows) — is the input deterministic?")
+        val out = it.map { case (id, n, g) =>
+          if (g != curG) {
+            closeBucket()
+            curG = g
+            val (o, t, c) = bc.value(g)
+            off = o; base = o; expTokens = t; expRows = c; rows = 0L
+          }
           val start = off
           off += n
+          rows += 1
           (id, n, start, start / b)
         }
+        out ++ { closeBucket(); Iterator.empty }
       }.toDF(idCol, nTokCol, "tok_offset", "shard")
   }
 

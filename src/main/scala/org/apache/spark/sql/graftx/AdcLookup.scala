@@ -21,9 +21,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * per-subspace subtraction O(m·subDim) instead of the O(m) lookups
   * the LUT makes possible ([[graft.operators.Similarity.pqTopK]]).
   *
-  * Preconditions (caller-enforced, as with Spark's own array kernels):
-  * `lut.length == m·ksub` and every `code(i) ∈ [0, ksub)` — violations
-  * throw the JVM's own bounds error rather than silently clamping.
+  * Preconditions: `lut.length == m·ksub` and every
+  * `code(i) ∈ [0, ksub)` — violations throw IllegalArgumentException
+  * from an explicit per-element bounds check. The check is load-bearing,
+  * not defensive: on UnsafeArrayData (the common post-shuffle/codegen
+  * representation) `getDouble` is an unchecked Platform memory read, so
+  * WITHOUT the branch an out-of-range code would silently yield garbage
+  * distances instead of failing. The branch is predictable (never taken
+  * on valid input) and negligible next to the memory load.
   * Summation is left-to-right over subspaces, matching the per-
   * subspace grouping of the LUT build; on the exactly-representable
   * quarter-grid codebooks of the `ann_pq_probe` gate the result is
@@ -50,9 +55,19 @@ case class AdcLookup(left: Expression, right: Expression, ksub: Int)
     val lut = a.asInstanceOf[ArrayData]
     val code = b.asInstanceOf[ArrayData]
     val m = code.numElements()
+    val n = lut.numElements()
     var s = 0.0
     var i = 0
-    while (i < m) { s += lut.getDouble(i * ksub + code.getInt(i)); i += 1 }
+    while (i < m) {
+      val c = code.getInt(i)
+      val idx = i * ksub + c
+      if (c < 0 || c >= ksub || idx >= n)
+        throw new IllegalArgumentException(
+          s"adc_lookup: code $c at subspace $i out of range " +
+            s"(ksub=$ksub, lut length $n)")
+      s += lut.getDouble(idx)
+      i += 1
+    }
     s
   }
 
@@ -60,13 +75,24 @@ case class AdcLookup(left: Expression, right: Expression, ksub: Int)
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (lut, code) => {
       val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val idx = ctx.freshName("idx")
       val s = ctx.freshName("s")
       s"""
          |final int $m = $code.numElements();
+         |final int $n = $lut.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $m; $i++) {
-         |  $s += $lut.getDouble($i * $ksub + $code.getInt($i));
+         |  final int $c = $code.getInt($i);
+         |  final int $idx = $i * $ksub + $c;
+         |  if ($c < 0 || $c >= $ksub || $idx >= $n) {
+         |    throw new IllegalArgumentException(
+         |      "adc_lookup: code " + $c + " at subspace " + $i +
+         |      " out of range (ksub=$ksub, lut length " + $n + ")");
+         |  }
+         |  $s += $lut.getDouble($idx);
          |}
          |${ev.value} = $s;
        """.stripMargin

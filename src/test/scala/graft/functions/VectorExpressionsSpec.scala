@@ -55,6 +55,35 @@ class VectorExpressionsSpec extends SparkSpec {
       Seq(33.0, 36.0, 35.0))
   }
 
+  test("adcLookup fails loudly on out-of-range codes and short luts " +
+    "instead of reading garbage memory") {
+    val ksub = 4
+    val lutCol = array(Seq.tabulate(2 * ksub)(x =>
+      lit(x.toDouble)): _*)
+    // code 4 ≥ ksub at subspace 0: in-bounds for the 8-cell lut as a
+    // flat index, so ONLY the explicit ksub check can catch it
+    val badCode = spark.range(1)
+      .select(lutCol.as("lut"),
+        array(lit(4), lit(0)).cast("array<int>").as("code"))
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception] {
+      badCode.select(VectorExpressions
+        .adcLookup(col("lut"), col("code"), ksub)).collect()
+    }
+    assert(chain(e1).contains("adc_lookup"), chain(e1))
+    // short lut: valid codes, but subspace 2 indexes past the end
+    val shortLut = spark.range(1)
+      .select(lutCol.as("lut"), array(lit(0), lit(0), lit(0))
+        .cast("array<int>").as("code"))
+    val e2 = intercept[Exception] {
+      shortLut.select(VectorExpressions
+        .adcLookup(col("lut"), col("code"), ksub)).collect()
+    }
+    assert(chain(e2).contains("adc_lookup"), chain(e2))
+  }
+
   test("adcLookup equals the direct per-subspace distance on the " +
       "probe gate's grid codebooks") {
     import graft.operators.Similarity

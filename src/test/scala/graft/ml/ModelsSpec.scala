@@ -94,6 +94,23 @@ class ModelsSpec extends SparkSpec {
     assert(math.abs(Models.precisionAtRecall(scored, 0.9) - 2.0 / 3) < 1e-9)
   }
 
+  test("precisionAtRecall bounds threshold cardinality: continuous " +
+    "scores auto-quantize, unchanged answer on a separated set") {
+    // 20000 distinct doubles previously became a 20000-row driver
+    // broadcast and a 4·10⁸-pair range join; the guard snaps them to
+    // a 64-cell grid. Positives ([0.9, 0.92)) and negatives
+    // ([0.02, 0.2)) sit far apart relative to the ~0.014 cell width,
+    // so no grid cell mixes labels and the quantized read-off equals
+    // the exact one.
+    val scored = spark.range(20000).select(
+      when(col("id") < 2000, lit(0.9) + col("id") / lit(100000.0))
+        .otherwise(col("id") / lit(100000.0)).as("score"),
+      when(col("id") < 2000, 1).otherwise(0).as("label"))
+    val q = Models.precisionAtRecall(scored, 0.9,
+      maxDistinctScores = 64)
+    assert(q === 1.0)
+  }
+
   test("kFoldMetrics reports per-fold and mean/std like the reference") {
     val withKey = separable.withColumn("k",
       monotonically_increasing_id())

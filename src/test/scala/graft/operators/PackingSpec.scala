@@ -114,4 +114,23 @@ class PackingSpec extends SparkSpec {
       PackingOps.packTokens(df, "id", "n", 0L)
     }
   }
+
+  test("packTokens rejects fractional double ids instead of silently " +
+    "truncate-merging distinct ids") {
+    // 1.2 and 1.7 both cast("long") to 1 — before the integrality
+    // check they became ONE stream id with nondeterministic offsets
+    val df = Seq((1.2, 5L), (1.7, 3L), (2.0, 4L)).toDF("id", "n")
+    val e = intercept[Exception] {
+      PackingOps.packTokens(df, "id", "n", 8L).collect()
+    }
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("non-integral"), chain(e))
+    // integral-valued doubles remain accepted
+    val ok = PackingOps.packTokens(
+      Seq((1.0, 5L), (2.0, 3L)).toDF("id", "n"), "id", "n", 8L)
+      .collect()
+    assert(ok.length === 2)
+  }
 }
