@@ -101,6 +101,61 @@ object Encoders {
     pool(grid)
   }
 
+  /** M4 fidelity step beyond [[poolDayGrid]]: WINDOWED time pooling.
+    * Whole-axis pooling collapses all ordering within the year — the one
+    * signal the reference GRU (`rnn_model.ipynb:216-226`) consumes that
+    * the pooled head cannot see. This form keeps coarse order: the
+    * 366-day axis splits into `windows` contiguous spans (window of day
+    * d = d·windows/366, so 12 windows ≈ calendar months), each span
+    * pools to its own [max | mean | min] W-blocks, and the blocks
+    * concatenate in TIME ORDER — a 3·W·`windows` vector whose layout
+    * encodes when-in-the-year a code occurred, the per-day-window
+    * sequence a recurrent head would consume. `windows = 1` reduces
+    * exactly to [[poolDayGrid]]'s semantics (same pools, same layout).
+    * Still a narrow per-row transform on already-assembled grids. */
+  def poolDayGridWindows(grid: Column, width: Int,
+                         windows: Int): Column = {
+    require(windows >= 1 && windows <= 366,
+      s"windows must be in 1..366, got $windows")
+    // days in window w: |{d ∈ [0,366) : d*windows/366 == w}| — the
+    // mean/min denominators, precomputed once on the driver
+    val daysIn = Array.tabulate(windows)(w =>
+      (0 until 366).count(d => d * windows / 366 == w))
+    val pool = udf { (v: MlVector) =>
+      val counts = new Array[Int](windows * width)
+      def bump(ix: Int): Unit = {
+        val day = ix / width
+        val w = day * windows / 366
+        counts(w * width + ix % width) += 1
+      }
+      v match {
+        case s: SparseVector => s.indices.foreach(bump)
+        case d => d.foreachActive((ix, value) =>
+          if (value != 0.0) bump(ix))
+      }
+      val idx = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      var w = 0
+      while (w < windows) {
+        val base = w * 3 * width
+        var c = 0
+        while (c < width) {
+          val n = counts(w * width + c)
+          if (n > 0) {
+            idx += ((base + c, 1.0))                       // max
+            idx += ((base + width + c, n.toDouble / daysIn(w))) // mean
+            if (n == daysIn(w)) idx += ((base + 2 * width + c, 1.0)) // min
+          }
+          c += 1
+        }
+        w += 1
+      }
+      val sorted = idx.sortBy(_._1)
+      Vectors.sparse(3 * width * windows, sorted.map(_._1).toArray,
+        sorted.map(_._2).toArray): MlVector
+    }
+    pool(grid)
+  }
+
   /** AOV flatten (E1): given per-(key, year) rows with an indicator-index
     * array and demographic columns, emit one row per key with a
     * `years.size * (demos.size + width)` sparse vector, year-major —

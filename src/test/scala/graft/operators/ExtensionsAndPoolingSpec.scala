@@ -155,6 +155,41 @@ class ExtensionsAndPoolingSpec extends SparkSpec {
     assert((2 * w until 3 * w).forall(out(_) === 0.0)) // min block
   }
 
+  test("poolDayGridWindows: windows=1 reduces to poolDayGrid, and " +
+    "windowed pooling separates days that whole-axis pooling conflates") {
+    val w = 4
+    def gridOn(day: Int, code: Int) = Vectors.sparse(366 * w,
+      Array((day - 1) * w + code), Array(1.0))
+    // same (code) multiset on day 10 vs day 300: whole-axis pooling
+    // cannot tell them apart — the windowed layout must
+    val early = Seq(Tuple1(gridOn(10, 1))).toDF("grid")
+    val late = Seq(Tuple1(gridOn(300, 1))).toDF("grid")
+    def pooledW(df: org.apache.spark.sql.DataFrame, windows: Int) =
+      df.select(Encoders.poolDayGridWindows(col("grid"), w, windows)
+        .as("p")).head().getAs[SparseVector]("p")
+    def pooled1(df: org.apache.spark.sql.DataFrame) =
+      df.select(Encoders.poolDayGrid(col("grid"), w).as("p"))
+        .head().getAs[SparseVector]("p")
+    // windows=1 ≡ poolDayGrid
+    for (df <- Seq(early, late))
+      assert(pooledW(df, 1) === pooled1(df))
+    assert(pooled1(early) === pooled1(late)) // the conflation
+    val pe = pooledW(early, 12)
+    val pl = pooledW(late, 12)
+    assert(pe !== pl)
+    assert(pe.size === 3 * w * 12 && pl.size === 3 * w * 12)
+    // the active block sits at the day's window: day-1 maps via
+    // (d*12)/366 on the 0-based day index
+    val we = (9 * 12) / 366
+    val wl = (299 * 12) / 366
+    assert(pe(we * 3 * w + 1) === 1.0)  // max cell, window of day 10
+    assert(pl(wl * 3 * w + 1) === 1.0)  // max cell, window of day 300
+    assert(pe(wl * 3 * w + 1) === 0.0)
+    // mean uses the WINDOW's day count, not 366
+    val daysInWe = (0 until 366).count(d => d * 12 / 366 === we)
+    assert(pe(we * 3 * w + w + 1) === 1.0 / daysInWe)
+  }
+
   test("M3/M4 paths: MLP on the raw grid and LR on pooled features " +
     "train on the CMS fixture MHE output") {
     def res(n: String) = getClass.getResource(s"/cms/$n.csv").getPath
