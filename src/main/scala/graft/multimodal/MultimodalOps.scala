@@ -44,9 +44,14 @@ object MultimodalOps {
 
   /** Ingest a directory of media files through Spark's binaryFile
     * source into the [[mediaSchema]] shape. The source splits by file;
-    * `pathGlobFilter` prunes at listing time. At 100 TB prefer packing
-    * small files into parquet with a binary column first (the
-    * small-files problem) — this reader is the packing step's input. */
+    * `pathGlobFilter` prunes at listing time. NOTE: the source SKIPS
+    * 0-byte files at listing (they yield no splits) — they never enter
+    * the pipeline from here or from [[packMediaDir]]; an ingest that
+    * must account for every object should reconcile counts against
+    * its manifest (MediaScale asserts this semantic at 10^5 files).
+    * At 100 TB prefer packing small files into parquet with a binary
+    * column first (the small-files problem) — this reader is the
+    * packing step's input. */
   def loadBinaryDir(spark: org.apache.spark.sql.SparkSession,
                     path: String, kind: String,
                     glob: String = "*"): DataFrame =
