@@ -141,7 +141,11 @@ object Models {
                         maxDistinctScores: Int = 4096): Double = {
     require(maxDistinctScores > 0,
       s"maxDistinctScores must be positive, got $maxDistinctScores")
-    val hist0 = scored.groupBy(col("score"))
+    // score is normalized to double up front: the quantize branch
+    // reads min/max with Row.getDouble, which would ClassCastException
+    // on a float/decimal score column (the groupBy/join path coerces
+    // implicitly, the Row read does not)
+    val hist0 = scored.groupBy(col("score").cast("double").as("score"))
       .agg(sum(col("label")).cast("long").as("pos"),
         count("*").as("n"))
       .persist()

@@ -12,6 +12,36 @@ import org.apache.spark.sql.functions._
   */
 object ApproxQueries {
 
+  /** Full DuckDB replay of symmetric-distance PQ search on the
+    * quarter-spaced grid codebooks (snap each coordinate to its
+    * nearest grid point via bracketing indices, tie to the lower =
+    * the encoder's first-min; exact doubles throughout). Shared by
+    * `ann_pq_probe` and `ann_ivf_pq_probe` — the latter probes every
+    * cell, which provably collapses the composed IVF-PQ result to
+    * this same dense ADC scan. */
+  private val pqProbeReplaySql: String =
+    "WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
+      "AS x, generate_subscripts(embedding, 1) AS pos " +
+      "FROM embeddings), " +
+      "lo AS (SELECT vec_id, pos, x, LEAST(15, GREATEST(0, " +
+      "CAST(FLOOR((x + 2.0) * 4) AS INT))) AS li FROM el), " +
+      "sn AS (SELECT vec_id, pos, CASE WHEN " +
+      "ABS(x - (-2.0 + 0.25 * li)) <= " +
+      "ABS(x - (-2.0 + 0.25 * LEAST(li + 1, 15))) " +
+      "THEN -2.0 + 0.25 * li " +
+      "ELSE -2.0 + 0.25 * LEAST(li + 1, 15) END AS s FROM lo), " +
+      "q AS (SELECT vec_id AS q_id, pos, s AS qs FROM sn " +
+      "WHERE vec_id % 25 = 0), " +
+      "p AS (SELECT q.q_id, c.vec_id AS neighbor_id, " +
+      "SUM((q.qs - c.s) * (q.qs - c.s)) AS adc FROM q " +
+      "JOIN sn c ON q.pos = c.pos AND c.vec_id <> q.q_id " +
+      "GROUP BY q.q_id, c.vec_id), " +
+      "r AS (SELECT q_id, neighbor_id, adc, ROW_NUMBER() OVER " +
+      "(PARTITION BY q_id ORDER BY adc, neighbor_id) AS nn_rank " +
+      "FROM p) " +
+      "SELECT q_id, neighbor_id, CAST(nn_rank AS INT) AS nn_rank, " +
+      "ROUND(adc, 6) AS adc_dist FROM r WHERE nn_rank <= 5"
+
   val defs: Map[String, QDef] = Map(
 
     // MinHash-LSH dedup now carries the exact-Jaccard DuckDB oracle:
@@ -255,27 +285,7 @@ object ApproxQueries {
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("adc"), 6).as("adc_dist"))
       },
-      "WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
-        "AS x, generate_subscripts(embedding, 1) AS pos " +
-        "FROM embeddings), " +
-        "lo AS (SELECT vec_id, pos, x, LEAST(15, GREATEST(0, " +
-        "CAST(FLOOR((x + 2.0) * 4) AS INT))) AS li FROM el), " +
-        "sn AS (SELECT vec_id, pos, CASE WHEN " +
-        "ABS(x - (-2.0 + 0.25 * li)) <= " +
-        "ABS(x - (-2.0 + 0.25 * LEAST(li + 1, 15))) " +
-        "THEN -2.0 + 0.25 * li " +
-        "ELSE -2.0 + 0.25 * LEAST(li + 1, 15) END AS s FROM lo), " +
-        "q AS (SELECT vec_id AS q_id, pos, s AS qs FROM sn " +
-        "WHERE vec_id % 25 = 0), " +
-        "p AS (SELECT q.q_id, c.vec_id AS neighbor_id, " +
-        "SUM((q.qs - c.s) * (q.qs - c.s)) AS adc FROM q " +
-        "JOIN sn c ON q.pos = c.pos AND c.vec_id <> q.q_id " +
-        "GROUP BY q.q_id, c.vec_id), " +
-        "r AS (SELECT q_id, neighbor_id, adc, ROW_NUMBER() OVER " +
-        "(PARTITION BY q_id ORDER BY adc, neighbor_id) AS nn_rank " +
-        "FROM p) " +
-        "SELECT q_id, neighbor_id, CAST(nn_rank AS INT) AS nn_rank, " +
-        "ROUND(adc, 6) AS adc_dist FROM r WHERE nn_rank <= 5"),
+      pqProbeReplaySql),
 
     // IVF-PQ composition — the index shape a 100-TB corpus actually
     // searches: coarse cells bound the candidate set, PQ codes bound
@@ -296,34 +306,33 @@ object ApproxQueries {
             round(col("adc"), 6).as("adc_dist"))
       }),
 
-    // Hash-exact IVF-PQ gate, combining the two probe constructions:
-    // identical-copy probes (negative ids) quantize to the SAME cell
-    // as their originals (ann_ivf_probe's argument) and to the SAME
-    // grid code (ann_pq_probe's codebooks), and each query enters as
-    // its own DECODED reconstruction — so its original sits in a
-    // probed cell at ADC exactly 0.0, every other candidate differs
-    // in ≥1 grid dimension (strictly positive ADC on the
-    // quarter-spaced grid), and the top-1 relation is closed-form.
-    // Exercises cell assignment, one-pass encode, probe selection,
-    // LUT build, and ADC ranking end to end with zero float slack.
+    // Hash-exact IVF-PQ gate: the same grid-codebook replay as
+    // ann_pq_probe, but run through the COMPOSED path — ivfPqIndex
+    // (cell assignment + encode in one pass) and ivfPqTopK (probe
+    // explode, per-cell code join, LUT ADC, ranking). Probing every
+    // cell (nprobe = nlist) makes the composition provably equal the
+    // dense ADC scan (DedupSimilaritySpec asserts it row-for-row), so
+    // the oracle is the full SQL replay — airtight with NO
+    // data-dependent assumptions, unlike a closed-form top-1 would be
+    // (a decoded query near a Voronoi boundary can rank its raw cell
+    // outside a restricted probe set, and grid-code collisions would
+    // break an assumed-unique ADC-0 winner). The nprobe < nlist cell
+    // RESTRICTION is gated separately: ann_ivf_probe (driver,
+    // closed-form on raw identical copies) + the ivfPqTopK cell-leak
+    // spec.
     "ann_ivf_pq_probe" -> QDef(
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
-        val probes = e.where(col("vec_id") % 10 === 0)
-          .select((-col("vec_id") - 1).as("vec_id"), col("label"),
-            col("embedding"))
         val cbs = Similarity.gridCodebooks(dim = 64)
-        val (centroids, codes) = Similarity.ivfPqIndex(
-          e.unionByName(probes), nlist = 8, cbs)
-        val queries = Similarity.pqDecode(codes.where(col("id") < 0),
+        val (centroids, codes) = Similarity.ivfPqIndex(e, nlist = 8,
           cbs)
+        val queries = Similarity.pqDecode(
+          codes.where(col("id") % 25 === 0), cbs)
         Similarity.ivfPqTopK(centroids, codes, cbs, queries,
-          k = 1, nprobe = 3)
+          k = 5, nprobe = 8)
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("adc"), 6).as("adc_dist"))
       },
-      "SELECT -vec_id - 1 AS q_id, vec_id AS neighbor_id, " +
-        "CAST(1 AS INT) AS nn_rank, 0.0 AS adc_dist FROM embeddings " +
-        "WHERE vec_id % 10 = 0")
+      pqProbeReplaySql)
   )
 }

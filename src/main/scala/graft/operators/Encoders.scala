@@ -77,13 +77,12 @@ object Encoders {
   def poolDayGrid(grid: Column, width: Int): Column = {
     val pool = udf { (v: MlVector) =>
       val counts = new Array[Int](width)
-      v match {
-        case s: SparseVector =>
-          s.indices.foreach(ix => counts(ix % width) += 1)
-        case d =>
-          d.foreachActive((ix, value) =>
-            if (value != 0.0) counts(ix % width) += 1)
-      }
+      // foreachActive + nonzero filter for EVERY representation: a
+      // SparseVector can carry explicit 0.0 entries (legal output of
+      // generic slicing/assembly), and counting stored indices would
+      // pool a never-occurred code differently sparse vs dense.
+      v.foreachActive((ix, value) =>
+        if (value != 0.0) counts(ix % width) += 1)
       val idx = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       var w = 0
       while (w < width) {
@@ -128,11 +127,9 @@ object Encoders {
         val w = day * windows / 366
         counts(w * width + ix % width) += 1
       }
-      v match {
-        case s: SparseVector => s.indices.foreach(bump)
-        case d => d.foreachActive((ix, value) =>
-          if (value != 0.0) bump(ix))
-      }
+      // same explicit-zero rule as poolDayGrid: only truly nonzero
+      // cells count, whatever the vector representation
+      v.foreachActive((ix, value) => if (value != 0.0) bump(ix))
       val idx = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       var w = 0
       while (w < windows) {

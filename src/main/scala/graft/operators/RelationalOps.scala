@@ -169,10 +169,12 @@ object RelationalOps {
     val counts = withG.groupBy("__g").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
-    val prefix = counts.map { case (g, c) => val e = (g, acc); acc += c; e }
+    val prefix = counts.map { case (g, c) =>
+      val e = (g, acc, c); acc += c; e
+    }
     val n = acc
     val offsets = spark.createDataFrame(prefix.toIndexedSeq)
-      .toDF("__g", "__off")
+      .toDF("__g", "__off", "__exp")
     val w = Window.partitionBy("__g").orderBy(col(valueCol), col(keyCol))
     val rank = col("__off") + row_number().over(w)
     val size = n / k
@@ -182,9 +184,22 @@ object RelationalOps {
     // (n < k: every rank ≤ cut) never reaches the /size division.
     val tile = when(rank <= cut, intDiv(rank - 1, lit(size + 1)) + 1)
       .otherwise(lit(rem) + intDiv(rank - cut - 1, lit(size)) + 1)
+    // Cross-job determinism invariant (the packTokens guard, same
+    // reason): the ranks are only global if THIS pass sees the same
+    // per-bucket row counts the collect pass saw. A nondeterministic
+    // input (sample()/rand()-derived) would silently overlap or gap
+    // the rank space — fail loudly instead. count().over shares the
+    // window partition already being built, so the check is free.
+    val sameCount = count(lit(1)).over(Window.partitionBy("__g"))
+    val guarded = when(sameCount =!= col("__exp"), raise_error(concat(
+      lit("distributedNtile: bucket row count drifted between jobs " +
+        "(saw "), sameCount.cast("string"), lit(", collected "),
+      col("__exp").cast("string"),
+      lit(") — is the input deterministic?"))))
+      .otherwise(tile)
     withG.join(broadcast(offsets), "__g")
-      .withColumn(tileCol, tile.cast("int"))
-      .drop("__g", "__off")
+      .withColumn(tileCol, guarded.cast("int"))
+      .drop("__g", "__off", "__exp")
   }
 
   /** Order-independent exact sum of a double column: route through

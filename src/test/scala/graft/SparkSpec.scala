@@ -24,4 +24,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   lazy val sfDir = "/root/testdata/sf0.001"
+
+  /** All messages along a throwable's cause chain — Spark wraps task
+    * failures (raise_error, codegen throws) in SparkException layers
+    * whose outer message may not carry the root cause's text. */
+  protected def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
 }

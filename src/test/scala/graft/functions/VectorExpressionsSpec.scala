@@ -65,14 +65,11 @@ class VectorExpressionsSpec extends SparkSpec {
     val badCode = spark.range(1)
       .select(lutCol.as("lut"),
         array(lit(4), lit(0)).cast("array<int>").as("code"))
-    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
-      .takeWhile(_ != null)
-      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     val e1 = intercept[Exception] {
       badCode.select(VectorExpressions
         .adcLookup(col("lut"), col("code"), ksub)).collect()
     }
-    assert(chain(e1).contains("adc_lookup"), chain(e1))
+    assert(causeChain(e1).contains("adc_lookup"), causeChain(e1))
     // short lut: valid codes, but subspace 2 indexes past the end
     val shortLut = spark.range(1)
       .select(lutCol.as("lut"), array(lit(0), lit(0), lit(0))
@@ -81,7 +78,7 @@ class VectorExpressionsSpec extends SparkSpec {
       shortLut.select(VectorExpressions
         .adcLookup(col("lut"), col("code"), ksub)).collect()
     }
-    assert(chain(e2).contains("adc_lookup"), chain(e2))
+    assert(causeChain(e2).contains("adc_lookup"), causeChain(e2))
   }
 
   test("adcLookup equals the direct per-subspace distance on the " +

@@ -123,10 +123,7 @@ class PackingSpec extends SparkSpec {
     val e = intercept[Exception] {
       PackingOps.packTokens(df, "id", "n", 8L).collect()
     }
-    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
-      .takeWhile(_ != null)
-      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-    assert(chain(e).contains("non-integral"), chain(e))
+    assert(causeChain(e).contains("non-integral"), causeChain(e))
     // integral-valued doubles remain accepted
     val ok = PackingOps.packTokens(
       Seq((1.0, 5L), (2.0, 3L)).toDF("id", "n"), "id", "n", 8L)
