@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries —
+    // iterating on one query's plan shouldn't cost a full-surface run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,11 +49,14 @@ object Bench {
     // landing early in the iteration. One throwaway pass warms the
     // shared machinery for everyone; failures surface in the timed
     // runs where they are recorded per-query.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val selected = only
+      .map(o => SparkEntry.queries.filter(kv => o(kv._1)))
+      .getOrElse(SparkEntry.queries)
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val r = (timeOnce(fn), timeOnce(fn)) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (Left(e), _) => Left(e)

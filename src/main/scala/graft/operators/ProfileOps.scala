@@ -73,6 +73,105 @@ object ProfileOps {
       "min_v", "max_v", "mean_v", "stddev_v")
   }
 
+  /** Equal-width histograms for numeric columns — the report's
+    * "distributions" section, computed for ALL requested columns in
+    * TWO passes total regardless of column count: one tiny agg for
+    * the (min, max) bounds, then one unpivot + groupBy over
+    * (column, bin). Binning arithmetic is plain IEEE ops on the same
+    * doubles in any engine (hash-exact under a DuckDB replay).
+    * Nulls are excluded; a constant column lands entirely in bin 0.
+    *
+    * @return (column, bin, bin_lo, n) with bin ∈ [0, bins)
+    */
+  def histograms(df: DataFrame, cols: Seq[String],
+                 bins: Int = 20): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(cols.nonEmpty, "histograms needs at least one column")
+    val boundAggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("double").as(s"${c}__mn"),
+        max(col(c)).cast("double").as(s"${c}__mx"))
+    }
+    val bRow = df.agg(boundAggs.head, boundAggs.tail: _*).head()
+    def b(c: String, s: String): Option[Double] =
+      Option(bRow.get(bRow.fieldIndex(s"${c}__$s")))
+        .map(_.asInstanceOf[Double])
+    // unpivot to (column, value) and bin with per-column literal
+    // bounds — one scan, one shuffle on (column, bin)
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"),
+        col(c).cast("double").as("v"))): _*)).as("cv"))
+      .select(col("cv.column").as("column"), col("cv.v").as("v"))
+      .where(col("v").isNotNull)
+    val binExpr = cols.map { c =>
+      (b(c, "mn"), b(c, "mx")) match {
+        case (Some(mn), Some(mx)) if mx > mn =>
+          (c, least(floor((col("v") - mn) / (mx - mn) * bins),
+            lit(bins - 1)).cast("int"),
+            lit(mn) + col("bin") * lit((mx - mn) / bins))
+        case (Some(mn), _) => (c, lit(0), lit(mn))
+        case _ => (c, lit(0), lit(null).cast("double"))
+      }
+    }
+    val binCol = binExpr.foldLeft(lit(-1).cast("int")) {
+      case (acc, (c, e, _)) => when(col("column") === c, e).otherwise(acc)
+    }
+    val loCol = binExpr.foldLeft(lit(null).cast("double")) {
+      case (acc, (c, _, lo)) => when(col("column") === c, lo)
+        .otherwise(acc)
+    }
+    stacked.withColumn("__bin", binCol)
+      .groupBy(col("column"), col("__bin").as("bin"))
+      .agg(count("*").as("n"))
+      .withColumn("bin_lo", loCol.as("bin_lo"))
+      .select("column", "bin", "bin_lo", "n")
+  }
+
+  /** Pairwise Pearson correlations — the report's "interactions"
+    * section, ALL pairs in ONE aggregate pass: per-column and
+    * per-pair moment sums ride a single `agg` (shared single-column
+    * sums are computed once, not once per pair), routed through
+    * decimal so partial-aggregation order cannot perturb bits (the
+    * [[RelationalOps.exactSum]] doctrine — `corr()` itself
+    * accumulates doubles order-dependently and is not
+    * cross-engine-reproducible). The closed form then runs on the
+    * tiny moment row. Columns must be non-null numeric.
+    *
+    * @return (col_a, col_b, corr) for each unordered pair, corr
+    *         rounded to 6 decimals, NaN → null for constant columns
+    */
+  def correlations(df: DataFrame, cols: Seq[String],
+                   scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, "correlations needs at least two columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(28, scale)))
+        .cast("double")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count("*").cast("double").as("__n")) ++
+      cols.flatMap(c => Seq(dsum(col(c)).as(s"__s__$c"),
+        dsum(col(c) * col(c)).as(s"__ss__$c"))) ++
+      pairs.map { case (a, b) =>
+        dsum(col(a) * col(b)).as(s"__sp__${a}__$b")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def g(name: String): Double =
+      row.getDouble(row.fieldIndex(name))
+    val n = g("__n")
+    val out = pairs.map { case (a, b) =>
+      val (sx, sy) = (g(s"__s__$a"), g(s"__s__$b"))
+      val (sxx, syy) = (g(s"__ss__$a"), g(s"__ss__$b"))
+      val sxy = g(s"__sp__${a}__$b")
+      val c = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      (a, b, if (c.isNaN) None
+      else Some(math.floor(c * 1e6 + 0.5) / 1e6))
+    }
+    out.toDF("col_a", "col_b", "corr")
+  }
+
   /** Render a [[profile]] result as the self-contained HTML report
     * artifact the reference emits (`dataprep_report.py:11,27` builds an
     * HTML profile per input frame). The profile row set is tiny (one
@@ -115,11 +214,58 @@ object ProfileOps {
        |</table></body></html>""".stripMargin
   }
 
-  /** Profile + render + write in one call — the `dataprep_report.py`
-    * entry-point shape. */
+  /** Profile + distributions + interactions, rendered and written in
+    * one call — the `dataprep_report.py` entry-point shape (its HTML
+    * report carries per-column stats, distribution plots, and
+    * correlation/interaction tables; dataprep_report.py:11,27).
+    * Numeric columns are detected from the schema; histogram and
+    * correlation sections are appended when any exist. */
   def writeHtmlReport(df: DataFrame, path: String,
                       title: String = "EDA report"): Unit = {
-    val html = renderHtml(profile(df), title)
+    val prof = profile(df)
+    val numCols = df.schema.fields
+      .collect { case f if f.dataType.isInstanceOf[NumericType] =>
+        f.name }.toSeq
+    // correlations require non-null columns (the one-pass moment sums
+    // would pair count(*) with null-skipping sums); use the profile's
+    // own null counts to keep nullable columns out of that section
+    val nullFree = {
+      val nulls = prof.select("column", "nulls").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      numCols.filter(nulls(_) == 0L)
+    }
+    val esc = (s: String) => s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    val extra = new StringBuilder
+    if (numCols.nonEmpty) {
+      extra ++= s"<h2>Distributions (20 bins)</h2>\n<table><tr>" +
+        "<th>column</th><th>bin</th><th>bin_lo</th><th>n</th></tr>\n"
+      histograms(df, numCols).orderBy("column", "bin").collect()
+        .foreach { r =>
+          extra ++= s"<tr><td>${esc(r.getString(0))}</td>" +
+            s"<td>${r.getInt(1)}</td>" +
+            s"<td>${Option(r.get(2)).map(v => String.format(
+              java.util.Locale.ROOT, "%.4f",
+              v.asInstanceOf[java.lang.Double])).getOrElse("")}</td>" +
+            s"<td>${r.getLong(3)}</td></tr>\n"
+        }
+      extra ++= "</table>\n"
+    }
+    if (nullFree.size >= 2) {
+      extra ++= "<h2>Interactions (Pearson)</h2>\n<table><tr>" +
+        "<th>col_a</th><th>col_b</th><th>corr</th></tr>\n"
+      correlations(df, nullFree).collect().foreach { r =>
+        extra ++= s"<tr><td>${esc(r.getString(0))}</td>" +
+          s"<td>${esc(r.getString(1))}</td>" +
+          s"<td>${Option(r.get(2)).map(v => String.format(
+            java.util.Locale.ROOT, "%.6f",
+            v.asInstanceOf[java.lang.Double])).getOrElse("")}</td>" +
+          "</tr>\n"
+      }
+      extra ++= "</table>\n"
+    }
+    val html = renderHtml(prof, title)
+      .replace("</body></html>", extra.toString + "</body></html>")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()

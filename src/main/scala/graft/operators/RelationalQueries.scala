@@ -426,6 +426,56 @@ object RelationalQueries {
           s"CAST(MAX($c) AS DOUBLE) AS max_v FROM lineitem"
       }.mkString(" UNION ALL ")),
 
+    // S5 distributions: the dataprep report's per-column histograms
+    // (dataprep_report.py's distribution plots) — all columns in one
+    // unpivot + one (column, bin) shuffle, bounds from one tiny agg.
+    // Binning is plain IEEE arithmetic on identical parquet doubles,
+    // so DuckDB reproduces the bins exactly.
+    "profile_histogram" -> QDef(
+      (s, d) => ProfileOps.histograms(
+        t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"), bins = 20)
+        .select(col("column").as("col_name"), col("bin"), col("n")),
+      Seq("l_quantity", "l_extendedprice").map { c =>
+        s"SELECT '$c' AS col_name, CAST(LEAST(FLOOR((CAST($c AS " +
+          s"DOUBLE) - mn) / (mx - mn) * 20), 19) AS INT) AS bin, " +
+          s"COUNT(*) AS n FROM lineitem, (SELECT CAST(MIN($c) AS " +
+          s"DOUBLE) AS mn, CAST(MAX($c) AS DOUBLE) AS mx FROM " +
+          s"lineitem) WHERE $c IS NOT NULL GROUP BY 2"
+      }.mkString(" UNION ALL ")),
+
+    // S5 interactions: pairwise Pearson over the numeric columns —
+    // one moment-sum pass for every pair (decimal-routed, so both
+    // engines see bit-identical sums; see corr_agg), closed form +
+    // the SAME floor-based rounding on both sides.
+    "profile_corr" -> QDef(
+      (s, d) => ProfileOps.correlations(
+        t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+      {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        def m(c: String) =
+          s"CAST(SUM(CAST($c AS DECIMAL(28,4))) AS DOUBLE)"
+        def mm(a: String, b: String) =
+          s"CAST(SUM(CAST($a * $b AS DECIMAL(28,4))) AS DOUBLE)"
+        val pairs = for {
+          i <- cols.indices; j <- (i + 1) until cols.size
+        } yield (cols(i), cols(j))
+        "WITH mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+          cols.flatMap(c => Seq(s"${m(c)} AS s_$c",
+            s"${mm(c, c)} AS ss_$c")).mkString(", ") + ", " +
+          pairs.zipWithIndex.map { case ((a, b), i) =>
+            s"${mm(a, b)} AS sp_$i"
+          }.mkString(", ") + " FROM lineitem) " +
+          pairs.zipWithIndex.map { case ((a, b), i) =>
+            s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+              s"FLOOR((n * sp_$i - s_$a * s_$b) / " +
+              s"SQRT((n * ss_$a - s_$a * s_$a) * " +
+              s"(n * ss_$b - s_$b * s_$b)) * 1000000 + 0.5) / 1000000 " +
+              s"AS corr FROM mo"
+          }.mkString(" UNION ALL ")
+      }),
+
     // ----- §2.7 metric queries ------------------------------------------
 
     // M6: confusion matrix.

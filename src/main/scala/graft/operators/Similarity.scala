@@ -130,6 +130,38 @@ object Similarity {
       : (Array[Array[Double]], DataFrame) = {
     val base = VectorQueries.withNorm(emb)
       .withColumnRenamed("vec_id", "id")
+    val centroids = trainQuantizer(base, nlist, seed, trainPoints,
+      sizeHint)
+    val assign = udf((v: Seq[Double]) => nearestCell(centroids, v))
+    (centroids, base.withColumn("cell", assign(col("v"))))
+  }
+
+  /** Index of the closest centroid to `v` by squared L2 — the coarse
+    * quantizer's assignment function, shared by [[ivfIndex]]'s UDF
+    * and [[ivfPqIndex]]'s typed pass. */
+  private def nearestCell(centroids: Array[Array[Double]],
+                          v: Seq[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      var d = 0.0; var j = 0
+      while (j < ct.length && j < v.length) {
+        val t = v(j) - ct(j); d += t * t; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The one-pass deterministic sample + local Lloyd's training that
+    * backs [[ivfIndex]] and [[ivfPqIndex]] — see [[ivfIndex]]'s
+    * scaladoc for the sampling rationale. */
+  private def trainQuantizer(base: DataFrame, nlist: Int, seed: Long,
+                             trainPoints: Int,
+                             sizeHint: Option[Long])
+      : Array[Array[Double]] = {
     val sampled = sizeHint match {
       case Some(n) if n > trainPoints =>
         val frac = math.min(1.0, 1.2 * trainPoints.toDouble / n)
@@ -153,22 +185,7 @@ object Similarity {
     }
     val pts = sampled.collect()
       .map(_.getSeq[Double](0).toArray)
-    val centroids = trainCentroids(pts, nlist, seed)
-    val assign = udf { (v: Seq[Double]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        val ct = centroids(c)
-        var d = 0.0; var j = 0
-        while (j < ct.length && j < v.length) {
-          val t = v(j) - ct(j); d += t * t; j += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    (centroids, base.withColumn("cell", assign(col("v"))))
+    trainCentroids(pts, nlist, seed)
   }
 
   /** Seeded Lloyd's k-means over an in-memory sample — the quantizer
@@ -331,37 +348,40 @@ object Similarity {
         .as("code"))
   }
 
-  /** The per-vector PQ encoder shared by [[pqEncode]] and
-    * [[ivfPqIndex]]. */
-  private def encodeUdf(codebooks: Array[Array[Array[Double]]])
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+  /** The per-vector PQ encoder shared by [[pqEncode]]'s UDF and
+    * [[ivfPqIndex]]'s typed pass. Ties take the FIRST minimal code
+    * (strict `<`), matching the oracle's argmin convention. */
+  private def encodeVec(codebooks: Array[Array[Array[Double]]],
+                        v: Seq[Double]): Array[Int] = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
-    udf { (v: Seq[Double]) =>
-      require(v != null && v.length >= m * subDim,
-        s"pqEncode: vector null or shorter than m*subDim = ${m * subDim}")
-      val code = new Array[Int](m)
-      var i = 0
-      while (i < m) {
-        val cb = codebooks(i)
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb.length) {
-          var d = 0.0
-          var j = 0
-          while (j < subDim) {
-            val t = v(i * subDim + j) - cb(c)(j); d += t * t; j += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+    require(v != null && v.length >= m * subDim,
+      s"pqEncode: vector null or shorter than m*subDim = ${m * subDim}")
+    val code = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val cb = codebooks(i)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val t = v(i * subDim + j) - cb(c)(j); d += t * t; j += 1
         }
-        code(i) = best
-        i += 1
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
       }
-      code
+      code(i) = best
+      i += 1
     }
+    code
   }
+
+  private def encodeUdf(codebooks: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Double]) => encodeVec(codebooks, v))
 
   /** Decode codes back to their centroid vectors (the reconstruction;
     * feeding a decoded query to [[pqTopK]] gives symmetric-distance
@@ -439,17 +459,33 @@ object Similarity {
     * cluster memory (or a cell-partitioned parquet whose probes are
     * partition-pruned scans) while the vectors themselves never load
     * at search time.
+    *
+    * The pass is a TYPED mapPartitions, not UDF columns, and that is
+    * load-bearing: an object boundary forces code/cell to evaluate
+    * exactly once per row. As UDF projections they inline into
+    * [[ivfPqTopK]]'s codegen'd broadcast join, which re-evaluates the
+    * full O(m·ksub) encode PER JOIN MATCH — measured 7× slower on the
+    * `ann_ivf_pq_probe` gate (7.7 s → 1.1 s at sf0.1).
     */
   def ivfPqIndex(emb: DataFrame, nlist: Int,
                  codebooks: Array[Array[Array[Double]]],
                  seed: Long = 42L, trainPoints: Int = 4096,
                  sizeHint: Option[Long] = None)
       : (Array[Array[Double]], DataFrame) = {
-    val (centroids, indexed) =
-      ivfIndex(emb, nlist, seed, trainPoints, sizeHint)
-    (centroids,
-      indexed.select(col("id"),
-        encodeUdf(codebooks)(col("v")).as("code"), col("cell")))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = VectorQueries.withNorm(emb)
+      .withColumnRenamed("vec_id", "id")
+    val centroids = trainQuantizer(base, nlist, seed, trainPoints,
+      sizeHint)
+    val codes = base.select(col("id"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          (id, encodeVec(codebooks, v), nearestCell(centroids, v))
+        }
+      }.toDF("id", "code", "cell")
+    (centroids, codes)
   }
 
   /** IVF-PQ search (FAISS `IndexIVFPQ` shape): each query ranks the

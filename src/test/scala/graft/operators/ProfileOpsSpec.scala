@@ -34,6 +34,43 @@ class ProfileOpsSpec extends SparkSpec {
     assert(qty.getLong(2) === 6000)
   }
 
+  test("histograms bin all requested columns in one pass: totals " +
+    "preserved, bins in range, constant column collapses to bin 0") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toDouble, 7.0, if (i % 10 == 0) None else Some(i * 2.0)))
+      .toDF("a", "c", "withnulls")
+    val h = ProfileOps.histograms(df, Seq("a", "c", "withnulls"),
+      bins = 10).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3)))
+    val byCol = h.groupBy(_._1)
+    // totals = non-null counts
+    assert(byCol("a").map(_._3).sum === 100)
+    assert(byCol("c").map(_._3).sum === 100)
+    assert(byCol("withnulls").map(_._3).sum === 90)
+    // equal-width over 0..99 with 10 bins → 10 per bin
+    assert(byCol("a").length === 10 &&
+      byCol("a").forall(_._3 === 10))
+    assert(h.forall(x => x._2 >= 0 && x._2 < 10))
+    // constant column: everything in bin 0
+    assert(byCol("c") === Array(("c", 0, 100L)))
+  }
+
+  test("correlations matches Spark's own corr() and pins the exact " +
+    "perfect/anti cases") {
+    val df = Seq.tabulate(50)(i =>
+      (i.toDouble, i * 3.0 + 1, -2.0 * i, (i % 7).toDouble))
+      .toDF("x", "lin", "neg", "noise")
+    val got = ProfileOps.correlations(df,
+      Seq("x", "lin", "neg", "noise")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got(("x", "lin")) === Some(1.0))
+    assert(got(("x", "neg")) === Some(-1.0))
+    val builtin = df.stat.corr("x", "noise")
+    assert(math.abs(got(("x", "noise")).get - builtin) < 1e-6)
+    assert(got.size === 6) // all unordered pairs, one row each
+  }
+
   test("renderHtml emits the self-contained report artifact with one " +
     "row per column and escaped content") {
     val df = Seq((1, "a<b", Some(1.5)), (2, "ok", None))
@@ -51,8 +88,29 @@ class ProfileOpsSpec extends SparkSpec {
     val path = java.nio.file.Files
       .createTempDirectory("graft_eda").resolve("report.html").toString
     ProfileOps.writeHtmlReport(df, path)
-    assert(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path))).contains("</table></body></html>"))
+    val written = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    assert(written.endsWith("</body></html>"))
+    // v is nullable → excluded from correlations (one numeric
+    // null-free column left: no interactions section, but the
+    // distribution section still renders)
+    assert(written.contains("<h2>Distributions (20 bins)</h2>"))
+    assert(!written.contains("<h2>Interactions"))
+  }
+
+  test("writeHtmlReport appends distribution and interaction " +
+    "sections for numeric columns") {
+    val df = Seq.tabulate(30)(i => (i.toDouble, i * 2.0, s"s$i"))
+      .toDF("x", "y", "s")
+    val out = java.nio.file.Files
+      .createTempFile("graft_eda", ".html").toString
+    ProfileOps.writeHtmlReport(df, out)
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8")
+    assert(html.contains("<h2>Distributions (20 bins)</h2>"))
+    assert(html.contains("<h2>Interactions (Pearson)</h2>"))
+    assert(html.contains("1.000000")) // corr(x, y) exactly 1
+    assert(html.endsWith("</body></html>"))
   }
 
   test("withPdeCounts joins prescription counts with zero-fill") {
