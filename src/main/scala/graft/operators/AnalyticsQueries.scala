@@ -302,9 +302,11 @@ object AnalyticsQueries {
 
     // Equal-frequency decile binning (QuantileDiscretizer semantics,
     // exact form): NTILE over a deterministic (value, key) order. The
-    // unpartitioned window is the documented exact-form trade (same as
-    // kfold_assign); the scale path computes approximate decile
-    // boundaries on a sample and broadcast-bins — no global sort.
+    // unpartitioned window is the single-reducer exact form, kept for
+    // small model-training sets; `quantile_bin_scale` below is the
+    // SAME exact result via distributed ranks (no global sort —
+    // docs/NTILE_SCALE.md proves equality + 4× at 10^7 rows on one
+    // machine, unbounded on a cluster).
     "quantile_bin" -> QDef(
       (s, d) => {
         val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
