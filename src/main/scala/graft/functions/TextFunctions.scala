@@ -27,6 +27,24 @@ object TextFunctions {
   private[graft] def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Chunk-start indices for RAG-style overlapping token windows:
+    * chunk i covers tokens [i·stride, i·stride + win); the last chunk
+    * starts at the smallest multiple of `stride` that still reaches
+    * the final token, so every token lands in ≥ 1 chunk and
+    * consecutive chunks overlap by win − stride. Pure map-side
+    * arithmetic (plain IEEE ops identical in any engine): the number
+    * of chunks is ceil(max(n − win, 0)/stride) + 1, via the
+    * floor((x + stride−1)/stride) form both engines compute the same
+    * way. Pair with `slice` + `array_join` for the chunk text. */
+  def chunkIndices(nTokens: Column, win: Int, stride: Int): Column = {
+    require(win > 0, s"win must be positive, got $win")
+    require(stride > 0 && stride <= win,
+      s"stride must be in 1..win, got $stride")
+    sequence(lit(0),
+      floor((greatest(nTokens - lit(win), lit(0)) + lit(stride - 1)) /
+        lit(stride)).cast("int"))
+  }
+
   /** Character n-grams of a lowercased, space-normalized string.
     * Strings shorter than n yield an EMPTY array: the old
     * `sequence(1, greatest(len-(n-1), 0))` form produced the

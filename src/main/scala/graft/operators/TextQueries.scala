@@ -338,6 +338,36 @@ object TextQueries {
     // would hash-mismatch three queries at once. Null docs carry no
     // token signal; excluding them is also the right pipeline
     // semantics.
+    // RAG/pretraining document chunking: overlapping windows of 50
+    // single-space tokens at stride 40 — one row per (doc, chunk),
+    // entirely map-side (explode of a computed index range + slice;
+    // no shuffle, no UDF, survives any corpus size). Single-space
+    // split (not \s+) is the SQL-parity tokenization, as in
+    // token_count's n_tokens_ws.
+    "doc_chunk" -> QDef(
+      (s, d) => {
+        val win = 50
+        val stride = 40
+        docs(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.chunkIndices(
+              size(col("w")), win, stride)).as("chunk_idx"),
+            col("w"))
+          .select(col("doc_id"), col("chunk_idx"),
+            array_join(slice(col("w"),
+              col("chunk_idx") * stride + 1, lit(win)), " ")
+              .as("chunk_text"))
+      },
+      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT doc_id, w, UNNEST(range(0, " +
+        "CAST(FLOOR((GREATEST(len(w) - 50, 0) + 39) / 40.0) AS INT) " +
+        "+ 1)) AS i FROM d) " +
+        "SELECT doc_id, CAST(i AS INT) AS chunk_idx, " +
+        "array_to_string(w[i*40 + 1 : i*40 + 50], ' ') AS chunk_text " +
+        "FROM c"),
+
     "token_count" -> QDef(
       (s, d) => docs(s, d).where(col("text").isNotNull).select(
         col("doc_id"),

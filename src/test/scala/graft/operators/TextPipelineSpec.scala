@@ -12,6 +12,49 @@ import org.apache.spark.sql.functions._
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("doc_chunk windows: full coverage, win-stride overlap, and " +
+    "stream reconstruction from chunk prefixes") {
+    import graft.functions.TextFunctions
+    val win = 5
+    val stride = 3
+    // 1..11 tokens exercises: shorter-than-win, exact-win, one-past,
+    // and multi-chunk docs
+    val docsDf = (1 to 11).map(n =>
+      (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(TextFunctions.chunkIndices(size(col("w")), win,
+          stride)).as("i"), col("w"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("w"), col("i") * stride + 1, lit(win)),
+          " ").as("chunk"))
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+      .toMap
+    (1 to 11).foreach { n =>
+      val toks = (1 to n).map(i => s"t$i")
+      val cs = chunks(n.toLong).map(_.split(" ").toSeq)
+      // every token covered, chunks ≤ win tokens, last chunk reaches
+      // the final token
+      assert(cs.flatten.toSet === toks.toSet, s"n=$n coverage")
+      assert(cs.forall(_.size <= win), s"n=$n width")
+      assert(cs.last.last === s"t$n", s"n=$n tail")
+      // consecutive chunks overlap by win - stride
+      cs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.takeRight(win - stride) === b.take(win - stride)
+            .take(a.size - stride max 0) ||
+            a.size < win, s"n=$n overlap")
+        case _ =>
+      }
+      // the original stream rebuilds from stride-prefixes + last tail
+      val rebuilt = cs.init.map(_.take(stride)).flatten ++ cs.last
+      assert(rebuilt === toks, s"n=$n reconstruction")
+    }
+  }
+
   test("repStats: hand-computed fractions on a repeating doc") {
     // "a b a b c": words 5, distinct 3 → dup_word_frac = 1 - 3/5 = 0.4
     // bigrams = [a b, b a, a b, b c] (4), distinct 3 → dup_2gram = 0.25
