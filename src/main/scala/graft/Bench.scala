@@ -49,6 +49,14 @@ object Bench {
     // landing early in the iteration. One throwaway pass warms the
     // shared machinery for everyone; failures surface in the timed
     // runs where they are recorded per-query.
+    // A misspelled name must fail, not produce an instant-green
+    // 0-second "benchmark" of nothing.
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: " +
+          unknown.mkString(", "))
+    }
     val selected = only
       .map(o => SparkEntry.queries.filter(kv => o(kv._1)))
       .getOrElse(SparkEntry.queries)

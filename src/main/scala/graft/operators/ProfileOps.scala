@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -83,23 +83,45 @@ object ProfileOps {
     *
     * @return (column, bin, bin_lo, n) with bin ∈ [0, bins)
     */
-  def histograms(df: DataFrame, cols: Seq[String],
-                 bins: Int = 20): DataFrame = {
+  def histograms(df: DataFrame, cols: Seq[String], bins: Int = 20,
+                 bounds: Option[Map[String, (Double, Double)]] = None)
+      : DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
     require(cols.nonEmpty, "histograms needs at least one column")
-    val boundAggs = cols.flatMap { c =>
-      Seq(min(col(c)).cast("double").as(s"${c}__mn"),
-        max(col(c)).cast("double").as(s"${c}__mx"))
+    // Non-finite values are EXCLUDED from both bounds and bins: a
+    // single NaN makes max() return NaN (NaN sorts largest) and an
+    // Infinity collapses (v-mn)/(mx-mn) to 0 — either silently
+    // flattened a whole column's distribution into one bin.
+    def finite(c: Column): Column = {
+      val d = c.cast("double")
+      when(isnan(d) || d === Double.PositiveInfinity ||
+        d === Double.NegativeInfinity, lit(null).cast("double"))
+        .otherwise(d)
     }
-    val bRow = df.agg(boundAggs.head, boundAggs.tail: _*).head()
-    def b(c: String, s: String): Option[Double] =
-      Option(bRow.get(bRow.fieldIndex(s"${c}__$s")))
-        .map(_.asInstanceOf[Double])
+    // Per-column bound: the caller-supplied value when finite (e.g.
+    // profile()'s min_v/max_v, saving a full bounds pass), else the
+    // lazily-computed non-finite-excluded aggregate (run at most once,
+    // and not at all when every supplied bound is usable).
+    lazy val boundsRow: org.apache.spark.sql.Row = {
+      val boundAggs = cols.flatMap { c =>
+        Seq(min(finite(col(c))).as(s"${c}__mn"),
+          max(finite(col(c))).as(s"${c}__mx"))
+      }
+      df.agg(boundAggs.head, boundAggs.tail.toSeq: _*).head()
+    }
+    def b(c: String, s: String): Option[Double] = {
+      val supplied = bounds.flatMap(_.get(c))
+        .map(p => if (s == "mn") p._1 else p._2)
+        .filterNot(v => v.isNaN || v.isInfinite)
+      supplied.orElse(
+        Option(boundsRow.get(boundsRow.fieldIndex(s"${c}__$s")))
+          .map(_.asInstanceOf[Double]))
+    }
     // unpivot to (column, value) and bin with per-column literal
     // bounds — one scan, one shuffle on (column, bin)
     val stacked = df.select(explode(array(cols.map(c =>
       struct(lit(c).as("column"),
-        col(c).cast("double").as("v"))): _*)).as("cv"))
+        finite(col(c)).as("v"))): _*)).as("cv"))
       .select(col("cv.column").as("column"), col("cv.v").as("v"))
       .where(col("v").isNotNull)
     val binExpr = cols.map { c =>
@@ -140,27 +162,40 @@ object ProfileOps {
     *         rounded to 6 decimals, NaN → null for constant columns
     */
   def correlations(df: DataFrame, cols: Seq[String],
-                   scale: Int = 4): DataFrame = {
+                   scale: Int = 4,
+                   exact: Boolean = true): DataFrame = {
     require(cols.size >= 2, "correlations needs at least two columns")
     val spark = df.sparkSession
     import spark.implicits._
-    def dsum(c: org.apache.spark.sql.Column) =
-      sum(c.cast(org.apache.spark.sql.types.DecimalType(28, scale)))
-        .cast("double")
+    // exact mode routes each moment through decimal(28, scale) —
+    // cross-engine bit-reproducible, but the DOMAIN is bounded:
+    // values quantize to `scale` decimals (micro-scale data sums to
+    // zero) and v², v·w must fit 28 digits (overflow nulls out under
+    // ansi=false and silently drops rows). Right for the oracle gate's
+    // TPC-H-scale decimals; for arbitrary frames (writeHtmlReport)
+    // pass exact = false: plain double moments, no quantization, no
+    // overflow, merely not bit-reproducible across engines.
+    def msum(c: org.apache.spark.sql.Column) =
+      if (exact) RelationalOps.exactSum(c, scale, precision = 28)
+      else sum(c.cast("double"))
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
     val aggs = Seq(count("*").cast("double").as("__n")) ++
-      cols.flatMap(c => Seq(dsum(col(c)).as(s"__s__$c"),
-        dsum(col(c) * col(c)).as(s"__ss__$c"))) ++
+      cols.flatMap(c => Seq(msum(col(c)).as(s"__s__$c"),
+        msum(col(c) * col(c)).as(s"__ss__$c"))) ++
       pairs.map { case (a, b) =>
-        dsum(col(a) * col(b)).as(s"__sp__${a}__$b")
+        msum(col(a) * col(b)).as(s"__sp__${a}__$b")
       }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    def g(name: String): Double =
-      row.getDouble(row.fieldIndex(name))
+    def g(name: String): Double = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+    }
     val n = g("__n")
     val out = pairs.map { case (a, b) =>
+      // n == 0 (empty frame) leaves every sum NULL → NaN → null corr
+      // rather than an NPE out of Row.getDouble
       val (sx, sy) = (g(s"__s__$a"), g(s"__s__$b"))
       val (sxx, syy) = (g(s"__ss__$a"), g(s"__ss__$b"))
       val sxy = g(s"__sp__${a}__$b")
@@ -240,7 +275,19 @@ object ProfileOps {
     if (numCols.nonEmpty) {
       extra ++= s"<h2>Distributions (20 bins)</h2>\n<table><tr>" +
         "<th>column</th><th>bin</th><th>bin_lo</th><th>n</th></tr>\n"
-      histograms(df, numCols).orderBy("column", "bin").collect()
+      val profBounds = prof
+        .select("column", "min_v", "max_v").collect()
+        .flatMap { r =>
+          (Option(r.get(1)), Option(r.get(2))) match {
+            case (Some(mn: java.lang.Double), Some(mx: java.lang.Double))
+              if numCols.contains(r.getString(0)) =>
+              Some(r.getString(0) ->
+                (mn.doubleValue, mx.doubleValue))
+            case _ => None
+          }
+        }.toMap
+      histograms(df, numCols, bounds = Some(profBounds))
+        .orderBy("column", "bin").collect()
         .foreach { r =>
           extra ++= s"<tr><td>${esc(r.getString(0))}</td>" +
             s"<td>${r.getInt(1)}</td>" +
@@ -254,7 +301,8 @@ object ProfileOps {
     if (nullFree.size >= 2) {
       extra ++= "<h2>Interactions (Pearson)</h2>\n<table><tr>" +
         "<th>col_a</th><th>col_b</th><th>corr</th></tr>\n"
-      correlations(df, nullFree).collect().foreach { r =>
+      correlations(df, nullFree, exact = false).collect()
+        .foreach { r =>
         extra ++= s"<tr><td>${esc(r.getString(0))}</td>" +
           s"<td>${esc(r.getString(1))}</td>" +
           s"<td>${Option(r.get(2)).map(v => String.format(

@@ -203,11 +203,16 @@ object RelationalOps {
   }
 
   /** Order-independent exact sum of a double column: route through
-    * decimal(18,2) so partial-aggregate order cannot perturb the result
-    * (needed for bit-exact cross-engine verification), then back to double.
-    */
-  def exactSum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+    * decimal(precision, scale) so partial-aggregate order cannot
+    * perturb the result (needed for bit-exact cross-engine
+    * verification), then back to double. The single definition of the
+    * sum-through-decimal doctrine — moment-sum callers
+    * ([[ProfileOps.correlations]], `corr_agg`) widen the precision for
+    * squared terms. Domain: |values| must fit the decimal (overflow
+    * nulls out under ansi=false and the sum silently drops the row)
+    * and are quantized to `scale` decimals. */
+  def exactSum(c: Column, scale: Int = 2, precision: Int = 18): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(precision, scale)))
       .cast("double")
 
   /** As-of join: for each left row, the single latest right row with

@@ -98,6 +98,38 @@ class ProfileOpsSpec extends SparkSpec {
     assert(!written.contains("<h2>Interactions"))
   }
 
+  test("histograms exclude non-finite values instead of flattening " +
+    "the column, and accept precomputed bounds") {
+    val df = (1 to 100).map(_.toDouble).toDF("a")
+      .union(Seq(Double.NaN, Double.PositiveInfinity).toDF("a"))
+    val h = ProfileOps.histograms(df, Seq("a"), bins = 10).collect()
+      .map(r => (r.getInt(1), r.getLong(3)))
+    // a NaN previously made max() = NaN and collapsed everything to
+    // bin 0; now 1..100 spreads over all 10 bins, non-finite dropped
+    assert(h.map(_._2).sum === 100)
+    assert(h.length === 10 && h.forall(_._2 === 10))
+    // supplied bounds skip the bounds pass and bin identically
+    val h2 = ProfileOps.histograms(df, Seq("a"), bins = 10,
+      bounds = Some(Map("a" -> (1.0, 100.0)))).collect()
+      .map(r => (r.getInt(1), r.getLong(3))).toSet
+    assert(h2 === h.toSet)
+  }
+
+  test("correlations: empty frame yields null corr (no NPE); " +
+    "exact=false handles micro-scale data the decimal path cannot") {
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    val e = ProfileOps.correlations(empty, Seq("x", "y")).collect()
+    assert(e.length === 1 && e(0).isNullAt(2))
+    // micro-scale: decimal(28,4) quantizes 1e-6-scale values to zero
+    val micro = (1 to 50).map(i => (i * 1e-6, i * 2e-6)).toDF("x", "y")
+    val exact = ProfileOps.correlations(micro, Seq("x", "y"))
+      .collect()(0)
+    assert(exact.isNullAt(2)) // quantized to 0 → undefined, null
+    val dbl = ProfileOps.correlations(micro, Seq("x", "y"),
+      exact = false).collect()(0)
+    assert(dbl.getDouble(2) === 1.0)
+  }
+
   test("writeHtmlReport appends distribution and interaction " +
     "sections for numeric columns") {
     val df = Seq.tabulate(30)(i => (i.toDouble, i * 2.0, s"s$i"))
