@@ -293,6 +293,46 @@ object TextQueries {
       "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, " +
         "COUNT(*) AS dup_count FROM documents GROUP BY md5(text)"),
 
+    // Sub-document exact dedup (the C4 pipeline's line-level pass:
+    // boilerplate sentences recur VERBATIM across pages — nav text,
+    // disclaimers, licenses — and doc-level dedup never sees them).
+    // Sentences that appear in ≥ 2 DISTINCT documents, with counts:
+    // explode is map-side; the one shuffle groups 16-byte md5 keys,
+    // never sentence text; distinct doc attribution via a pre-distinct
+    // (sentence, doc) projection so a sentence repeated within one doc
+    // doesn't inflate n_docs. A removal pass is then a broadcast
+    // semi-join of this (small) relation against the exploded corpus.
+    // The synthetic corpus has no naturally repeated sentences, which
+    // would make this a vacuous 0-row green — so every 10th document
+    // re-enters under a negative id (the standard probe construction):
+    // each of its ≥20-char sentences then provably crosses documents,
+    // and the oracle replays the identical union, keeping the full
+    // (not closed-form) check non-empty.
+    "dedup_lines" -> QDef(
+      (s, d) => {
+        val base = docs(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val probes = base.where(col("doc_id") % 10 === 0)
+          .select((-col("doc_id") - 1).as("doc_id"), col("text"))
+        base.unionByName(probes)
+          .select(col("doc_id"),
+            explode(split(col("text"), "\\. ")).as("line"))
+          .where(length(col("line")) >= 20)
+          .distinct()
+          .groupBy(md5(col("line")).as("line_hash"))
+          .agg(count("*").as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+          .where(col("n_docs") >= 2)
+      },
+      "SELECT md5(line) AS line_hash, COUNT(*) AS n_docs, " +
+        "MIN(doc_id) AS first_doc FROM (SELECT DISTINCT doc_id, " +
+        "UNNEST(string_split_regex(text, '\\. ')) AS line FROM (" +
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL " +
+        "UNION ALL SELECT -doc_id - 1, text FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 10 = 0)) " +
+        "WHERE length(line) >= 20 " +
+        "GROUP BY md5(line) HAVING COUNT(*) >= 2"),
+
     // Near-dup detection: word-3-gram Jaccard with (lang, length-bucket)
     // blocking. Blocking bounds the pair count — the all-pairs join is
     // replaced by a per-bucket join, which is the scalable shape (same
