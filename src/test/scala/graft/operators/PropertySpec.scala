@@ -26,6 +26,26 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("distributedNtile equals window NTILE over generated sizes, " +
+    "tile counts, and duplicate-value densities (property)") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.chooseNum(1, 400)
+      k <- Gen.chooseNum(1, 17)
+      dupMod <- Gen.chooseNum(1, 50) // 1 = all-equal, 50 = mostly unique
+    } yield (n, k, dupMod)
+    samples(gen, 12).foreach { case (n, k, dupMod) =>
+      val df = (1 to n).map(i => (i.toLong, (i % dupMod).toDouble))
+        .toDF("id", "v")
+      val expected = df.withColumn("tile",
+        ntile(k).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      val got = RelationalOps.distributedNtile(df, "v", "id", k)
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      assert(got === expected, s"n=$n k=$k dupMod=$dupMod")
+    }
+  }
+
   test("simhash is order-insensitive and self-distance zero") {
     samples(Gen.listOfN(12, Gen.alphaStr.suchThat(_.nonEmpty)), 25)
       .foreach { tokens =>
