@@ -318,20 +318,22 @@ object TextQueries {
           .select(col("doc_id"),
             explode(split(col("text"), "\\. ")).as("line"))
           .where(length(col("line")) >= 20)
-          .distinct()
+          // both exchanges carry only (16-byte hash, doc_id) pairs
+          // with map-side partial distinct — a distinct-then-group
+          // form would shuffle the full sentence text first
           .groupBy(md5(col("line")).as("line_hash"))
-          .agg(count("*").as("n_docs"),
+          .agg(count_distinct(col("doc_id")).as("n_docs"),
             min(col("doc_id")).as("first_doc"))
           .where(col("n_docs") >= 2)
       },
-      "SELECT md5(line) AS line_hash, COUNT(*) AS n_docs, " +
-        "MIN(doc_id) AS first_doc FROM (SELECT DISTINCT doc_id, " +
+      "SELECT md5(line) AS line_hash, COUNT(DISTINCT doc_id) AS " +
+        "n_docs, MIN(doc_id) AS first_doc FROM (SELECT doc_id, " +
         "UNNEST(string_split_regex(text, '\\. ')) AS line FROM (" +
         "SELECT doc_id, text FROM documents WHERE text IS NOT NULL " +
         "UNION ALL SELECT -doc_id - 1, text FROM documents " +
         "WHERE text IS NOT NULL AND doc_id % 10 = 0)) " +
         "WHERE length(line) >= 20 " +
-        "GROUP BY md5(line) HAVING COUNT(*) >= 2"),
+        "GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 2"),
 
     // Near-dup detection: word-3-gram Jaccard with (lang, length-bucket)
     // blocking. Blocking bounds the pair count — the all-pairs join is
