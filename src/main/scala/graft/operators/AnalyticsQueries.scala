@@ -350,8 +350,7 @@ object AnalyticsQueries {
       (s, d) => {
         val li = Tables.load(s, d, "lineitem")
         def dsum(c: org.apache.spark.sql.Column, sc: Int = 4) =
-          sum(c.cast(org.apache.spark.sql.types.DecimalType(28, sc)))
-            .cast("double")
+          RelationalOps.exactSum(c, sc, precision = 28)
         val agg = li.agg(
           count("*").cast("double").as("n"),
           dsum(col("l_quantity")).as("sx"),

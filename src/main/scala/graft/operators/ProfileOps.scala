@@ -124,11 +124,14 @@ object ProfileOps {
         finite(col(c)).as("v"))): _*)).as("cv"))
       .select(col("cv.column").as("column"), col("cv.v").as("v"))
       .where(col("v").isNotNull)
+    // clamped on BOTH ends so the contract bin ∈ [0, bins) holds even
+    // under caller-supplied bounds narrower than the data (values
+    // below the min fold into bin 0, above the max into bins-1)
     val binExpr = cols.map { c =>
       (b(c, "mn"), b(c, "mx")) match {
         case (Some(mn), Some(mx)) if mx > mn =>
-          (c, least(floor((col("v") - mn) / (mx - mn) * bins),
-            lit(bins - 1)).cast("int"),
+          (c, greatest(least(floor((col("v") - mn) / (mx - mn) * bins),
+            lit(bins - 1)), lit(0)).cast("int"),
             lit(mn) + col("bin") * lit((mx - mn) / bins))
         case (Some(mn), _) => (c, lit(0), lit(mn))
         case _ => (c, lit(0), lit(null).cast("double"))
@@ -301,6 +304,12 @@ object ProfileOps {
     if (nullFree.size >= 2) {
       extra ++= "<h2>Interactions (Pearson)</h2>\n<table><tr>" +
         "<th>col_a</th><th>col_b</th><th>corr</th></tr>\n"
+      // exact = false: arbitrary report frames need the unquantized,
+      // overflow-free double moments; the deliberate trade is that the
+      // interactions section (alone) is not byte-reproducible across
+      // partitioning layouts — a corr at a 6th-decimal rounding
+      // boundary can flip its last digit. renderHtml's byte-identity
+      // doctrine holds for the profile and distribution sections.
       correlations(df, nullFree, exact = false).collect()
         .foreach { r =>
         extra ++= s"<tr><td>${esc(r.getString(0))}</td>" +

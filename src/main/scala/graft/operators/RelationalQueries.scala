@@ -430,18 +430,24 @@ object RelationalQueries {
     // (dataprep_report.py's distribution plots) — all columns in one
     // unpivot + one (column, bin) shuffle, bounds from one tiny agg.
     // Binning is plain IEEE arithmetic on identical parquet doubles,
-    // so DuckDB reproduces the bins exactly.
+    // so DuckDB reproduces the bins exactly; the oracle replicates the
+    // Spark side's non-finite exclusion and two-ended clamp, so parity
+    // holds even on double columns carrying NaN/Infinity (vacuous on
+    // these columns, load-bearing for any future histogram query).
     "profile_histogram" -> QDef(
       (s, d) => ProfileOps.histograms(
         t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice"), bins = 20)
         .select(col("column").as("col_name"), col("bin"), col("n")),
       Seq("l_quantity", "l_extendedprice").map { c =>
-        s"SELECT '$c' AS col_name, CAST(LEAST(FLOOR((CAST($c AS " +
-          s"DOUBLE) - mn) / (mx - mn) * 20), 19) AS INT) AS bin, " +
+        s"SELECT '$c' AS col_name, " +
+          s"CAST(GREATEST(LEAST(FLOOR((CAST($c AS DOUBLE) - mn) / " +
+          s"(mx - mn) * 20), 19), 0) AS INT) AS bin, " +
           s"COUNT(*) AS n FROM lineitem, (SELECT CAST(MIN($c) AS " +
           s"DOUBLE) AS mn, CAST(MAX($c) AS DOUBLE) AS mx FROM " +
-          s"lineitem) WHERE $c IS NOT NULL GROUP BY 2"
+          s"lineitem WHERE isfinite(CAST($c AS DOUBLE))) " +
+          s"WHERE $c IS NOT NULL AND isfinite(CAST($c AS DOUBLE)) " +
+          "GROUP BY 2"
       }.mkString(" UNION ALL ")),
 
     // S5 interactions: pairwise Pearson over the numeric columns —

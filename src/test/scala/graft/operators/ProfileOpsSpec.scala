@@ -120,8 +120,10 @@ class ProfileOpsSpec extends SparkSpec {
     val empty = Seq.empty[(Double, Double)].toDF("x", "y")
     val e = ProfileOps.correlations(empty, Seq("x", "y")).collect()
     assert(e.length === 1 && e(0).isNullAt(2))
-    // micro-scale: decimal(28,4) quantizes 1e-6-scale values to zero
-    val micro = (1 to 50).map(i => (i * 1e-6, i * 2e-6)).toDF("x", "y")
+    // micro-scale: every value AND product stays below decimal(28,4)'s
+    // 0.00005 rounding threshold (max 5e-6), so exact mode quantizes
+    // every moment to zero by construction — no rounding knife-edges
+    val micro = (1 to 50).map(i => (i * 1e-7, i * 2e-7)).toDF("x", "y")
     val exact = ProfileOps.correlations(micro, Seq("x", "y"))
       .collect()(0)
     assert(exact.isNullAt(2)) // quantized to 0 → undefined, null
