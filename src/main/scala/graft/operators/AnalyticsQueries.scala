@@ -88,6 +88,63 @@ object AnalyticsQueries {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment"),
 
+    // Tukey-fence outlier flagging per segment — the standard
+    // data-cleaning pass before model features. Shape: the grouped
+    // quartile agg is a FEW rows broadcast back over the scan (the
+    // minmax_scale shape) — the fact table never re-shuffles. Exact
+    // per-group percentile buffers each group (fine at segment
+    // cardinality); swap approx_percentile in for million-group keys.
+    // The fence arithmetic is identical IEEE ops on both engines over
+    // the interpolated quartiles percentile_agg already proves exact.
+    "outlier_iqr" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val q = o.groupBy("o_orderstatus").agg(
+          percentile(col("o_totalprice"), lit(0.25)).as("q1"),
+          percentile(col("o_totalprice"), lit(0.75)).as("q3"))
+        o.join(broadcast(q), "o_orderstatus")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") <
+              col("q1") - (col("q3") - col("q1")) * 1.5 ||
+              col("o_totalprice") >
+                col("q3") + (col("q3") - col("q1")) * 1.5)
+              .cast("int").as("is_outlier"))
+      },
+      "WITH q AS (SELECT o_orderstatus, " +
+        "quantile_cont(o_totalprice, 0.25) AS q1, " +
+        "quantile_cont(o_totalprice, 0.75) AS q3 " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT o_orderkey, o.o_orderstatus, " +
+        "CASE WHEN o_totalprice < q1 - (q3 - q1) * 1.5 " +
+        "OR o_totalprice > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END " +
+        "AS is_outlier FROM orders o " +
+        "JOIN q ON o.o_orderstatus = q.o_orderstatus"),
+
+    // Median/IQR robust scaling (RobustScaler semantics) — the
+    // outlier-insensitive alternative to minmax_scale, same
+    // broadcast-stats-over-scan shape. round(6) after two IEEE ops on
+    // identical quartiles keeps the compare bit-stable.
+    "robust_scale" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val q = o.groupBy("o_orderstatus").agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("med"),
+          percentile(col("o_totalprice"), lit(0.25)).as("q1"),
+          percentile(col("o_totalprice"), lit(0.75)).as("q3"))
+        o.join(broadcast(q), "o_orderstatus")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round((col("o_totalprice") - col("med")) /
+              (col("q3") - col("q1")), 6).as("scaled"))
+      },
+      "WITH q AS (SELECT o_orderstatus, " +
+        "quantile_cont(o_totalprice, 0.5) AS med, " +
+        "quantile_cont(o_totalprice, 0.25) AS q1, " +
+        "quantile_cont(o_totalprice, 0.75) AS q3 " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT o_orderkey, o.o_orderstatus, " +
+        "ROUND((o_totalprice - med) / (q3 - q1), 6) AS scaled " +
+        "FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus"),
+
     // Rollup: per (status, priority) with subtotals and a grand total.
     "rollup_agg" -> QDef(
       (s, d) => Tables.load(s, d, "orders")
