@@ -152,6 +152,42 @@ object RelationalQueries {
         "CASE WHEN doc_id % 5 = 0 THEN '   ' ELSE lang END, " +
         "'^\\s*$', 'None') AS lang_clean FROM documents"),
 
+    // Smoothed target encoding (the category-mean feature James-Stein
+    // shrunk toward the global rate with prior weight m=10) — the
+    // standard high-cardinality categorical encoder next to multi_hot
+    // and dict_recode. Shape: two tiny aggregates (per-category, and
+    // one global row) broadcast back over the scan — the fact table
+    // never shuffles. Integer label sums are exact; the final
+    // arithmetic is the same IEEE op sequence on both engines,
+    // round(6)ed.
+    "target_encode" -> QDef(
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            orderLabel.as("label"))
+        val g = o.agg(
+          sum(col("label")).cast("double").as("sg"),
+          count("*").cast("double").as("ng"))
+        val c = o.groupBy("o_orderpriority").agg(
+          sum(col("label")).cast("double").as("sc"),
+          count("*").cast("double").as("nc"))
+        o.join(broadcast(c), Seq("o_orderpriority"))
+          .crossJoin(broadcast(g))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round((col("sc") + lit(10.0) * (col("sg") / col("ng"))) /
+              (col("nc") + lit(10.0)), 6).as("te"))
+      },
+      s"WITH lab AS (SELECT o_orderkey, o_orderpriority, " +
+        s"$orderLabelSql AS label FROM orders), " +
+        "g AS (SELECT CAST(SUM(label) AS DOUBLE) AS sg, " +
+        "CAST(COUNT(*) AS DOUBLE) AS ng FROM lab), " +
+        "c AS (SELECT o_orderpriority, CAST(SUM(label) AS DOUBLE) " +
+        "AS sc, CAST(COUNT(*) AS DOUBLE) AS nc FROM lab GROUP BY 1) " +
+        "SELECT o_orderkey, lab.o_orderpriority, " +
+        "ROUND((sc + 10.0 * (sg / ng)) / (nc + 10.0), 6) AS te " +
+        "FROM lab JOIN c ON lab.o_orderpriority = c.o_orderpriority " +
+        "CROSS JOIN g"),
+
     // P15: binary label derivation (ref cms_preprocess.py:202).
     "label_case_when" -> QDef(
       (s, d) => t(s, d, "orders")
@@ -503,6 +539,30 @@ object RelationalQueries {
         "(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END) " +
         "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy " +
         "FROM orders"),
+
+    // Calibration / reliability diagram: equal-width score bins with
+    // per-bin mean prediction vs observed label rate — the standard
+    // probability-calibration read-off next to M5-M11. One hash
+    // aggregate; the mean score sums INTEGER hundredths (the score is
+    // k/100 by construction) so no float accumulation order exists,
+    // and the fixed division chain is identical on both engines.
+    "calibration_bins" -> QDef(
+      (s, d) => t(s, d, "orders")
+        .select((col("o_orderkey") % 100).as("k"),
+          orderLabel.as("label"))
+        .groupBy(least(floor((col("k") / lit(100.0)) * 10), lit(9))
+          .cast("int").as("bin"))
+        .agg(count("*").as("n"),
+          round(sum(col("k")).cast("double") / 100.0 / count("*"), 6)
+            .as("mean_score"),
+          round(sum(col("label")).cast("double") / count("*"), 6)
+            .as("mean_label")),
+      "SELECT CAST(LEAST(FLOOR(((o_orderkey % 100) / 100.0) * 10), 9) " +
+        "AS INT) AS bin, COUNT(*) AS n, " +
+        "ROUND(CAST(SUM(o_orderkey % 100) AS DOUBLE) / 100.0 " +
+        "/ COUNT(*), 6) AS mean_score, " +
+        s"ROUND(CAST(SUM($orderLabelSql) AS DOUBLE) / COUNT(*), 6) " +
+        "AS mean_label FROM orders GROUP BY 1"),
 
     // M10: MSE of a deterministic score against the label.
     "mse_agg" -> QDef(
