@@ -122,8 +122,12 @@ object AnalyticsQueries {
 
     // Median/IQR robust scaling (RobustScaler semantics) — the
     // outlier-insensitive alternative to minmax_scale, same
-    // broadcast-stats-over-scan shape. round(6) after two IEEE ops on
-    // identical quartiles keeps the compare bit-stable.
+    // broadcast-stats-over-scan shape. Rounding uses the
+    // floor(x·1e6 + 0.5)/1e6 form IN BOTH ENGINES, not round(): the
+    // scaled value is negative-capable, and for a tiny negative
+    // Spark's BigDecimal round yields +0.0 while DuckDB's ROUND
+    // yields -0.0 — an exact-string-compare mismatch waiting on the
+    // right data (the floor form maps both to +0.0).
     "robust_scale" -> QDef(
       (s, d) => {
         val o = Tables.load(s, d, "orders")
@@ -133,8 +137,9 @@ object AnalyticsQueries {
           percentile(col("o_totalprice"), lit(0.75)).as("q3"))
         o.join(broadcast(q), "o_orderstatus")
           .select(col("o_orderkey"), col("o_orderstatus"),
-            round((col("o_totalprice") - col("med")) /
-              (col("q3") - col("q1")), 6).as("scaled"))
+            (floor((col("o_totalprice") - col("med")) /
+              (col("q3") - col("q1")) * 1e6 + 0.5) / 1e6)
+              .as("scaled"))
       },
       "WITH q AS (SELECT o_orderstatus, " +
         "quantile_cont(o_totalprice, 0.5) AS med, " +
@@ -142,7 +147,8 @@ object AnalyticsQueries {
         "quantile_cont(o_totalprice, 0.75) AS q3 " +
         "FROM orders GROUP BY 1) " +
         "SELECT o_orderkey, o.o_orderstatus, " +
-        "ROUND((o_totalprice - med) / (q3 - q1), 6) AS scaled " +
+        "FLOOR((o_totalprice - med) / (q3 - q1) * 1000000.0 + 0.5) " +
+        "/ 1000000.0 AS scaled " +
         "FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus"),
 
     // Rollup: per (status, priority) with subtotals and a grand total.

@@ -165,12 +165,14 @@ object RelationalQueries {
         val o = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderpriority"),
             orderLabel.as("label"))
-        val g = o.agg(
-          sum(col("label")).cast("double").as("sg"),
-          count("*").cast("double").as("ng"))
+        // the global row derives FROM the per-category aggregate —
+        // sums of integer-valued doubles are order-exact, and it
+        // saves a third scan of the fact table
         val c = o.groupBy("o_orderpriority").agg(
           sum(col("label")).cast("double").as("sc"),
           count("*").cast("double").as("nc"))
+        val g = c.agg(sum(col("sc")).as("sg"),
+          sum(col("nc")).as("ng"))
         o.join(broadcast(c), Seq("o_orderpriority"))
           .crossJoin(broadcast(g))
           .select(col("o_orderkey"), col("o_orderpriority"),
@@ -179,10 +181,9 @@ object RelationalQueries {
       },
       s"WITH lab AS (SELECT o_orderkey, o_orderpriority, " +
         s"$orderLabelSql AS label FROM orders), " +
-        "g AS (SELECT CAST(SUM(label) AS DOUBLE) AS sg, " +
-        "CAST(COUNT(*) AS DOUBLE) AS ng FROM lab), " +
         "c AS (SELECT o_orderpriority, CAST(SUM(label) AS DOUBLE) " +
-        "AS sc, CAST(COUNT(*) AS DOUBLE) AS nc FROM lab GROUP BY 1) " +
+        "AS sc, CAST(COUNT(*) AS DOUBLE) AS nc FROM lab GROUP BY 1), " +
+        "g AS (SELECT SUM(sc) AS sg, SUM(nc) AS ng FROM c) " +
         "SELECT o_orderkey, lab.o_orderpriority, " +
         "ROUND((sc + 10.0 * (sg / ng)) / (nc + 10.0), 6) AS te " +
         "FROM lab JOIN c ON lab.o_orderpriority = c.o_orderpriority " +

@@ -25,12 +25,27 @@ class FeaturePrepSpec extends SparkSpec {
 
   test("outlier_iqr flags a small minority and never the quartile " +
     "core; robust_scale centers each segment's median at 0") {
-    val out = Registry.all("outlier_iqr").fn(spark, sfDir)
+    val out = Registry.all("outlier_iqr").fn(spark, sfDir).cache()
     val frac = out.where($"is_outlier" === 1).count().toDouble /
       out.count()
     // Tukey fences at 1.5·IQR flag at most a small tail by
     // construction; a majority flagged would mean inverted fences
     assert(frac < 0.25, s"outlier fraction $frac")
+    // no row INSIDE its own segment's [q1, q3] may be flagged — this
+    // is what catches fences computed from the wrong segment's
+    // quartiles (a bad join key), which the fraction bound cannot
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    val q = orders.groupBy("o_orderstatus").agg(
+      percentile($"o_totalprice", lit(0.25)).as("q1"),
+      percentile($"o_totalprice", lit(0.75)).as("q3"))
+    val coreFlagged = out.join(orders.select("o_orderkey",
+        "o_totalprice"), "o_orderkey")
+      .join(q, "o_orderstatus")
+      .where($"o_totalprice" >= $"q1" && $"o_totalprice" <= $"q3" &&
+        $"is_outlier" === 1)
+      .count()
+    assert(coreFlagged === 0L, s"$coreFlagged quartile-core rows flagged")
+    out.unpersist()
     val scaled = Registry.all("robust_scale").fn(spark, sfDir)
     // per segment, the median of the scaled values is 0 (to rounding)
     scaled.groupBy("o_orderstatus")
@@ -42,29 +57,43 @@ class FeaturePrepSpec extends SparkSpec {
   }
 
   test("target_encode stays within [0,1] for a 0/1 label, constant " +
-    "within a category, and shrinks toward the global rate") {
+    "within a category, and lies between the raw and global rates") {
     val out = Registry.all("target_encode").fn(spark, sfDir)
-    val te = out.select("o_orderpriority", "te")
-      .distinct().as[(String, Double)].collect().toMap
-    // one encoding per category (constant within)
-    assert(te.size ===
-      out.select("o_orderpriority").distinct().count())
+    val pairs = out.select("o_orderpriority", "te")
+      .distinct().as[(String, Double)].collect()
+    val nCats = out.select("o_orderpriority").distinct().count()
+    // one encoding per category (constant within): assert BEFORE any
+    // map collapse, so a category with two values fails
+    assert(pairs.length.toLong === nCats)
+    val te = pairs.toMap
     assert(te.values.forall(v => v >= 0.0 && v <= 1.0))
-    // shrinkage: every encoding sits between its raw category rate
-    // and the global rate (strictly inside unless they coincide)
-    val g = te.values.sum / te.size // rough anchor for direction only
-    assert(te.values.exists(v => math.abs(v - g) > 1e-9))
+    // true shrinkage: each encoding sits between its raw category
+    // rate and the global rate — an inverted smoothing formula fails
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .select($"o_orderpriority",
+        when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1.0)
+          .otherwise(0.0).as("label"))
+    val raw = orders.groupBy("o_orderpriority")
+      .agg(avg("label").as("r")).as[(String, Double)].collect().toMap
+    val global = orders.agg(avg("label")).as[Double].head()
+    te.foreach { case (cat, v) =>
+      val lo = math.min(raw(cat), global) - 1e-6
+      val hi = math.max(raw(cat), global) + 1e-6
+      assert(v >= lo && v <= hi,
+        s"$cat: te=$v outside [${raw(cat)}, $global]")
+    }
   }
 
-  test("calibration_bins: 10 bins, counts cover the table, and the " +
-    "mean score rises monotonically with the bin") {
+  test("calibration_bins: 10 bins, counts cover the orders table, " +
+    "and the mean score rises monotonically with the bin") {
     val rows = Registry.all("calibration_bins").fn(spark, sfDir)
       .orderBy("bin")
       .select("bin", "n", "mean_score")
       .as[(Int, Long, Double)].collect()
     assert(rows.map(_._1).toSeq === (0 until 10))
-    val total = Registry.all("calibration_bins").fn(spark, sfDir)
-      .agg(sum("n")).as[Long].head()
+    // coverage vs the SOURCE table, not a re-run of the query — a
+    // row-dropping bin expression must fail this
+    val total = graft.Tables.load(spark, sfDir, "orders").count()
     assert(rows.map(_._2).sum === total)
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a._3 < b._3, s"bins ${a._1}->${b._1} not increasing")
