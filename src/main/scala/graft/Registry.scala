@@ -27,7 +27,8 @@ object Registry {
       operators.VectorQueries.defs,
       operators.EncoderQueries.defs,
       operators.ApproxQueries.defs,
-      operators.AnalyticsQueries.defs)
+      operators.AnalyticsQueries.defs,
+      operators.CorpusQueries.defs)
     // Map ++ silently keeps the LAST duplicate — a colliding query name
     // would shadow an operator and shrink the driver's gate without any
     // failure. Refuse instead.

@@ -151,6 +151,31 @@ object AnalyticsQueries {
         "/ 1000000.0 AS scaled " +
         "FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus"),
 
+    // Winsorization: clamp to the per-segment [p5, p95] band — the
+    // tail-capping companion to outlier_iqr (which flags) and
+    // robust_scale (which rescales). Same broadcast-stats-over-scan
+    // shape. The output is either the original value or a quantile
+    // both engines computed identically — pure min/max, no arithmetic,
+    // so the compare is exact with no rounding step.
+    "winsorize" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val q = o.groupBy("o_orderstatus").agg(
+          percentile(col("o_totalprice"), lit(0.05)).as("lo"),
+          percentile(col("o_totalprice"), lit(0.95)).as("hi"))
+        o.join(broadcast(q), "o_orderstatus")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+              .as("winsorized"))
+      },
+      "WITH q AS (SELECT o_orderstatus, " +
+        "quantile_cont(o_totalprice, 0.05) AS lo, " +
+        "quantile_cont(o_totalprice, 0.95) AS hi " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT o_orderkey, o.o_orderstatus, " +
+        "LEAST(GREATEST(o_totalprice, lo), hi) AS winsorized " +
+        "FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus"),
+
     // Rollup: per (status, priority) with subtotals and a grand total.
     "rollup_agg" -> QDef(
       (s, d) => Tables.load(s, d, "orders")

@@ -202,6 +202,97 @@ object RelationalOps {
       .drop("__g", "__off", "__exp")
   }
 
+  /** Exact within-group rank without a per-group global sort — the
+    * scale path for `ROW_NUMBER() OVER (PARTITION BY group ORDER BY
+    * value)` when groups are FEW and LARGE (data sources, languages,
+    * labels): the naive window funnels each group through one reducer,
+    * so 20 sources = 20 reducers at any cluster size. Same
+    * distributed-prefix-sum shape as [[distributedNtile]], with the
+    * bucket axis crossed against the group axis:
+    *
+    *  1. one approx-quantile sketch over `valueCol` yields GLOBAL range
+    *     boundaries (shared across groups — boundary quality affects
+    *     only balance, never results);
+    *  2. per-(group, bucket) row counts — at most |groups|×|buckets|
+    *     tiny rows, bounded by the group domain not the data — are
+    *     collected, per-group exclusive prefixes computed driver-side,
+    *     and broadcast-joined back;
+    *  3. rank = group's prefix at the bucket + row_number within the
+    *     (group, bucket) window — parallel across groups×buckets.
+    *
+    * Output EQUALS the naive window row for row. Requires non-null
+    * `groupCol`/`valueCol` and `valueCol` unique within each group (the
+    * caller's deterministic-order contract; doc_id/orderkey qualify).
+    * Values must survive a cast to double losslessly (ids < 2^53). */
+  def distributedGroupRank(df: DataFrame, groupCol: String,
+                           valueCol: String,
+                           rankCol: String = "grp_rank"): DataFrame = {
+    val spark = df.sparkSession
+    val nBuckets = spark.sessionState.conf.numShufflePartitions * 4
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bnds: Array[Double] =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
+    // Pure function of (value, bnds) — identical in every job that
+    // evaluates it (never a physical partition id; AQE coalesces
+    // differently across jobs). Equal values share a bucket, and
+    // bucket i's values all precede bucket i+1's in value order.
+    val bucketOf = udf { v: Double =>
+      val i = java.util.Arrays.binarySearch(bnds, v)
+      if (i >= 0) i else -i - 1
+    }
+    val withG = df.withColumn("__g",
+      bucketOf(col(valueCol).cast("double")))
+    // Bounded collect: one row per occupied (group, bucket) cell —
+    // |groups| × (4×shuffle-partitions), configuration-sized for the
+    // few-large-groups domain this helper targets. The require turns
+    // a high-cardinality group column into a loud error instead of a
+    // driver-memory incident.
+    val cells = withG.groupBy(col(groupCol), col("__g")).count()
+      .collect()
+    require(cells.length <= 100000,
+      s"distributedGroupRank: ${cells.length} (group, bucket) cells — " +
+        "the group domain is too large for the collect-and-broadcast " +
+        "prefix; use the plain window form or a coarser group key")
+    val prefix = cells.map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).valuesIterator.flatMap { grp =>
+        var acc = 0L
+        grp.sortBy(_._2).map { case (g, b, c) =>
+          val e = org.apache.spark.sql.Row(g, b, acc, c); acc += c; e
+        }
+      }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(groupCol).copy(nullable = false),
+      org.apache.spark.sql.types.StructField("__g",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__off",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__exp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefix, 1), schema)
+    val w = Window.partitionBy(col(groupCol), col("__g"))
+      .orderBy(col(valueCol))
+    val rank = col("__off") + row_number().over(w)
+    // Cross-job determinism invariant (the packTokens/distributedNtile
+    // guard): ranks are only globally correct if this pass sees the
+    // same per-cell row counts the collect pass saw — a
+    // nondeterministic input would silently overlap or gap the rank
+    // space. count().over shares the window partition already being
+    // built, so the check is free.
+    val sameCount = count(lit(1))
+      .over(Window.partitionBy(col(groupCol), col("__g")))
+    val guarded = when(sameCount =!= col("__exp"), raise_error(concat(
+      lit("distributedGroupRank: cell row count drifted between jobs " +
+        "(saw "), sameCount.cast("string"), lit(", collected "),
+      col("__exp").cast("string"),
+      lit(") — is the input deterministic?"))))
+      .otherwise(rank)
+    withG.join(broadcast(offsets), Seq(groupCol, "__g"))
+      .withColumn(rankCol, guarded.cast("long"))
+      .drop("__g", "__off", "__exp")
+  }
+
   /** Order-independent exact sum of a double column: route through
     * decimal(precision, scale) so partial-aggregate order cannot
     * perturb the result (needed for bit-exact cross-engine
