@@ -218,6 +218,40 @@ object AnalyticsQueries {
         "SELECT p.event_id, p.user_id, c.value AS asof_value " +
         "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
 
+    // Range join (point-in-interval, no equi key): every event that
+    // falls inside the 10-minute window opened by each error event,
+    // aggregated per incident — "what happened around each error".
+    // The distributed form is RelationalOps.pointInIntervalJoin's
+    // grain-bucketed equi-join rewrite (grain = window length → ≤2
+    // bucket copies per interval), NOT a theta join, which Spark can
+    // only execute as a broadcast nested loop over every (event,
+    // window) pair. The oracle states the same relation as the plain
+    // BETWEEN join DuckDB's IEJoin handles natively. Sum through
+    // decimal: pair order must not perturb bits.
+    "range_join" -> QDef(
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull)
+        val pts = ev.select(col("event_id"), col("ts"), col("value"))
+        val inc = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("inc_id"), col("ts").as("lo"),
+            (col("ts") + expr("INTERVAL 10 MINUTES")).as("hi"))
+        RelationalOps.pointInIntervalJoin(pts, "ts", inc, "lo", "hi",
+            grainSec = 600)
+          .groupBy("inc_id")
+          .agg(count(lit(1)).as("n_events"),
+            RelationalOps.exactSum(col("value"), 6).as("sum_value"))
+      },
+      "WITH e AS (SELECT event_id, ts, value FROM events " +
+        "WHERE ts IS NOT NULL), " +
+        "i AS (SELECT event_id AS inc_id, ts AS lo, " +
+        "ts + INTERVAL 10 MINUTE AS hi FROM events " +
+        "WHERE ts IS NOT NULL AND event_type = 'error') " +
+        "SELECT inc_id, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) " +
+        "AS sum_value FROM e JOIN i " +
+        "ON e.ts >= i.lo AND e.ts <= i.hi GROUP BY inc_id"),
+
     // Trailing time-range rolling aggregate: events in the user's last
     // hour (inclusive bounds on both engines). The RANGE frame is the
     // point-in-time feature-engineering staple (e.g. "activity in the

@@ -333,6 +333,39 @@ object ApproxQueries {
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("adc"), 6).as("adc_dist"))
       },
-      pqProbeReplaySql)
+      pqProbeReplaySql),
+
+    // HyperLogLog++ approximate distinct users per event type — THE
+    // cardinality primitive at 100 TB: one pass, fixed sketch memory
+    // per group, mergeable partials (exact COUNT(DISTINCT) shuffles
+    // every distinct value). Engine-specific sketch → rows-only, like
+    // the ann_* family.
+    "approx_distinct" -> QDef.noOracle(
+      (s, d) => Tables.load(s, d, "events")
+        .where(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
+          .as("approx_users"))),
+
+    // Its hash-exact gate: compute approx AND exact in one query and
+    // emit (exact, within-5%-flag). On fixed data the HLL estimate is
+    // deterministic, so the flag is a constant 1 the oracle states
+    // literally — an estimator regression past the bound flips it and
+    // breaks the hash loudly (rsd=0.02 ⇒ 5% is 2.5σ; the estimate is
+    // also pinned by the spec's direct error assertion).
+    "approx_distinct_probe" -> QDef(
+      (s, d) => Tables.load(s, d, "events")
+        .where(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02)
+            .as("__approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users"))
+            .cast("double") / col("exact_users").cast("double")
+            <= lit(0.05)).cast("int").as("within_bound")),
+      "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, " +
+        "1 AS within_bound FROM events WHERE user_id IS NOT NULL " +
+        "GROUP BY event_type")
   )
 }

@@ -293,6 +293,47 @@ object RelationalOps {
       .drop("__g", "__off", "__exp")
   }
 
+  /** Point-in-interval range join without an equi key — "which events
+    * fall inside which time windows" when the windows overlap and
+    * belong to no shared partition key, the case plain equi-joins
+    * can't express and a naive theta-join turns into a broadcast
+    * nested-loop cross product.
+    *
+    * Grain-bucketed form (the standard distributed range-join
+    * rewrite): points land in exactly one `grainSec` bucket;
+    * intervals are exploded to every bucket they touch; an EQUI-join
+    * on the bucket pairs each point with only the intervals sharing
+    * its grain, and the residual `lo ≤ pt ≤ hi` filter (inclusive
+    * both ends) exactifies. Each (point, interval) pair can meet in
+    * at most one bucket — the point's — so no post-join dedup is
+    * needed. Shuffles both sides by bucket: parallelism follows time,
+    * the join key Spark would otherwise not have.
+    *
+    * Sizing: replication factor per interval is len/grainSec + 1 —
+    * pick the grain at or above the typical interval length (one
+    * extra copy), never far below it (len/grain copies). Time skew
+    * (a hot hour) concentrates buckets exactly like a hot groupBy
+    * key; AQE skew-join handles it, or shrink the grain.
+    *
+    * Inputs: `ptCol`/`loCol`/`hiCol` are non-null timestamps with
+    * `lo ≤ hi`; point and interval column names must be disjoint
+    * (the join returns both sides' columns). */
+  def pointInIntervalJoin(points: DataFrame, ptCol: String,
+                          intervals: DataFrame, loCol: String,
+                          hiCol: String, grainSec: Long): DataFrame = {
+    require(grainSec > 0, s"grainSec must be positive, got $grainSec")
+    // floor(epochSec / grain): timestamp→long cast truncates to whole
+    // seconds; the division is exact in double for any epoch < 2^53.
+    def grain(c: Column): Column =
+      floor(c.cast("long") / lit(grainSec)).cast("long")
+    val p = points.withColumn("__pg", grain(col(ptCol)))
+    val i = intervals.withColumn("__ig",
+      explode(sequence(grain(col(loCol)), grain(col(hiCol)))))
+    p.join(i, col("__pg") === col("__ig") &&
+        col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__pg", "__ig")
+  }
+
   /** Order-independent exact sum of a double column: route through
     * decimal(precision, scale) so partial-aggregate order cannot
     * perturb the result (needed for bit-exact cross-engine
