@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -35,15 +35,6 @@ object CorpusQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
-
-  /** Word-bigram array of a text column ("a b c" → ["a b", "b c"]) —
-    * the ngram_topk construction, shared here for the familiarity op. */
-  private def bigrams(text: Column): Column = {
-    val w = split(text, " ")
-    zip_with(slice(w, lit(1), size(w) - 1),
-      slice(w, lit(2), size(w) - 1),
-      (a, b) => concat(a, lit(" "), b))
-  }
 
   /** BM25 query terms: chosen for document-frequency spread in the
     * synthetic corpus (df from ~5% for "dup" to ~80% for "spark"), so
@@ -169,7 +160,7 @@ object CorpusQueries {
           .where(col("text").isNotNull &&
             size(split(col("text"), " ")) >= 2)
         val bg = q.select(col("doc_id"),
-          explode(bigrams(col("text"))).as("bigram"))
+          explode(TextQueries.wordBigrams(col("text"))).as("bigram"))
         val top = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("bigram")).limit(200)
           .select(col("bigram"), lit(1).as("__fam"))

@@ -123,24 +123,125 @@ object RelationalOps {
   private def intDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
+  /** Shared prefix-sum core of [[distributedNtile]] and
+    * [[distributedGroupRank]] (one implementation, so a bucketing or
+    * guard fix cannot land in one and not the other):
+    *
+    *  1. one approx-quantile sketch pass over `valueCol` yields GLOBAL
+    *     range boundaries — boundary quality affects only bucket
+    *     BALANCE, never results (buckets are order-consistent by
+    *     construction, and equal values always share a bucket);
+    *  2. per-(group, bucket) row counts are collected — capped BEFORE
+    *     materialization via limit(maxCells+1), so a high-cardinality
+    *     group column is a loud require failure, not a driver OOM —
+    *     and per-group exclusive prefixes are broadcast-joined back;
+    *  3. rank = group's prefix at the bucket + row_number within the
+    *     (group, bucket) window — parallel across groups×buckets
+    *     instead of one reducer per group (or ONE reducer total for
+    *     the ungrouped NTILE shape).
+    *
+    * Cross-job determinism guards (the packTokens doctrine — ranks
+    * are only global if the ranking pass sees what the collect pass
+    * saw; a sample()/rand()-derived input would silently gap or
+    * overlap the rank space): (a) a row landing in a cell ABSENT at
+    * planning time hits the left-join null check; (b) a cell whose
+    * row count CHANGED hits the count-over-window check, which shares
+    * the window partition already being built (free). Residual,
+    * deliberately undetectable: a cell whose rows ALL vanish between
+    * the two jobs leaves no surviving row to raise the error — the
+    * rank space gaps. Only a nondeterministic input can do any of
+    * this; deterministic inputs are the documented contract.
+    *
+    * The bucket id is a pure function of (value, boundaries) — never
+    * a physical partition id; AQE coalesces partitions differently
+    * across jobs (see PackingOps' AQE note).
+    *
+    * Returns the input plus a long `rankCol` (rank within each
+    * `groupCols` combination ordered by `valueCol` then `tieBreak`),
+    * and the total row count (for NTILE's closed form). */
+  private def rangeBucketRank(df: DataFrame, groupCols: Seq[String],
+                              valueCol: String, tieBreak: Seq[String],
+                              rankCol: String, caller: String)
+      : (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val nBuckets = spark.sessionState.conf.numShufflePartitions * 4
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bnds: Array[Double] =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
+    val bucketOf = udf { v: Double =>
+      val i = java.util.Arrays.binarySearch(bnds, v)
+      if (i >= 0) i else -i - 1
+    }
+    val withG = df.withColumn("__g",
+      bucketOf(col(valueCol).cast("double")))
+    val cellCols = groupCols :+ "__g"
+    // maxCells bounds both driver memory and the broadcast; the
+    // ungrouped caller occupies ≤ 4×shuffle-partitions cells, the
+    // grouped caller |groups| × that — the few-large-groups domain.
+    // limit() caps the rows BEFORE they reach the driver, so the
+    // guard itself cannot cause the incident it prevents.
+    val maxCells = 100000
+    val cells = withG.groupBy(cellCols.map(col): _*).count()
+      .limit(maxCells + 1).collect()
+    require(cells.length <= maxCells,
+      s"$caller: more than $maxCells (group, bucket) cells — the " +
+        "group domain is too large for the collect-and-broadcast " +
+        "prefix; use the plain window form or a coarser group key")
+    val total = cells.iterator
+      .map(_.getLong(groupCols.size + 1)).sum
+    val prefix = cells
+      .map(r => (Seq.tabulate(groupCols.size)(r.get),
+        r.getInt(groupCols.size), r.getLong(groupCols.size + 1)))
+      .groupBy(_._1).valuesIterator.flatMap { grp =>
+        var acc = 0L
+        grp.sortBy(_._2).map { case (key, b, c) =>
+          // Seq[Any], NOT Seq(b, acc, c): with an inferred element
+          // type, Scala's numeric widening unifies (Int, Long, Long)
+          // to Seq[Long] and silently widens the Int bucket id — the
+          // row-encoder then rejects a Long where the schema says INT
+          val e = org.apache.spark.sql.Row
+            .fromSeq(key ++ Seq[Any](b, acc, c))
+          acc += c; e
+        }
+      }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      groupCols.map(g => df.schema(g).copy(nullable = false)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__g",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__exp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefix, 1), schema)
+    val w = Window.partitionBy(cellCols.map(col): _*)
+      .orderBy((valueCol +: tieBreak).map(col): _*)
+    val sameCount = count(lit(1))
+      .over(Window.partitionBy(cellCols.map(col): _*))
+    val guarded = when(col("__off").isNull, raise_error(lit(
+      s"$caller: row landed in a (group, bucket) cell absent when " +
+        "offsets were planned — is the input deterministic?")))
+      .when(sameCount =!= col("__exp"), raise_error(concat(
+        lit(s"$caller: cell row count drifted between jobs (saw "),
+        sameCount.cast("string"), lit(", collected "),
+        col("__exp").cast("string"),
+        lit(") — is the input deterministic?"))))
+      .otherwise(col("__off") + row_number().over(w))
+    val ranked = withG
+      .join(broadcast(offsets), cellCols, "left")
+      .withColumn(rankCol, guarded.cast("long"))
+      .drop("__g", "__off", "__exp")
+    (ranked, total)
+  }
+
   /** Exact NTILE(n) without the single-reducer global sort — the scale
     * path for equal-frequency binning ([[kfoldAssign]] /
     * `quantile_bin`'s shape, whose unpartitioned window funnels every
-    * row through ONE reducer at any cluster size). Same
-    * distributed-prefix-sum shape as [[PackingOps.packTokens]]:
-    *
-    *  1. one approx-quantile sketch pass over `valueCol` yields range
-    *     boundaries — boundary quality affects only bucket BALANCE,
-    *     never results (buckets are order-consistent by construction);
-    *  2. per-bucket row counts: #buckets tiny rows (bounded by
-    *     configuration, not data) collected, exclusive prefix computed
-    *     driver-side and broadcast-joined back;
-    *  3. global rank = bucket offset + within-bucket row_number, each
-    *     bucket its own window partition — parallel across
-    *     4×shuffle-partitions buckets instead of serial on one.
-    *
-    * The tile is then the closed-form function of (rank, total) that
-    * NTILE defines (first n%k tiles get one extra row), so the output
+    * row through ONE reducer at any cluster size). The prefix-sum
+    * machinery is [[rangeBucketRank]] with no group axis; the tile is
+    * then the closed-form function of (rank, total) that NTILE
+    * defines (first n%k tiles get one extra row), so the output
     * EQUALS `ntile(k) OVER (ORDER BY valueCol, keyCol)` row for row —
     * exact, not approximate, and DuckDB-oracle-able with the plain
     * window SQL. Requires non-null `valueCol` and a unique `keyCol`
@@ -149,34 +250,9 @@ object RelationalOps {
   def distributedNtile(df: DataFrame, valueCol: String, keyCol: String,
                        k: Int, tileCol: String = "tile"): DataFrame = {
     require(k > 0, s"ntile k must be positive, got $k")
-    val spark = df.sparkSession
-    val nBuckets = spark.sessionState.conf.numShufflePartitions * 4
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bnds: Array[Double] =
-      if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
-    // Bucket of a value: count of boundaries < value (searchsorted),
-    // a pure function of (value, bnds) — identical in every job that
-    // evaluates it (never a physical partition id; see PackingOps'
-    // AQE-coalescing note). Equal values always share a bucket, and
-    // bucket i's values all precede bucket i+1's in the sort order.
-    val bucketOf = udf { v: Double =>
-      val i = java.util.Arrays.binarySearch(bnds, v)
-      if (i >= 0) i else -i - 1
-    }
-    val withG = df.withColumn("__g",
-      bucketOf(col(valueCol).cast("double")))
-    val counts = withG.groupBy("__g").count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val prefix = counts.map { case (g, c) =>
-      val e = (g, acc, c); acc += c; e
-    }
-    val n = acc
-    val offsets = spark.createDataFrame(prefix.toIndexedSeq)
-      .toDF("__g", "__off", "__exp")
-    val w = Window.partitionBy("__g").orderBy(col(valueCol), col(keyCol))
-    val rank = col("__off") + row_number().over(w)
+    val (ranked, n) = rangeBucketRank(df, Nil, valueCol, Seq(keyCol),
+      "__rank", "distributedNtile")
+    val rank = col("__rank")
     val size = n / k
     val rem = n % k
     val cut = (size + 1) * rem
@@ -184,41 +260,16 @@ object RelationalOps {
     // (n < k: every rank ≤ cut) never reaches the /size division.
     val tile = when(rank <= cut, intDiv(rank - 1, lit(size + 1)) + 1)
       .otherwise(lit(rem) + intDiv(rank - cut - 1, lit(size)) + 1)
-    // Cross-job determinism invariant (the packTokens guard, same
-    // reason): the ranks are only global if THIS pass sees the same
-    // per-bucket row counts the collect pass saw. A nondeterministic
-    // input (sample()/rand()-derived) would silently overlap or gap
-    // the rank space — fail loudly instead. count().over shares the
-    // window partition already being built, so the check is free.
-    val sameCount = count(lit(1)).over(Window.partitionBy("__g"))
-    val guarded = when(sameCount =!= col("__exp"), raise_error(concat(
-      lit("distributedNtile: bucket row count drifted between jobs " +
-        "(saw "), sameCount.cast("string"), lit(", collected "),
-      col("__exp").cast("string"),
-      lit(") — is the input deterministic?"))))
-      .otherwise(tile)
-    withG.join(broadcast(offsets), "__g")
-      .withColumn(tileCol, guarded.cast("int"))
-      .drop("__g", "__off", "__exp")
+    ranked.withColumn(tileCol, tile.cast("int")).drop("__rank")
   }
 
   /** Exact within-group rank without a per-group global sort — the
     * scale path for `ROW_NUMBER() OVER (PARTITION BY group ORDER BY
     * value)` when groups are FEW and LARGE (data sources, languages,
     * labels): the naive window funnels each group through one reducer,
-    * so 20 sources = 20 reducers at any cluster size. Same
-    * distributed-prefix-sum shape as [[distributedNtile]], with the
-    * bucket axis crossed against the group axis:
-    *
-    *  1. one approx-quantile sketch over `valueCol` yields GLOBAL range
-    *     boundaries (shared across groups — boundary quality affects
-    *     only balance, never results);
-    *  2. per-(group, bucket) row counts — at most |groups|×|buckets|
-    *     tiny rows, bounded by the group domain not the data — are
-    *     collected, per-group exclusive prefixes computed driver-side,
-    *     and broadcast-joined back;
-    *  3. rank = group's prefix at the bucket + row_number within the
-    *     (group, bucket) window — parallel across groups×buckets.
+    * so 20 sources = 20 reducers at any cluster size.
+    * [[rangeBucketRank]] with the bucket axis crossed against the
+    * group axis — parallel across groups×buckets.
     *
     * Output EQUALS the naive window row for row. Requires non-null
     * `groupCol`/`valueCol` and `valueCol` unique within each group (the
@@ -226,72 +277,9 @@ object RelationalOps {
     * Values must survive a cast to double losslessly (ids < 2^53). */
   def distributedGroupRank(df: DataFrame, groupCol: String,
                            valueCol: String,
-                           rankCol: String = "grp_rank"): DataFrame = {
-    val spark = df.sparkSession
-    val nBuckets = spark.sessionState.conf.numShufflePartitions * 4
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bnds: Array[Double] =
-      if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(valueCol, probs, 0.01).distinct.sorted
-    // Pure function of (value, bnds) — identical in every job that
-    // evaluates it (never a physical partition id; AQE coalesces
-    // differently across jobs). Equal values share a bucket, and
-    // bucket i's values all precede bucket i+1's in value order.
-    val bucketOf = udf { v: Double =>
-      val i = java.util.Arrays.binarySearch(bnds, v)
-      if (i >= 0) i else -i - 1
-    }
-    val withG = df.withColumn("__g",
-      bucketOf(col(valueCol).cast("double")))
-    // Bounded collect: one row per occupied (group, bucket) cell —
-    // |groups| × (4×shuffle-partitions), configuration-sized for the
-    // few-large-groups domain this helper targets. The require turns
-    // a high-cardinality group column into a loud error instead of a
-    // driver-memory incident.
-    val cells = withG.groupBy(col(groupCol), col("__g")).count()
-      .collect()
-    require(cells.length <= 100000,
-      s"distributedGroupRank: ${cells.length} (group, bucket) cells — " +
-        "the group domain is too large for the collect-and-broadcast " +
-        "prefix; use the plain window form or a coarser group key")
-    val prefix = cells.map(r => (r.get(0), r.getInt(1), r.getLong(2)))
-      .groupBy(_._1).valuesIterator.flatMap { grp =>
-        var acc = 0L
-        grp.sortBy(_._2).map { case (g, b, c) =>
-          val e = org.apache.spark.sql.Row(g, b, acc, c); acc += c; e
-        }
-      }.toSeq
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      df.schema(groupCol).copy(nullable = false),
-      org.apache.spark.sql.types.StructField("__g",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("__off",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("__exp",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val offsets = spark.createDataFrame(
-      spark.sparkContext.parallelize(prefix, 1), schema)
-    val w = Window.partitionBy(col(groupCol), col("__g"))
-      .orderBy(col(valueCol))
-    val rank = col("__off") + row_number().over(w)
-    // Cross-job determinism invariant (the packTokens/distributedNtile
-    // guard): ranks are only globally correct if this pass sees the
-    // same per-cell row counts the collect pass saw — a
-    // nondeterministic input would silently overlap or gap the rank
-    // space. count().over shares the window partition already being
-    // built, so the check is free.
-    val sameCount = count(lit(1))
-      .over(Window.partitionBy(col(groupCol), col("__g")))
-    val guarded = when(sameCount =!= col("__exp"), raise_error(concat(
-      lit("distributedGroupRank: cell row count drifted between jobs " +
-        "(saw "), sameCount.cast("string"), lit(", collected "),
-      col("__exp").cast("string"),
-      lit(") — is the input deterministic?"))))
-      .otherwise(rank)
-    withG.join(broadcast(offsets), Seq(groupCol, "__g"))
-      .withColumn(rankCol, guarded.cast("long"))
-      .drop("__g", "__off", "__exp")
-  }
+                           rankCol: String = "grp_rank"): DataFrame =
+    rangeBucketRank(df, Seq(groupCol), valueCol, Nil, rankCol,
+      "distributedGroupRank")._1
 
   /** Point-in-interval range join without an equi key — "which events
     * fall inside which time windows" when the windows overlap and

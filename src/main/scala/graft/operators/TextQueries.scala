@@ -34,6 +34,18 @@ object TextQueries {
       (a, bc) => concat(a, lit(" "), bc)))
   }
 
+  /** Word-bigram array of a text column ("a b c" → ["a b", "b c"]) —
+    * the single definition of the 2-gram construction shared by
+    * [[repStats]], `ngram_topk`, and [[CorpusQueries]]' familiarity
+    * op (two shifted slices zipped, same doctrine as [[shingles3]]).
+    * <2 words → empty array. */
+  private[operators] def wordBigrams(text: Column): Column = {
+    val w = split(text, " ")
+    zip_with(slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
   /** Within-document repetition signals (Gopher, Rae et al. 2021 §A1.1),
     * re-expressed over the word stream (the synthetic corpus is
     * single-line): duplicate-word fraction, duplicate-2-gram fraction,
@@ -48,9 +60,7 @@ object TextQueries {
   def repStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = split(col(textCol), " ")
     val nW = size(w)
-    val bg = zip_with(slice(w, lit(1), nW - 1),
-      slice(w, lit(2), nW - 1),
-      (a, b) => concat(a, lit(" "), b))
+    val bg = wordBigrams(col(textCol))
     // Max of count(g)×length(g) over 2-grams g, computed as a sort +
     // one linear run-length fold: within a run of equal elements the
     // candidate run'×length grows monotonically, so folding
@@ -696,14 +706,10 @@ object TextQueries {
     // vocabulary-sized regardless of corpus size.
     "ngram_topk" -> QDef(
       (s, d) => {
-        val w = split(col("text"), " ")
-        val bg = zip_with(slice(w, lit(1), size(w) - 1),
-          slice(w, lit(2), size(w) - 1),
-          (a, b) => concat(a, lit(" "), b))
         docs(s, d)
           .where(col("text").isNotNull &&
             size(split(col("text"), " ")) >= 2)
-          .select(explode(bg).as("bigram"))
+          .select(explode(wordBigrams(col("text"))).as("bigram"))
           .groupBy("bigram").agg(count("*").as("freq"))
           .orderBy(col("freq").desc, col("bigram"))
           .limit(100)

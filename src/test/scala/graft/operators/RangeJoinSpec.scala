@@ -41,9 +41,13 @@ class RangeJoinSpec extends SparkSpec {
     "posts: every error event is inside its own window") {
     val out = Registry.all("range_join").fn(spark, sfDir)
     val errs = evWindows.select($"inc_id")
-    // each incident window contains at least its own opening event
-    assert(errs.join(out, "inc_id").where($"n_events" < 1)
-      .count() === 0L)
+    // the lo fence post, asserted on the PAIR relation (the n_events
+    // aggregate can't emit a count < 1 by construction): each
+    // window's own opening event (ts == lo) is among its matches
+    val openers = RelationalOps.pointInIntervalJoin(
+        evPoints, "ts", evWindows, "lo", "hi", grainSec = 600)
+      .where($"event_id" === $"inc_id")
+    assert(openers.count() === errs.count())
     assert(errs.except(out.select($"inc_id")).isEmpty)
   }
 
