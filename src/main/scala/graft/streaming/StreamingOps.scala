@@ -24,6 +24,50 @@ object StreamingOps {
                            session_end: Long, n_events: Int,
                            sum_value: Double)
 
+  /** Streaming point-in-interval join — the streaming form of
+    * [[graft.operators.RelationalOps.pointInIntervalJoin]] (the
+    * `range_join` query): points stream-stream-joined to the windows
+    * a second stream opens, e.g. "all events inside each error's
+    * 10-minute incident window", emitted continuously.
+    *
+    * Same grain-bucketed rewrite as the batch form — the interval
+    * side is exploded to every `grainSec` bucket it touches and the
+    * join carries a bucket EQUALITY key, so the state store is probed
+    * per bucket instead of scanning every buffered interval per point
+    * (the no-equi-key stream-stream join Spark would otherwise run).
+    * Both sides are watermarked, and the join condition spells the
+    * point's time range out against `loCol` literally
+    * (`pt BETWEEN lo AND lo + windowDur`) — the analyzer derives
+    * state-eviction bounds from exactly this shape, which is why the
+    * streaming form takes a DURATION, not a precomputed hi column the
+    * engine could not reason about.
+    *
+    * Output columns: both sides' (minus the internal bucket keys),
+    * plus `hi` = `lo + windowDur`. Append-mode safe (inner join).
+    *
+    * @param windowDur SQL interval literal body, e.g. "10 minutes"
+    * @param watermark lateness horizon for BOTH sides */
+  def streamingPointInIntervalJoin(points: DataFrame, ptCol: String,
+                                   intervals: DataFrame, loCol: String,
+                                   windowDur: String, grainSec: Long,
+                                   watermark: String = "20 minutes")
+      : DataFrame = {
+    require(grainSec > 0, s"grainSec must be positive, got $grainSec")
+    def grain(c: org.apache.spark.sql.Column) =
+      floor(c.cast("long") / lit(grainSec)).cast("long")
+    val hi = col(loCol) + expr(s"INTERVAL $windowDur")
+    val p = points.withWatermark(ptCol, watermark)
+      .withColumn("__pg", grain(col(ptCol)))
+    val i = intervals.withWatermark(loCol, watermark)
+      .withColumn("hi", hi)
+      .withColumn("__ig", explode(sequence(grain(col(loCol)),
+        grain(col("hi")))))
+    p.join(i, col("__pg") === col("__ig") &&
+        col(ptCol) >= col(loCol) &&
+        col(ptCol) <= col(loCol) + expr(s"INTERVAL $windowDur"))
+      .drop("__pg", "__ig")
+  }
+
   /** Hourly tumbling-window counts per event type, watermarked so state
     * for closed windows is dropped — the streaming form of the batch
     * `window_hourly` oracle query. */

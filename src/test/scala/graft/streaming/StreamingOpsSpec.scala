@@ -280,6 +280,40 @@ class StreamingOpsSpec extends SparkSpec {
       Set("hour_start", "event_type", "n_events", "sum_value"))
   }
 
+  test("streamingPointInIntervalJoin emits exactly the batch range " +
+    "join's pairs, including both fence posts") {
+    implicit val sqlCtx = spark.sqlContext
+    // points every 2 min; windows opened at t0 and t30 for 10 min —
+    // point 0 sits ON lo, point 5 ON hi (t10), point 6 (t12) outside
+    val pts = (0 to 25).map(i =>
+      Event(i.toLong, ts(i * 2), 1, "click", 1.0))
+    val incs = Seq(Event(100, ts(0), 2, "error", 0.0),
+      Event(101, ts(30), 2, "error", 0.0))
+    val pMem = MemoryStream[Event]; val iMem = MemoryStream[Event]
+    pMem.addData(pts: _*); iMem.addData(incs: _*)
+    val joined = StreamingOps.streamingPointInIntervalJoin(
+      pMem.toDF().select($"event_id", $"ts"), "ts",
+      iMem.toDF().select($"event_id".as("inc_id"), $"ts".as("lo")),
+      "lo", "10 minutes", grainSec = 600)
+    val q = joined.select("event_id", "inc_id")
+      .writeStream.format("memory").queryName("rjoin_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("rjoin_stream")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.operators.RelationalOps.pointInIntervalJoin(
+        pts.toDF().select($"event_id", $"ts"), "ts",
+        incs.toDF().select($"event_id".as("inc_id"), $"ts".as("lo"),
+          ($"ts" + expr("INTERVAL 10 MINUTES")).as("hi")),
+        "lo", "hi", grainSec = 600)
+      .select($"event_id", $"inc_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    // closed form: each 10-min window catches points at lo, lo+2 ...
+    // lo+10 = 6 pairs (both fence posts inclusive)
+    assert(batch.count(_._2 == 100L) === 6)
+    assert(streamed.count(_._2 == 101L) === 6)
+  }
+
   test("the events table streams through the file source and matches " +
     "the batch aggregate (SURVEY §1.4 streaming extension)") {
     // stage the batch table as a file-source stream directory
