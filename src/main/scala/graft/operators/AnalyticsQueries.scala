@@ -187,6 +187,48 @@ object AnalyticsQueries {
         "AS total FROM orders GROUP BY ROLLUP (o_orderstatus, " +
         "o_orderpriority)"),
 
+    // Explicit GROUPING SETS — the shapes ROLLUP/CUBE can't pick à la
+    // carte: per-status marginals, per-priority marginals, and the
+    // grand total, WITHOUT the (status, priority) cross cells cube
+    // would add. One pass, Spark expands to the set list internally.
+    "grouping_sets_agg" -> QDef(
+      (s, d) => Tables.load(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count("*").as("n"),
+          RelationalOps.exactSum(col("o_totalprice")).as("total")),
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total FROM orders GROUP BY GROUPING SETS " +
+        "((o_orderstatus), (o_orderpriority), ())"),
+
+    // Deterministic n-per-group sample: the first 100 orders of each
+    // status in mixKey (hash) order — the "peek at k rows per
+    // segment" primitive that sample() can't give reproducibly across
+    // engines or runs. Within-group ranks come from
+    // RelationalOps.distributedGroupRank (prefix-sum form, not a
+    // PARTITION BY status window that would pin each status to one
+    // reducer); mixKey is injective below the prime modulus, so the
+    // hash order needs no tie-break.
+    "sample_per_group" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            RelationalOps.mixKey(col("o_orderkey")).as("__mk"))
+        RelationalOps.distributedGroupRank(o, "o_orderstatus",
+            "__mk", "sample_rank")
+          .where(col("sample_rank") <= 100)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("sample_rank"))
+      },
+      "WITH r AS (SELECT o_orderkey, o_orderstatus, ROW_NUMBER() " +
+        "OVER (PARTITION BY o_orderstatus ORDER BY ((o_orderkey % " +
+        "1000000007) * 2654435761) % 1000000007) AS sample_rank " +
+        "FROM orders) SELECT o_orderkey, o_orderstatus, sample_rank " +
+        "FROM r WHERE sample_rank <= 100"),
+
     // As-of join (point-in-time lookup): for each purchase, the user's
     // latest click value at-or-before the purchase. Spark side is the
     // union+window form (RelationalOps.asofJoin); the oracle uses

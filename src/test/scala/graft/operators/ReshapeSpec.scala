@@ -81,4 +81,37 @@ class ReshapeSpec extends SparkSpec {
       assert(rows.forall(_._3.isDefined))
     }
   }
+
+  test("grouping_sets_agg emits exactly the three requested set " +
+    "shapes and each marginal sums to the grand total") {
+    val out = Registry.all("grouping_sets_agg").fn(spark, sfDir)
+      .select($"o_orderstatus", $"o_orderpriority", $"n")
+      .as[(Option[String], Option[String], Long)].collect()
+    val total = Tables.load(spark, sfDir, "orders").count()
+    val byStatus = out.filter(r => r._1.isDefined && r._2.isEmpty)
+    val byPrio = out.filter(r => r._1.isEmpty && r._2.isDefined)
+    val grand = out.filter(r => r._1.isEmpty && r._2.isEmpty)
+    // no (status, priority) cross cells — the shape CUBE would add
+    assert(out.forall(r => r._1.isEmpty || r._2.isEmpty))
+    assert(byStatus.map(_._3).sum === total)
+    assert(byPrio.map(_._3).sum === total)
+    assert(grand.map(_._3).toSeq === Seq(total))
+  }
+
+  test("sample_per_group takes min(100, group size) rows per status " +
+    "with dense ranks") {
+    val out = Registry.all("sample_per_group").fn(spark, sfDir)
+    val sizes = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    val got = out.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("k"), max("sample_rank").as("hi"),
+        countDistinct("sample_rank").as("d"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === sizes.keySet)
+    got.foreach { case (st, k, hi, d) =>
+      val exp = math.min(100L, sizes(st))
+      assert(k === exp && hi === exp && d === exp, s"status $st")
+    }
+  }
 }
