@@ -507,41 +507,44 @@ object AnalyticsQueries {
       "SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, " +
         "COUNT(*) AS n FROM orders GROUP BY 1"),
 
-    // Pearson correlation from exact decimal component sums — corr()
+    // Pearson correlation from exact long-lane moment sums — corr()
     // itself accumulates doubles in partial-order-dependent ways, so
-    // both engines compute the same closed form over exact moments.
+    // both engines compute the same closed form over exact moments
+    // (RelationalOps.q4 family; products formed on the quantized
+    // longs, lanes recombined in double in identical textual order).
     "corr_agg" -> QDef(
       (s, d) => {
         val li = Tables.load(s, d, "lineitem")
-        def dsum(c: org.apache.spark.sql.Column, sc: Int = 4) =
-          RelationalOps.exactSum(c, sc, precision = 28)
+        val (qx, qy) = (RelationalOps.q4(col("l_quantity")),
+          RelationalOps.q4(col("l_extendedprice")))
         val agg = li.agg(
           count("*").cast("double").as("n"),
-          dsum(col("l_quantity")).as("sx"),
-          dsum(col("l_extendedprice")).as("sy"),
-          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
-          dsum(col("l_extendedprice") * col("l_extendedprice"))
-            .as("syy"),
-          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+          RelationalOps.q4Sum(qx).as("sx"),
+          RelationalOps.q4Sum(qy).as("sy"),
+          RelationalOps.q4ProdSum(qx, qx).as("sxx"),
+          RelationalOps.q4ProdSum(qy, qy).as("syy"),
+          RelationalOps.q4ProdSum(qx, qy).as("sxy"))
         agg.select(round(
           (col("n") * col("sxy") - col("sx") * col("sy")) /
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy"))), 6)
           .as("corr_qty_price"))
-      },
-      "WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) " +
-        "AS sy, " +
-        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) " +
-        "AS DOUBLE) AS sxx, " +
-        "CAST(SUM(CAST(l_extendedprice * l_extendedprice " +
-        "AS DECIMAL(28,4))) AS DOUBLE) AS syy, " +
-        "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) " +
-        "AS DOUBLE) AS sxy FROM lineitem) " +
-        "SELECT ROUND((n * sxy - sx * sy) / " +
-        "SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) " +
-        "AS corr_qty_price FROM m"),
+      }, {
+        val qx = "CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)"
+        val qy = "CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS BIGINT)"
+        def mm(a: String, b: String) =
+          s"((CAST(SUM(($a * $b) >> 32) AS DOUBLE) * 4294967296.0 + " +
+            s"CAST(SUM(($a * $b) & 4294967295) AS DOUBLE)) " +
+            "/ 100000000.0)"
+        s"WITH m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, " +
+          s"CAST(SUM($qx) AS DOUBLE) / 10000.0 AS sx, " +
+          s"CAST(SUM($qy) AS DOUBLE) / 10000.0 AS sy, " +
+          s"${mm(qx, qx)} AS sxx, ${mm(qy, qy)} AS syy, " +
+          s"${mm(qx, qy)} AS sxy FROM lineitem) " +
+          "SELECT ROUND((n * sxy - sx * sy) / " +
+          "SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) " +
+          "AS corr_qty_price FROM m"
+      }),
 
     // Correlated-subquery shape (orders above their customer's average
     // price), decorrelated to aggregate + join — the form optimizers

@@ -155,11 +155,27 @@ object ProfileOps {
     * section, ALL pairs in ONE aggregate pass: per-column and
     * per-pair moment sums ride a single `agg` (shared single-column
     * sums are computed once, not once per pair), routed through
-    * decimal so partial-aggregation order cannot perturb bits (the
-    * [[RelationalOps.exactSum]] doctrine — `corr()` itself
-    * accumulates doubles order-dependently and is not
-    * cross-engine-reproducible). The closed form then runs on the
-    * tiny moment row. Columns must be non-null numeric.
+    * exact integer arithmetic so partial-aggregation order cannot
+    * perturb bits (`corr()` itself accumulates doubles
+    * order-dependently and is not cross-engine-reproducible). The
+    * closed form then runs on the tiny moment row. Columns must be
+    * non-null numeric.
+    *
+    * Exact mode quantizes each value to `scale` decimals and sums
+    * moments in long lanes ([[RelationalOps.q4]] family — codegen'd
+    * integer sums, ~2× the whole query vs the decimal(28) BigDecimal
+    * path). The lane domain (|quantized value| < 2^31.5, so per-row
+    * products fit Int64) is checked with `max(abs(q))` aggregates
+    * riding the SAME pass; on violation the decimal(28, scale) form
+    * recomputes — slower, 28-digit domain, and it quantizes each
+    * PRODUCT after multiplying where the lanes quantize each FACTOR
+    * before (both deterministic, not bit-identical to each other; an
+    * oracle must replay whichever form actually ran). Either way
+    * values quantize to `scale`
+    * decimals (micro-scale data sums to zero); for arbitrary frames
+    * (writeHtmlReport) pass exact = false: plain double moments, no
+    * quantization, no domain bound, merely not bit-reproducible
+    * across engines.
     *
     * @return (col_a, col_b, corr) for each unordered pair, corr
     *         rounded to 6 decimals, NaN → null for constant columns
@@ -170,43 +186,68 @@ object ProfileOps {
     require(cols.size >= 2, "correlations needs at least two columns")
     val spark = df.sparkSession
     import spark.implicits._
-    // exact mode routes each moment through decimal(28, scale) —
-    // cross-engine bit-reproducible, but the DOMAIN is bounded:
-    // values quantize to `scale` decimals (micro-scale data sums to
-    // zero) and v², v·w must fit 28 digits (overflow nulls out under
-    // ansi=false and silently drops rows). Right for the oracle gate's
-    // TPC-H-scale decimals; for arbitrary frames (writeHtmlReport)
-    // pass exact = false: plain double moments, no quantization, no
-    // overflow, merely not bit-reproducible across engines.
-    def msum(c: org.apache.spark.sql.Column) =
-      if (exact) RelationalOps.exactSum(c, scale, precision = 28)
-      else sum(c.cast("double"))
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    val aggs = Seq(count("*").cast("double").as("__n")) ++
-      cols.flatMap(c => Seq(msum(col(c)).as(s"__s__$c"),
-        msum(col(c) * col(c)).as(s"__ss__$c"))) ++
-      pairs.map { case (a, b) =>
-        msum(col(a) * col(b)).as(s"__sp__${a}__$b")
+
+    // shared closed form over a one-row moment frame with columns
+    // __n, __s__c, __ss__c, __sp__a__b
+    def closedForm(row: org.apache.spark.sql.Row)
+        : Seq[(String, String, Option[Double])] = {
+      def g(name: String): Double = {
+        val i = row.fieldIndex(name)
+        if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
       }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    def g(name: String): Double = {
-      val i = row.fieldIndex(name)
-      if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+      val n = g("__n")
+      pairs.map { case (a, b) =>
+        // n == 0 (empty frame) leaves every sum NULL → NaN → null corr
+        // rather than an NPE out of Row.getDouble
+        val (sx, sy) = (g(s"__s__$a"), g(s"__s__$b"))
+        val (sxx, syy) = (g(s"__ss__$a"), g(s"__ss__$b"))
+        val sxy = g(s"__sp__${a}__$b")
+        val c = (n * sxy - sx * sy) /
+          math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        (a, b, if (c.isNaN) None
+        else Some(math.floor(c * 1e6 + 0.5) / 1e6))
+      }
     }
-    val n = g("__n")
-    val out = pairs.map { case (a, b) =>
-      // n == 0 (empty frame) leaves every sum NULL → NaN → null corr
-      // rather than an NPE out of Row.getDouble
-      val (sx, sy) = (g(s"__s__$a"), g(s"__s__$b"))
-      val (sxx, syy) = (g(s"__ss__$a"), g(s"__ss__$b"))
-      val sxy = g(s"__sp__${a}__$b")
-      val c = (n * sxy - sx * sy) /
-        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-      (a, b, if (c.isNaN) None
-      else Some(math.floor(c * 1e6 + 0.5) / 1e6))
+
+    def momentRow(msum: Column => Column,
+                  extra: Seq[Column] = Nil): org.apache.spark.sql.Row = {
+      val aggs = Seq(count("*").cast("double").as("__n")) ++
+        cols.flatMap(c => Seq(msum(col(c)).as(s"__s__$c"),
+          msum(col(c) * col(c)).as(s"__ss__$c"))) ++
+        pairs.map { case (a, b) =>
+          msum(col(a) * col(b)).as(s"__sp__${a}__$b")
+        } ++ extra
+      df.agg(aggs.head, aggs.tail: _*).head()
     }
+
+    val out: Seq[(String, String, Option[Double])] =
+      if (!exact) closedForm(momentRow(c => sum(c.cast("double"))))
+      else {
+        // fast path: long-lane moments on quantized values. Products
+        // are formed on the QUANTIZED longs (q(a)·q(b), exact), not by
+        // quantizing the double product — the oracle SQL mirrors this.
+        def q(c: String): Column = RelationalOps.q4(col(c), scale)
+        val laneAggs = Seq(count("*").cast("double").as("__n")) ++
+          cols.flatMap(c => Seq(
+            RelationalOps.q4Sum(q(c), scale).as(s"__s__$c"),
+            RelationalOps.q4ProdSum(q(c), q(c), scale).as(s"__ss__$c"),
+            max(abs(q(c))).as(s"__qmax__$c"))) ++
+          pairs.map { case (a, b) =>
+            RelationalOps.q4ProdSum(q(a), q(b), scale)
+              .as(s"__sp__${a}__$b")
+          }
+        val row = df.agg(laneAggs.head, laneAggs.tail: _*).head()
+        val inDomain = cols.forall { c =>
+          val i = row.fieldIndex(s"__qmax__$c")
+          row.isNullAt(i) || row.getLong(i) <= RelationalOps.q4MaxAbs
+        }
+        if (inDomain) closedForm(row)
+        else closedForm(momentRow(c =>
+          RelationalOps.exactSum(c, scale, precision = 28)))
+      }
     out.toDF("col_a", "col_b", "corr")
   }
 

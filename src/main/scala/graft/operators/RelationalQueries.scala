@@ -488,19 +488,28 @@ object RelationalQueries {
       }.mkString(" UNION ALL ")),
 
     // S5 interactions: pairwise Pearson over the numeric columns —
-    // one moment-sum pass for every pair (decimal-routed, so both
-    // engines see bit-identical sums; see corr_agg), closed form +
-    // the SAME floor-based rounding on both sides.
+    // one moment-sum pass for every pair, closed form + the SAME
+    // floor-based rounding on both sides. Moments ride the long-lane
+    // quantized sums (RelationalOps.q4*): exact integer arithmetic in
+    // both engines, recombined in double in identical textual order —
+    // bit-exact, and ~2× faster than the decimal(28,4) route whose
+    // BigDecimal per-row path dominated this query's bench time.
+    // (Lineitem values are well inside the |q| < 2^31.5 lane domain,
+    // so the fallback the API carries never fires here.)
     "profile_corr" -> QDef(
       (s, d) => ProfileOps.correlations(
         t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount")),
       {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        def q(c: String) =
+          s"CAST(FLOOR($c * 10000.0 + 0.5) AS BIGINT)"
         def m(c: String) =
-          s"CAST(SUM(CAST($c AS DECIMAL(28,4))) AS DOUBLE)"
+          s"(CAST(SUM(${q(c)}) AS DOUBLE) / 10000.0)"
         def mm(a: String, b: String) =
-          s"CAST(SUM(CAST($a * $b AS DECIMAL(28,4))) AS DOUBLE)"
+          s"((CAST(SUM((${q(a)} * ${q(b)}) >> 32) AS DOUBLE) * " +
+            s"4294967296.0 + CAST(SUM((${q(a)} * ${q(b)}) & " +
+            s"4294967295) AS DOUBLE)) / 100000000.0)"
         val pairs = for {
           i <- cols.indices; j <- (i + 1) until cols.size
         } yield (cols(i), cols(j))

@@ -122,4 +122,35 @@ class RelationalOpsSpec extends SparkSpec {
     val s = df.select(RelationalOps.exactSum(col("v"))).as[Double].head()
     assert(s === 7.5)
   }
+
+  test("q4ProdSum long lanes reconstruct SIGNED products exactly " +
+    "(arithmetic shift identity: hi*2^32 + lo == p for negative p)") {
+    val rows = Seq((-3.5, 2.0), (1.25, -4.0), (-2.0, -8.0),
+      (150000.25, 123456.7891), (0.00004, 0.00004))
+    val df = rows.toDF("a", "b")
+    def q(v: Double) = math.floor(v * 1e4 + 0.5).toLong
+    val expect = rows.map { case (a, b) => q(a) * q(b) }.sum / 1e8
+    val got = df.agg(RelationalOps.q4ProdSum(
+      RelationalOps.q4(col("a")), RelationalOps.q4(col("b"))))
+      .head().getDouble(0)
+    assert(got === expect)
+    // cross-check the self-product form against a decimal route on
+    // the quantized values (same factor-first quantization)
+    val gotSq = df.agg(RelationalOps.q4ProdSum(
+      RelationalOps.q4(col("a")), RelationalOps.q4(col("a"))))
+      .head().getDouble(0)
+    assert(gotSq === rows.map { case (a, _) => q(a) * q(a) }.sum / 1e8)
+  }
+
+  test("correlations exact: wide-magnitude values trip the lane " +
+    "guard and fall back to decimal, same closed form") {
+    // values ~1e6..4e7 quantize to |q| ~1e10..4e11 > 2^31.5: a lane
+    // product would overflow Int64; the same-pass max(abs(q)) guard
+    // must route to the decimal(28,4) form instead
+    val wide = Seq.tabulate(40)(i => ((i + 1) * 1e6, (i + 1) * 2e6))
+      .toDF("x", "y")
+    val got = ProfileOps.correlations(wide, Seq("x", "y"))
+      .collect()(0)
+    assert(got.getDouble(2) === 1.0)
+  }
 }
