@@ -47,13 +47,17 @@ object RelationalQueries {
       "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice " +
         "FROM lineitem"),
 
-    // P1: to_numeric(errors='coerce') ≡ try_cast (ref cms_preprocess.py:72).
+    // P1: to_numeric(errors='coerce') ≡ try_cast (ref cms_preprocess.py:72)
+    // via RelationalOps.coerceLong — rlike-guarded so the all-non-numeric
+    // status column doesn't pay try_cast's per-row exception (was 1.27 s,
+    // 5× its projection peers at sf0.1; now in line). Oracle unchanged:
+    // the guard is semantically invisible.
     "cast_coerce" -> QDef(
       (s, d) => t(s, d, "orders").select(
         col("o_orderkey"),
-        expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
-          .as("prio_num"),
-        expr("try_cast(o_orderstatus AS BIGINT)").as("status_num")),
+        RelationalOps.coerceLong(
+          substring(col("o_orderpriority"), 1, 1)).as("prio_num"),
+        RelationalOps.coerceLong(col("o_orderstatus")).as("status_num")),
       "SELECT o_orderkey, " +
         "TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num, " +
         "TRY_CAST(o_orderstatus AS BIGINT) AS status_num FROM orders"),

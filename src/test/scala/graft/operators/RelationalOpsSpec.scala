@@ -142,6 +142,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(gotSq === rows.map { case (a, _) => q(a) * q(a) }.sum / 1e8)
   }
 
+  test("coerceLong/coerceDouble agree with try_cast value-by-value " +
+    "(whitespace, signs, overflow, floats, hex, exponents)") {
+    val vals = Seq(" 42 ", "-7", "+3", "9999999999999999999999",
+      "4.5", ".5", "5.", "abc", "", "0x1f", "1e3", "-1.5e-2", "NaN",
+      "Infinity", "+", "-", ".", " ", "nan", "NAN", "inf", "INFINITY",
+      "-infinity", "+inf", " Infinity ", "1d", "1.5f", "1D", "2F",
+      "0x1p3", "0X1P3", "1_000", "1e", "e3", ".e3", "½",
+      " 42 ", "\t7\t", "42.", "-0", "007")
+    val df = vals.toDF("v")
+    val gotL = df.select(RelationalOps.coerceLong(col("v"))).collect()
+    val expL = df.select(col("v").try_cast("bigint")).collect()
+    assert(gotL.toSeq === expL.toSeq)
+    val gotD = df.select(RelationalOps.coerceDouble(col("v"))).collect()
+    val expD = df.select(col("v").try_cast("double")).collect()
+    assert(gotD.toSeq === expD.toSeq)
+  }
+
   test("correlations exact: wide-magnitude values trip the lane " +
     "guard and fall back to decimal, same closed form") {
     // values ~1e6..4e7 quantize to |q| ~1e10..4e11 > 2^31.5: a lane
