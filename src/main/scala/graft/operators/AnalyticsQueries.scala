@@ -464,6 +464,72 @@ object AnalyticsQueries {
         "(SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) " +
         "AS mx FROM lineitem)"),
 
+    // Z-score standardization (StandardScaler semantics), per order
+    // status — completes the scaler family (minmax/robust/winsorize/
+    // zscore). Same broadcast-stats-over-scan shape; the per-group
+    // mean/stddev come from long-lane moment sums (RelationalOps.q4
+    // at scale 2 — o_totalprice carries 2 decimals, so quantization
+    // is lossless AND |q| ≤ ~5.6e7 stays far inside the Int64
+    // product domain, where scale 4 would overflow at ~3e5). The
+    // z formula runs in identical textual order in both engines:
+    // sqrt is a correctly-rounded IEEE op, so exact moments in →
+    // bit-identical z out, then the negative-safe floor rounding.
+    "zscore_scale" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val q2 = RelationalOps.q4(col("o_totalprice"), scale = 2)
+        val stats = o.groupBy("o_orderstatus").agg(
+          count("*").cast("double").as("n"),
+          RelationalOps.q4Sum(q2, scale = 2).as("sx"),
+          RelationalOps.q4ProdSum(q2, q2, scale = 2).as("sxx"))
+        o.join(broadcast(stats), "o_orderstatus")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+              floor((col("o_totalprice") - col("sx") / col("n")) /
+                (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) /
+                  col("n")) * 1e6 + 0.5) / 1e6).as("zscore"))
+      }, {
+        val q2 = "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+        val sxx = s"((CAST(SUM(($q2 * $q2) >> 32) AS DOUBLE) * " +
+          s"4294967296.0 + CAST(SUM(($q2 * $q2) & 4294967295) " +
+          "AS DOUBLE)) / 10000.0)"
+        "WITH m AS (SELECT o_orderstatus, " +
+          "CAST(COUNT(*) AS DOUBLE) AS n, " +
+          s"CAST(SUM($q2) AS DOUBLE) / 100.0 AS sx, " +
+          s"$sxx AS sxx FROM orders GROUP BY o_orderstatus) " +
+          "SELECT o_orderkey, o.o_orderstatus, " +
+          "CASE WHEN n * sxx - sx * sx > 0 THEN " +
+          "FLOOR((o_totalprice - sx / n) / " +
+          "(SQRT(n * sxx - sx * sx) / n) * 1000000.0 + 0.5) " +
+          "/ 1000000.0 END AS zscore " +
+          "FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus"
+      }),
+
+    // Skew-safe two-phase aggregation, driver-gated: one hot group
+    // key at corpus scale funnels into a single reducer under plain
+    // groupBy (AQE splits skewed JOINs, not aggregations). saltedAgg
+    // spreads phase 1 over (key, salt from the row's own hash — a
+    // retried task salts identically), then merges the partials.
+    // The moment sums ride integer lanes, which are associative
+    // exactly, so salted partials merge to the bit-identical total a
+    // single-phase groupBy (the oracle) produces — this equality IS
+    // the gate. Scale 6 on |value| ≤ ~560 keeps q ≤ 5.6e8, inside
+    // the lane domain.
+    "salted_agg" -> QDef(
+      (s, d) => RelationalOps.saltedAgg(
+        Tables.load(s, d, "events")
+          .select(col("event_type"),
+            RelationalOps.q4(col("value"), scale = 6).as("qv")),
+        Seq("event_type"), salts = 32,
+        partials = Seq(count("*").as("n_part"),
+          sum(col("qv")).as("s_part")),
+        merges = Seq(sum(col("n_part")).as("n_events"),
+          (sum(col("s_part")).cast("double") / 1e6).as("sum_value"))),
+      "SELECT event_type, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) " +
+        "AS DOUBLE) / 1000000.0 AS sum_value FROM events " +
+        "GROUP BY event_type"),
+
     // Equal-frequency decile binning (QuantileDiscretizer semantics,
     // exact form): NTILE over a deterministic (value, key) order. The
     // unpartitioned window is the single-reducer exact form, kept for
