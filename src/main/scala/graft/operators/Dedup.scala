@@ -197,6 +197,74 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Cross-relation MinHash-LSH matching — the FUZZY form of train/
+    * eval decontamination ([[graft.operators.TextQueries]]
+    * `contamination_check` is the exact n-gram form): for each eval
+    * doc, the training docs whose word-3-gram Jaccard ≥ `threshold`,
+    * candidates from LSH band-bucket equi-joins ACROSS the two
+    * relations, then exact-verified — the same
+    * candidates-then-verify shape as [[minhashDedup]], so the output
+    * is the exact cross-pair answer wherever LSH recall holds (16
+    * bands × 2 rows: a θ=0.8 pair is missed with p=(1−0.8²)^16 ≈
+    * 9·10⁻⁸).
+    *
+    * Both sides are signed with [[minhashSignatures]] — ONE hash
+    * family, which is what makes the cross-join meaningful (see the
+    * compatibility warning on [[minhashSignature]]). Both bucket
+    * relations carry the hot-bucket guard: a template-spam cluster
+    * on EITHER side would otherwise turn the band join quadratic.
+    * Shuffles carry ids and 8-byte hashes, never text; at 100 TB
+    * the eval side is typically tiny, and Spark broadcasts its
+    * bucket relation under AQE automatically.
+    *
+    * @return (eval_id, train_id, jaccard) for matched cross pairs
+    */
+  def crossMinhashMatches(evalDocs: DataFrame, trainDocs: DataFrame,
+                          evalIdCol: String, trainIdCol: String,
+                          textCol: String,
+                          threshold: Double = 0.8, bands: Int = 16,
+                          rowsPer: Int = 2,
+                          maxBucket: Int = 100000): DataFrame = {
+    def exploded(df: DataFrame, idCol: String) = df
+      .where(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol).as("id"),
+        explode(TextQueries.shingles3(col(textCol))).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exE = exploded(evalDocs, evalIdCol)
+    val exT = exploded(trainDocs, trainIdCol)
+    def buckets(ex: DataFrame) = pruneOversized(
+      minhashSignatures(ex, bands * rowsPer)
+        .withColumn("bkt",
+          explode(lshBuckets(col("sig"), bands, rowsPer)))
+        .select(col("id"), col("bkt.band"), col("bkt.bucket")),
+      Seq("band", "bucket"), maxBucket)
+    val cands = buckets(exE).as("e")
+      .join(buckets(exT).as("t"),
+        col("e.band") === col("t.band") &&
+          col("e.bucket") === col("t.bucket"))
+      .select(col("e.id").as("eval_id"), col("t.id").as("train_id"))
+      .dropDuplicates("eval_id", "train_id")
+    def sizes(ex: DataFrame, side: String) = ex.groupBy("id")
+      .agg(count("*").as(s"${side}_n"))
+      .withColumnRenamed("id", s"${side}_id")
+    val sized = cands
+      .join(sizes(exE, "eval"), Seq("eval_id"))
+      .join(sizes(exT, "train"), Seq("train_id"))
+      .where(least(col("eval_n"), col("train_n")) >=
+        lit(threshold) * greatest(col("eval_n"), col("train_n")))
+    sized
+      .join(exE.select(col("id").as("eval_id"), col("shingle")),
+        Seq("eval_id"))
+      .join(exT.select(col("id").as("train_id"), col("shingle")),
+        Seq("train_id", "shingle"))
+      .groupBy("eval_id", "train_id", "eval_n", "train_n")
+      .agg(count("*").as("i"))
+      .select(col("eval_id"), col("train_id"),
+        (col("i") / (col("eval_n") + col("train_n") - col("i")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** (band, bucket, bucket_n) groups above `maxBucket` for this corpus/
     * banding — the exact set [[minhashDedup]] drops; count()==0 means no
     * candidate was lost to the hot-bucket guard (same observability

@@ -612,6 +612,61 @@ object TextQueries {
       },
       contamOracleSql),
 
+    // FUZZY train/eval contamination ([[Dedup.crossMinhashMatches]]):
+    // the near-duplicate form real decontamination needs — an eval doc
+    // lightly edited from a training doc slips past the exact n-gram
+    // check above, but not past word-3-gram Jaccard ≥ 0.8. Planted
+    // eval set (negative-id pattern): every 25th doc re-enters MINUS
+    // ITS LAST TWO WORDS — Jaccard (W−4)/(W−2) against its source, so
+    // the corpus's own word-count spread puts some evals above 0.8
+    // (W ≥ 12) and some below (W ≤ 11), exercising both branches;
+    // docs ≡7 (mod 25) plant clean never-matching evals. The oracle
+    // recomputes the EXACT all-cross-pairs answer, so the hash gate
+    // checks LSH recall (16 bands × 2 rows: θ=0.8 miss p ≈ 9·10⁻⁸)
+    // and the verify math at once — same doctrine as
+    // dedup_minhash_lsh.
+    "contamination_minhash" -> QDef(
+      (s, d) => {
+        val base = docs(s, d).where(col("text").isNotNull)
+        val w = split(col("text"), " ")
+        val contam = base.where(col("doc_id") % 25 === 0)
+          .select((-col("doc_id") - 1).as("eval_id"),
+            concat_ws(" ", slice(w, lit(1), size(w) - 2)).as("text"))
+        val clean = base.where(col("doc_id") % 25 === 7)
+          .select((-col("doc_id") - 1).as("eval_id"),
+            concat_ws(" ", (0 until 8).map(i =>
+              concat(lit("q"), col("doc_id").cast("string"),
+                lit(s"x$i"))): _*).as("text"))
+        Dedup.crossMinhashMatches(contam.unionByName(clean),
+          base.select(col("doc_id"), col("text")),
+          "eval_id", "doc_id", "text", threshold = 0.8)
+          .select(col("eval_id"), col("train_id").as("doc_id"),
+            round(col("jaccard"), 6).as("jaccard"))
+      },
+      "WITH base AS (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "ev AS (SELECT -doc_id - 1 AS eval_id, " +
+        "array_to_string(ww[1:len(ww)-2], ' ') AS text " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ww " +
+        "FROM base) WHERE doc_id % 25 = 0 " +
+        "UNION ALL SELECT -doc_id - 1, " +
+        (0 until 8).map(i => s"'q' || doc_id || 'x$i'")
+          .mkString("", " || ' ' || ", " ") +
+        "FROM base WHERE doc_id % 25 = 7), " +
+        "evs AS (SELECT eval_id, list_distinct(" +
+        "[array_to_string(w[x:x+2], ' ') FOR x IN " +
+        "range(1, len(w) - 1)]) AS s FROM (SELECT eval_id, " +
+        "string_split(text, ' ') AS w FROM ev) WHERE len(w) >= 3), " +
+        "ts AS (SELECT doc_id, list_distinct(" +
+        "[array_to_string(w[x:x+2], ' ') FOR x IN " +
+        "range(1, len(w) - 1)]) AS s FROM (SELECT doc_id, " +
+        "string_split(text, ' ') AS w FROM base) WHERE len(w) >= 3), " +
+        "p AS (SELECT eval_id, doc_id, " +
+        "len(list_intersect(e.s, t.s)) AS i, len(e.s) AS na, " +
+        "len(t.s) AS nb FROM evs e CROSS JOIN ts t) " +
+        "SELECT eval_id, doc_id, ROUND(i / (na + nb - i), 6) " +
+        "AS jaccard FROM p WHERE i / (na + nb - i) >= 0.8"),
+
     // Composed C4-style filter chain (see [[corpusFilter]]): every doc
     // gets a keep flag + stable first-failing-rule reason code.
     "corpus_filter" -> QDef(

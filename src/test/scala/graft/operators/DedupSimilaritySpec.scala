@@ -316,6 +316,44 @@ class DedupSimilaritySpec extends SparkSpec {
         s"spurious ${found -- exact}")
   }
 
+  test("crossMinhashMatches: edited eval docs match their source, " +
+    "clean evals never match, precision is exact-verified") {
+    // Eval side: every 10th doc with its last two words removed
+    // (Jaccard (W-4)/(W-2) vs source) + planted never-matching docs.
+    val base = docs.where(col("text").isNotNull)
+    val w = split(col("text"), " ")
+    val edited = base.where(col("doc_id") % 10 === 0)
+      .select((-col("doc_id") - 1).as("eval_id"),
+        concat_ws(" ", slice(w, lit(1), size(w) - 2)).as("text"))
+    val clean = base.where(col("doc_id") % 10 === 3).limit(20)
+      .select((-col("doc_id") - 1).as("eval_id"),
+        concat_ws(" ", (0 until 8).map(i =>
+          concat(lit("zz"), col("doc_id").cast("string"),
+            lit(s"q$i"))): _*).as("text"))
+    val ev = edited.unionByName(clean).cache()
+    val found = Dedup.crossMinhashMatches(ev, base, "eval_id", "doc_id",
+      "text", threshold = 0.8)
+      .select("eval_id", "train_id").as[(Long, Long)].collect().toSet
+    // exact cross ground truth on the same shingle sets
+    val evSh = ev.select(col("eval_id"),
+      TextQueries.shingles3(col("text")).as("sh"))
+    val trSh = base.select(col("doc_id"),
+      TextQueries.shingles3(col("text")).as("sh"))
+    val exact = evSh.as("e").join(trSh.as("t"))
+      .select(col("eval_id"), col("doc_id"),
+        (size(array_intersect(col("e.sh"), col("t.sh"))) /
+          size(array_union(col("e.sh"), col("t.sh")))).as("j"))
+      .where(col("j") >= 0.8)
+      .select("eval_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty) // long docs survive the 2-word clip
+    assert(found.subsetOf(exact), s"spurious ${found -- exact}")
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall over ${exact.size} pairs")
+    // clean plants (ids derived from docs ≡3 mod 10) never match
+    val cleanIds = clean.select("eval_id").as[Long].collect().toSet
+    assert(found.forall { case (e, _) => !cleanIds.contains(e) })
+  }
+
   test("rollingHash fingerprints are deterministic and prefix-sensitive") {
     val df = Seq("hello world", "hello world", "hello worlds")
       .toDF("text")
