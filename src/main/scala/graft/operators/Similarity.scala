@@ -519,4 +519,69 @@ object Similarity {
     pairs.withColumn("nn_rank", row_number().over(w))
       .where(col("nn_rank") <= k)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster-block the corpus with a coarse
+    * quantizer, generate within-cell cosine pairs at `threshold`,
+    * close them into duplicate clusters ([[Dedup.dupComponents]]),
+    * and emit a per-row verdict. Cluster blocking is what makes
+    * embedding dedup tractable at 100 TB: pair generation is
+    * O(Σ cell²) instead of O(n²), the self-join shuffles on `cell`
+    * (vectors move once, at the exchange), and [[Dedup.pruneOversized]]
+    * bounds any degenerate mega-cell exactly like the LSH hot-bucket
+    * guard. Keep policy diverges from the paper deliberately: min-id
+    * per cluster (the whole dedup family's deterministic canonical
+    * choice) instead of farthest-from-centroid.
+    *
+    * `centroids` are (cellId, vector) pairs — pass [[ivfIndex]]'s
+    * trained quantizer zipped with indices for the production path, or
+    * a deterministic row subset when a replayable assignment is needed
+    * (the `semantic_dedup` oracle does this). Assignment is first-min
+    * squared-L2 over centroids in ascending cellId order; ascending-j
+    * accumulation keeps the distance bit-comparable with DuckDB's
+    * `list_dot_product` replay.
+    *
+    * Like the paper's algorithm, a near-dup pair split across two
+    * cells is missed — that is the accepted recall trade of cluster
+    * blocking ([[lshDedupPairs]] is the multi-table alternative when
+    * cross-cell recall matters).
+    *
+    * @return (vec_id, cell, canonical_id, keep) — keep=1 iff the row
+    *         is its cluster's canonical (or a singleton)
+    */
+  def semanticDedup(emb: DataFrame,
+                    centroids: Array[(Long, Array[Double])],
+                    threshold: Double,
+                    maxCell: Int = 100000): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedup needs >= 1 centroid")
+    val sorted = centroids.sortBy(_._1)
+    val cellIds = sorted.map(_._1)
+    val cts = sorted.map(_._2)
+    // ascending-cellId scan + strict < keeps first-min ties on the
+    // LOWEST cell id — mirrored by the oracle's (dist, c_id) ordering
+    val assign = udf((v: Seq[Double]) => cellIds(nearestCell(cts, v)))
+    // The UDF column is a join key below; the shuffle exchange
+    // materializes it per row on each side, so the per-match
+    // re-evaluation trap (broadcast-join inlining) doesn't bite here —
+    // the assignment runs ~3 narrow passes total (pairs ×2, verdict).
+    val celled = VectorQueries.withNorm(emb)
+      .select(col("vec_id").as("id"), col("v"), col("nrm"))
+      .withColumn("cell", assign(col("v")))
+    val pruned = Dedup.pruneOversized(celled, Seq("cell"), maxCell)
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (VectorQueries.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select("a_id", "b_id")
+    val comp = Dedup.dupComponents(pairs)
+      .withColumnRenamed("id", "vec_id")
+    celled.select(col("id").as("vec_id"), col("cell"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
+      .withColumn("keep",
+        (col("vec_id") === col("canonical_id")).cast("int"))
+  }
 }

@@ -113,6 +113,69 @@ object VectorQueries {
         "SELECT a_id, b_id, ROUND(cos, 6) AS cosine FROM p " +
         "WHERE cos >= 0.44"),
 
+    // SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
+    // cluster-block → within-cell cosine pairs → connected components
+    // → per-row keep verdict. The gate uses a DETERMINISTIC centroid
+    // probe set (every 101st row's own embedding) instead of the
+    // trained quantizer so DuckDB can replay the assignment exactly:
+    // first-min squared-L2, distances accumulated ascending-j on both
+    // engines (list_dot_product of the difference vector), ties to the
+    // lowest centroid id. Planted exact copies (negative-id pattern,
+    // every 100th row) guarantee same-cell cos=1 dup clusters so the
+    // components path is never vacuously empty; natural near-dup pairs
+    // exercise the threshold boundary. The oracle recomputes cells,
+    // pairs, AND the transitive closure (recursive CTE), so the hash
+    // gate checks blocking, pairing, and clustering at once.
+    "semantic_dedup" -> QDef(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val plants = e.where(col("vec_id") % 100 === 0)
+          .select((-col("vec_id") - 1).as("vec_id"), col("label"),
+            col("embedding"))
+        // bounded collect: centroid probe set, ~N/101 rows (5 at the
+        // sf0.01 gate) — the production path passes ivfIndex's trained
+        // quantizer here instead
+        val cents = e.where(col("vec_id") % 101 === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        Similarity.semanticDedup(e.unionByName(plants), cents,
+          threshold = 0.44)
+      },
+      "WITH RECURSIVE " +
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "e AS (SELECT vec_id, v FROM base UNION ALL " +
+        "SELECT -vec_id - 1, v FROM base WHERE vec_id % 100 = 0), " +
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm " +
+        "FROM e), " +
+        "c AS (SELECT vec_id AS c_id, v AS cv FROM base " +
+        "WHERE vec_id % 101 = 0), " +
+        "d AS (SELECT n.vec_id, c.c_id, list_dot_product(" +
+        "[n.v[i] - c.cv[i] FOR i IN range(1, len(n.v) + 1)], " +
+        "[n.v[i] - c.cv[i] FOR i IN range(1, len(n.v) + 1)]) AS dist " +
+        "FROM n, c), " +
+        "cells AS (SELECT vec_id, c_id AS cell FROM " +
+        "(SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY dist, c_id) AS rn FROM d) WHERE rn = 1), " +
+        "m AS (SELECT n.vec_id, n.v, n.nrm, cells.cell FROM n " +
+        "JOIN cells USING (vec_id)), " +
+        "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM m a " +
+        "JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.44), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM p " +
+        "UNION ALL SELECT b_id, a_id FROM p), " +
+        "reach AS (SELECT src AS id, dst AS r FROM edges " +
+        "UNION SELECT reach.id, e2.dst FROM reach " +
+        "JOIN edges e2 ON reach.r = e2.src), " +
+        "comp AS (SELECT id, MIN(r) AS canonical_id FROM reach " +
+        "GROUP BY id) " +
+        "SELECT m.vec_id, m.cell, " +
+        "COALESCE(comp.canonical_id, m.vec_id) AS canonical_id, " +
+        "CAST(m.vec_id = COALESCE(comp.canonical_id, m.vec_id) AS INT) " +
+        "AS keep FROM m LEFT JOIN comp ON m.vec_id = comp.id"),
+
     // Int8 scalar quantization (the SQ8 codec of the standard vector
     // stores: 4× smaller than float32, 8× smaller than the double
     // form): per-vector max-abs scale, code_i = floor(127·x_i/maxabs

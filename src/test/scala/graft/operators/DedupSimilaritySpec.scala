@@ -354,6 +354,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(found.forall { case (e, _) => !cleanIds.contains(e) })
   }
 
+  test("semanticDedup with a trained quantizer: planted copies cluster " +
+    "with their source, canonical is the min id, verdict is total") {
+    val plants = emb.where(col("vec_id") % 100 === 0)
+      .select((-col("vec_id") - 1).as("vec_id"), col("label"),
+        col("embedding"))
+    val all = emb.unionByName(plants).cache()
+    val (cents, _) = Similarity.ivfIndex(all, nlist = 6)
+    val verdict = Similarity.semanticDedup(all,
+      cents.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      threshold = 0.95).cache()
+    assert(verdict.count() === all.count()) // one verdict per row
+    val byId = verdict.select("vec_id", "canonical_id")
+      .as[(Long, Long)].collect().toMap
+    // an exact copy always lands in its source's cell (identical
+    // distances, same tie-break), cos = 1 ≥ 0.95 → clustered; the
+    // min-id canonical is the NEGATIVE plant id on both members
+    plants.select("vec_id").as[Long].collect().foreach { p =>
+      val src = -p - 1
+      assert(byId(p) === p, s"plant $p not canonical")
+      assert(byId(src) === p, s"source $src not clustered with $p")
+    }
+    // keep ⟺ vec_id == canonical_id, no exceptions
+    val bad = verdict.where((col("vec_id") === col("canonical_id")) =!=
+      (col("keep") === 1)).count()
+    assert(bad === 0)
+  }
+
   test("rollingHash fingerprints are deterministic and prefix-sensitive") {
     val df = Seq("hello world", "hello world", "hello worlds")
       .toDF("text")
