@@ -214,5 +214,110 @@ object CorpusQueries {
         "SELECT doc_id, source, src_rank, " +
         "(CAST(src_rank AS DOUBLE) - 0.5) / (CASE WHEN " +
         "right(source, 1) IN ('0', '2', '4', '6', '8') THEN 2.0 " +
-        "ELSE 1.0 END) AS mix_pos FROM r"))
+        "ELSE 1.0 END) AS mix_pos FROM r"),
+
+    // Temperature resampling of the source mix at α = 1/2 (the
+    // multilingual-LM rebalancing op — upsample rare sources,
+    // downsample dominant ones; p_s ∝ n_s^(α−1), normalized so the
+    // RAREST source keeps everything: p_s = sqrt(min_n / n_s)).
+    // α is pinned to 1/2 because pow() is libm-territory but sqrt is
+    // IEEE-correctly-rounded — p_s and the keep decision are bit-exact
+    // cross-engine with no rounding step (same doctrine as BM25's
+    // ratio idf). Shape at 100 TB: one map-side-combined count per
+    // source (KBs), broadcast back over a MAP-ONLY deterministic
+    // hash-threshold filter ([[RelationalOps.mixKey]]) — document rows
+    // never shuffle, and the same doc set is kept on every rerun /
+    // engine (seeded-sample reproducibility, unlike rand()-based
+    // sampling).
+    // The synthetic corpus is perfectly source-balanced (p = 1
+    // everywhere), so the gate groups sources into a deterministically
+    // SKEWED pool map (~60/30/10 web/books/wiki — the usual pretraining
+    // shape), standing in for a user-supplied source→pool map exactly
+    // like mix_interleave's weight map; the threshold then genuinely
+    // drops rows from the dominant pools.
+    "source_temperature_sample" -> QDef(
+      (s, d) => {
+        val pool = when(col("doc_id") % 10 < 6, lit("web"))
+          .when(col("doc_id") % 10 < 9, lit("books"))
+          .otherwise(lit("wiki"))
+        val base = docs(s, d)
+          .select(col("doc_id"), pool.as("source_pool"))
+        val counts = base.groupBy("source_pool")
+          .agg(count("*").as("n_s"))
+        val mn = counts.agg(min("n_s").as("min_n"))
+        base.join(broadcast(counts), Seq("source_pool"))
+          .crossJoin(broadcast(mn))
+          .withColumn("p_keep",
+            sqrt(col("min_n").cast("double") / col("n_s")))
+          .where(RelationalOps.mixKey(col("doc_id")).cast("double") <
+            col("p_keep") * lit(1000000007L))
+          .select(col("doc_id"), col("source_pool"), col("p_keep"))
+      },
+      "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'web' " +
+        "WHEN doc_id % 10 < 9 THEN 'books' ELSE 'wiki' END " +
+        "AS source_pool FROM documents), " +
+        "c AS (SELECT source_pool, COUNT(*) AS n_s FROM d " +
+        "GROUP BY source_pool), " +
+        "m AS (SELECT MIN(n_s) AS min_n FROM c), " +
+        "p AS (SELECT d.doc_id, d.source_pool, " +
+        "sqrt(CAST(min_n AS DOUBLE) / n_s) AS p_keep " +
+        "FROM d JOIN c USING (source_pool) CROSS JOIN m) " +
+        "SELECT doc_id, source_pool, p_keep FROM p " +
+        "WHERE CAST(((doc_id % 1000000007) * 2654435761) % " +
+        "1000000007 AS DOUBLE) < p_keep * 1000000007"),
+
+    // Model-based quality filtering, scoring pass
+    // ([[graft.ml.QualityClassifier]]): the GPT-3/CCNet/DCLM pipeline
+    // stage — a linear classifier's margin over every document, keep
+    // iff margin > 0. This probe runs [[QualityClassifier
+    // .marginByCounts]] with FIXED literal weights (training is the
+    // bounded MLlib path, gated by QualityClassifierSpec; the scoring
+    // pass is what touches 100 TB, so it is what the driver
+    // hash-checks). Margin is bias + Σ wᵢ·countᵢ in vocab order —
+    // +,*,cast on identical operands in identical order, bit-exact
+    // cross-engine, no rounding (transcendental-free doctrine: no
+    // sigmoid, keep is monotone in it anyway). Map-only, codegen'd,
+    // zero shuffle.
+    "quality_classifier_probe" -> QDef(
+      (s, d) => {
+        val vocab = Seq("spark", "dup", "merge", "window")
+        val w = Seq(0.4, -1.2, 0.9, 0.3)
+        graft.ml.QualityClassifier.scoreDocs(
+          docs(s, d).where(col("text").isNotNull)
+            .select(col("doc_id"), col("text")),
+          "text", vocab, w, bias = -0.5, exactOrder = true)
+          .select(col("doc_id"), col("margin"), col("keep"))
+      },
+      "SELECT doc_id, -0.5 " +
+        "+ 0.4 * CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x = 'spark')) AS DOUBLE) " +
+        "+ -1.2 * CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x = 'dup')) AS DOUBLE) " +
+        "+ 0.9 * CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x = 'merge')) AS DOUBLE) " +
+        "+ 0.3 * CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x = 'window')) AS DOUBLE) AS margin, " +
+        "CAST(margin > 0 AS INT) AS keep " +
+        "FROM documents WHERE text IS NOT NULL"),
+
+    // Deterministic shard manifest — the audit record of a sharded
+    // corpus export ([[graft.sources.ShardedExport]]): per shard, row
+    // count, char volume, id range, and an order-insensitive content
+    // digest (md5 of per-doc md5s concatenated in doc_id order). Shard
+    // assignment is [[RelationalOps.mixKey]] mod nShards — stable
+    // across engines, reruns, and cluster layouts, unlike
+    // partition-id-derived schemes (the AQE trap). The digest shuffle
+    // carries 32-byte hashes, never text; at 100 TB this is
+    // metadata-scale. The oracle recomputes assignment, counts, and
+    // digest, so the gate pins the export's full audit chain.
+    "shard_manifest" -> QDef(
+      (s, d) => graft.sources.ShardedExport.manifest(
+        docs(s, d).where(col("text").isNotNull),
+        "doc_id", "text", nShards = 8),
+      "SELECT CAST(((doc_id % 1000000007) * 2654435761) % 1000000007 " +
+        "% 8 AS INT) AS shard, COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(text)) AS BIGINT) AS n_chars, " +
+        "MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc, " +
+        "md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_md5 " +
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1"))
 }

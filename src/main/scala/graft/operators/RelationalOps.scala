@@ -38,6 +38,11 @@ object RelationalOps {
   def mixKey(key: Column): Column =
     ((key % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
 
+  /** [[mixKey]] as a plain Scala function — same arithmetic, for
+    * driver-side checks against the column form. */
+  def mixKeyLong(key: Long): Long =
+    ((key % 1000000007L) * 2654435761L) % 1000000007L
+
   /** Keys of `df` rows whose `yearCol` values cover all of `years` —
     * the reference's full-enrollment predicate (`cms_preprocess.py:92-93`,
     * `set(x) >= full_years`). Implemented as a pre-aggregated distinct
