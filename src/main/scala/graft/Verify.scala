@@ -20,9 +20,27 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (same contract as Bench): the driver never
-    // sets it, so the gate always dumps every query.
+    // sets it, so the gate always dumps every query. Because
+    // oracle_check.py only grades directories that exist, a LEAKED env
+    // value (e.g. exported for a Bench run in the same shell) would
+    // silently turn the correctness gate vacuous — so a partial dump
+    // warns loudly, and an empty/unmatched filter (which would dump
+    // NOTHING and grade green) is a hard error.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      if (f.isEmpty || unknown.nonEmpty) {
+        System.err.println(s"[verify] FATAL: SPARK_GRAFT_ONLY=" +
+          s"'${sys.env("SPARK_GRAFT_ONLY")}' selects no valid query" +
+          (if (unknown.nonEmpty) s" (unknown: ${unknown.mkString(",")})"
+           else "") + " — refusing a vacuous dump")
+        sys.exit(1)
+      }
+      System.err.println(s"[verify] WARNING: SPARK_GRAFT_ONLY active — " +
+        s"PARTIAL dump of ${f.size}/${SparkEntry.queries.size} " +
+        "queries; this is NOT the correctness gate")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -73,15 +73,20 @@ object QualityClassifier {
     * cross-engine (the transcendental-free doctrine: no sigmoid; the
     * keep decision margin > 0 is monotone in the probability anyway).
     * Documents tokenize on single spaces to match the oracle's
-    * `string_split(text, ' ')`. */
+    * `string_split(text, ' ')`. Null text yields null margin — without
+    * the explicit guard, `size(null)` is -1 under non-ANSI legacy
+    * semantics and a textless row would get the definite (and wrong)
+    * margin bias − Σwᵢ, silently disagreeing with [[marginByTokens]]
+    * (which null-propagates naturally). */
   def marginByCounts(text: Column, vocab: Seq[String],
                      weights: Seq[Double], bias: Double): Column = {
     require(vocab.length == weights.length, "vocab/weights misaligned")
     val toks = split(text, " ")
-    vocab.zip(weights).foldLeft(lit(bias): Column) {
+    val m = vocab.zip(weights).foldLeft(lit(bias): Column) {
       case (acc, (t, w)) =>
         acc + lit(w) * size(filter(toks, x => x === t)).cast("double")
     }
+    when(text.isNotNull, m)
   }
 
   /** Token-order linear margin: one `aggregate` pass over the token

@@ -212,14 +212,13 @@ object ProfileOps {
       }
     }
 
-    def momentRow(msum: Column => Column,
-                  extra: Seq[Column] = Nil): org.apache.spark.sql.Row = {
+    def momentRow(msum: Column => Column): org.apache.spark.sql.Row = {
       val aggs = Seq(count("*").cast("double").as("__n")) ++
         cols.flatMap(c => Seq(msum(col(c)).as(s"__s__$c"),
           msum(col(c) * col(c)).as(s"__ss__$c"))) ++
         pairs.map { case (a, b) =>
           msum(col(a) * col(b)).as(s"__sp__${a}__$b")
-        } ++ extra
+        }
       df.agg(aggs.head, aggs.tail: _*).head()
     }
 
@@ -230,19 +229,28 @@ object ProfileOps {
         // are formed on the QUANTIZED longs (q(a)·q(b), exact), not by
         // quantizing the double product — the oracle SQL mirrors this.
         def q(c: String): Column = RelationalOps.q4(col(c), scale)
+        // domain guard on signed min/max, NOT max(abs(q)):
+        // abs(Long.MinValue) is itself negative, so a value that
+        // clamped to Long.MinValue would never win a max-of-abs and
+        // the overflow fallback would silently not fire
         val laneAggs = Seq(count("*").cast("double").as("__n")) ++
           cols.flatMap(c => Seq(
             RelationalOps.q4Sum(q(c), scale).as(s"__s__$c"),
             RelationalOps.q4ProdSum(q(c), q(c), scale).as(s"__ss__$c"),
-            max(abs(q(c))).as(s"__qmax__$c"))) ++
+            min(q(c)).as(s"__qmin__$c"),
+            max(q(c)).as(s"__qmax__$c"))) ++
           pairs.map { case (a, b) =>
             RelationalOps.q4ProdSum(q(a), q(b), scale)
               .as(s"__sp__${a}__$b")
           }
         val row = df.agg(laneAggs.head, laneAggs.tail: _*).head()
         val inDomain = cols.forall { c =>
-          val i = row.fieldIndex(s"__qmax__$c")
-          row.isNullAt(i) || row.getLong(i) <= RelationalOps.q4MaxAbs
+          val lo = row.fieldIndex(s"__qmin__$c")
+          val hi = row.fieldIndex(s"__qmax__$c")
+          (row.isNullAt(lo) ||
+            row.getLong(lo) >= -RelationalOps.q4MaxAbs) &&
+          (row.isNullAt(hi) ||
+            row.getLong(hi) <= RelationalOps.q4MaxAbs)
         }
         if (inDomain) closedForm(row)
         else closedForm(momentRow(c =>

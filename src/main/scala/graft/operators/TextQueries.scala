@@ -631,7 +631,13 @@ object TextQueries {
         val w = split(col("text"), " ")
         val contam = base.where(col("doc_id") % 25 === 0)
           .select((-col("doc_id") - 1).as("eval_id"),
-            concat_ws(" ", slice(w, lit(1), size(w) - 2)).as("text"))
+            // greatest(...,0): slice throws on negative length, so a
+            // 1-word doc must clamp to the empty plant (the oracle
+            // clamps identically — DuckDB's l[1:-1] would otherwise
+            // keep the WHOLE list on that input)
+            concat_ws(" ",
+              slice(w, lit(1), greatest(size(w) - 2, lit(0))))
+              .as("text"))
         val clean = base.where(col("doc_id") % 25 === 7)
           .select((-col("doc_id") - 1).as("eval_id"),
             concat_ws(" ", (0 until 8).map(i =>
@@ -646,7 +652,7 @@ object TextQueries {
       "WITH base AS (SELECT doc_id, text FROM documents " +
         "WHERE text IS NOT NULL), " +
         "ev AS (SELECT -doc_id - 1 AS eval_id, " +
-        "array_to_string(ww[1:len(ww)-2], ' ') AS text " +
+        "array_to_string(ww[1:greatest(len(ww)-2, 0)], ' ') AS text " +
         "FROM (SELECT doc_id, string_split(text, ' ') AS ww " +
         "FROM base) WHERE doc_id % 25 = 0 " +
         "UNION ALL SELECT -doc_id - 1, " +

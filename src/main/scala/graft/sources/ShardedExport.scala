@@ -26,12 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object ShardedExport {
 
-  /** `df` + a stable `shard` column in [0, nShards). */
+  /** `df` + a stable `shard` column in [0, nShards). `pmod`, not `%`:
+    * mixKey preserves the sign of a negative id, and a `%`-derived
+    * shard=-3 directory would be invisible to any reader indexing
+    * shards 0..nShards-1 (identical for the id ≥ 0 common case). */
   def assignShards(df: DataFrame, idCol: String,
                    nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     df.withColumn("shard",
-      (RelationalOps.mixKey(col(idCol)) % nShards).cast("int"))
+      pmod(RelationalOps.mixKey(col(idCol)), lit(nShards)).cast("int"))
   }
 
   /** Per-shard audit manifest: counts, char volume, id range, and an
@@ -53,7 +56,15 @@ object ShardedExport {
           x => x.getField("h")), "")).as("content_md5"))
 
   /** Write `df` as parquet partitioned by the stable shard, plus the
-    * manifest alongside under `_manifest/`. Returns the manifest. */
+    * manifest alongside under `_manifest/`. Returns the manifest.
+    *
+    * The manifest is derived from a READ-BACK of the written files,
+    * not from `df`: re-evaluating the input lineage would both pay a
+    * second scan of everything upstream of the export and — if that
+    * lineage is nondeterministic (a sample, a changed source) —
+    * certify rows that are not the rows actually shipped. Reading the
+    * output back costs one scan of exactly the exported bytes and
+    * makes the audit chain attach to the artifact itself. */
   def writeShards(df: DataFrame, idCol: String, textCol: String,
                   nShards: Int, outDir: String,
                   oneFilePerShard: Boolean = false): DataFrame = {
@@ -63,7 +74,9 @@ object ShardedExport {
       else sharded
     laidOut.write.mode("overwrite").partitionBy("shard")
       .parquet(outDir)
-    val m = manifest(df, idCol, textCol, nShards)
+    val m = manifest(
+      df.sparkSession.read.parquet(outDir).select(idCol, textCol),
+      idCol, textCol, nShards)
     m.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/_manifest")
     m

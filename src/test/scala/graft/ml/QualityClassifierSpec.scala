@@ -50,6 +50,22 @@ class QualityClassifierSpec extends SparkSpec {
     assert(maxDiff < 1e-9, s"forms diverged by $maxDiff")
   }
 
+  test("both margin forms null-propagate on null text (no silent " +
+    "bias-minus-sum(w) margin from legacy size(null) = -1)") {
+    val vocab = Seq("spark", "dup")
+    val w = Seq(0.4, -1.2)
+    val in = Seq((1L, "spark dup"), (2L, null)).toDF("doc_id", "text")
+    val r = in.select(
+      QualityClassifier.marginByCounts(col("text"), vocab, w, -0.5)
+        .as("mc"),
+      QualityClassifier.marginByTokens(col("text"), vocab, w, -0.5)
+        .as("mt"))
+      .orderBy(col("mc").asc_nulls_last)
+      .collect()
+    assert(!r(0).isNullAt(0) && !r(0).isNullAt(1))
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+  }
+
   test("scoreDocs keep flag is exactly margin > 0, and both margin " +
     "forms produce a mixed keep/drop split on the corpus") {
     val vocab = Seq("spark", "dup", "merge", "window")

@@ -324,7 +324,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val w = split(col("text"), " ")
     val edited = base.where(col("doc_id") % 10 === 0)
       .select((-col("doc_id") - 1).as("eval_id"),
-        concat_ws(" ", slice(w, lit(1), size(w) - 2)).as("text"))
+        concat_ws(" ",
+          slice(w, lit(1), greatest(size(w) - 2, lit(0)))).as("text"))
     val clean = base.where(col("doc_id") % 10 === 3).limit(20)
       .select((-col("doc_id") - 1).as("eval_id"),
         concat_ws(" ", (0 until 8).map(i =>

@@ -170,4 +170,16 @@ class RelationalOpsSpec extends SparkSpec {
       .collect()(0)
     assert(got.getDouble(2) === 1.0)
   }
+
+  test("correlations exact: a negative extreme that quantize-clamps " +
+    "to Long.MinValue trips the guard (abs(MinValue) is negative, so " +
+    "a max-of-abs guard would miss it) and yields an honest null, " +
+    "not a fabricated finite corr") {
+    val in = (Seq((-1e15, 1.0)) ++
+      Seq.tabulate(20)(i => (i.toDouble, i * 2.0))).toDF("x", "y")
+    val got = ProfileOps.correlations(in, Seq("x", "y")).collect()(0)
+    // decimal(28,4) fallback: x*x ~1e30 overflows to null → null corr
+    assert(got.isNullAt(2),
+      s"expected null corr for out-of-domain input, got ${got.get(2)}")
+  }
 }

@@ -47,6 +47,14 @@ class ShardedExportSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
   }
 
+  test("negative ids still land in [0, nShards) — pmod, not %") {
+    val in = Seq(-1L, -5L, -1000000008L, 0L, 7L).toDF("doc_id")
+      .withColumn("text", lit("x"))
+    val shards = ShardedExport.assignShards(in, "doc_id", 8)
+      .select("shard").as[Int].collect()
+    assert(shards.forall(s => s >= 0 && s < 8), shards.mkString(","))
+  }
+
   test("content digest is sensitive to a single-document edit") {
     val m0 = ShardedExport.manifest(docs, "doc_id", "text", 2)
       .select("shard", "content_md5").as[(Int, String)].collect().toMap
@@ -56,8 +64,8 @@ class ShardedExportSpec extends SparkSpec {
         .otherwise(col("text")))
     val m1 = ShardedExport.manifest(edited, "doc_id", "text", 2)
       .select("shard", "content_md5").as[(Int, String)].collect().toMap
-    val changedShard = (graft.operators.RelationalOps.mixKeyLong(oneId)
-      % 2).toInt
+    val changedShard = java.lang.Math.floorMod(
+      graft.operators.RelationalOps.mixKeyLong(oneId), 2L).toInt
     assert(m0(changedShard) !== m1(changedShard))
     assert(m0(1 - changedShard) === m1(1 - changedShard))
   }
