@@ -11,6 +11,36 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  /** Oracle-side replay of [[RelationalOps.groupQuantileValues]]: the
+    * window form (ROW_NUMBER + COUNT per group) extracts the two
+    * interpolation endpoints per prob, then interpolates with the SAME
+    * textual arithmetic the Spark side runs — identical IEEE ops on
+    * identical operands in identical order, so the compare is bit-exact
+    * with no rounding step and no reliance on either engine's internal
+    * quantile implementation. Emits `ranked`/`qb`/`q` CTE bodies; the
+    * caller opens the WITH (and may prepend its own source CTE). `q`
+    * carries the group column, `n`, and one column per prob name. */
+  private def quantileReplaySql(src: String, g: String, v: String,
+                                probs: Seq[(String, Double)]): String = {
+    def h = s"(CAST(n AS DOUBLE) - 1) * "
+    val ends = probs.map { case (nm, p) =>
+      s"MAX(CASE WHEN r = CAST(FLOOR($h$p) AS BIGINT) + 1 THEN $v END)" +
+        s" AS lo_$nm, " +
+        s"MAX(CASE WHEN r = CAST(FLOOR($h$p) AS BIGINT) + 2 THEN $v END)" +
+        s" AS hi_$nm"
+    }.mkString(", ")
+    val interp = probs.map { case (nm, p) =>
+      s"CASE WHEN $h$p - FLOOR($h$p) = 0 THEN lo_$nm " +
+        s"ELSE lo_$nm + (hi_$nm - lo_$nm) * ($h$p - FLOOR($h$p)) END " +
+        s"AS $nm"
+    }.mkString(", ")
+    s"ranked AS (SELECT $g, $v, " +
+      s"ROW_NUMBER() OVER (PARTITION BY $g ORDER BY $v) AS r, " +
+      s"COUNT(*) OVER (PARTITION BY $g) AS n FROM $src), " +
+      s"qb AS (SELECT $g, MAX(n) AS n, $ends FROM ranked GROUP BY $g), " +
+      s"q AS (SELECT $g, n, $interp FROM qb)"
+  }
+
   val defs: Map[String, QDef] = Map(
 
     // Running total per customer over order time (frame = unbounded
@@ -91,9 +121,16 @@ object AnalyticsQueries {
     // Tukey-fence outlier flagging per segment — the standard
     // data-cleaning pass before model features. Shape: the grouped
     // quartile agg is a FEW rows broadcast back over the scan (the
-    // minmax_scale shape) — the fact table never re-shuffles. Exact
-    // per-group percentile buffers each group (fine at segment
-    // cardinality); swap approx_percentile in for million-group keys.
+    // minmax_scale shape) — the fact table never re-shuffles. BUT
+    // Spark's `percentile` is a holistic aggregate: each group's FULL
+    // value multiset buffers in one aggregation buffer, and with a
+    // 3-key group column a 100-TB fact concentrates terabytes per
+    // buffer — FEW huge groups are the failure mode (many small groups
+    // are the easy case). This compact form is the readable baseline;
+    // the scale path is `outlier_iqr_scale` below, which derives the
+    // SAME quartile values from RelationalOps.groupQuantileValues
+    // (prefix-sum ranks, no group ever buffers) and then runs the
+    // identical broadcast fence.
     // The fence arithmetic is identical IEEE ops on both engines over
     // the interpolated quartiles percentile_agg already proves exact.
     "outlier_iqr" -> QDef(
@@ -173,6 +210,103 @@ object AnalyticsQueries {
         "quantile_cont(o_totalprice, 0.95) AS hi " +
         "FROM orders GROUP BY 1) " +
         "SELECT o_orderkey, o.o_orderstatus, " +
+        "LEAST(GREATEST(o_totalprice, lo), hi) AS winsorized " +
+        "FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus"),
+
+    // ---- Scale-safe siblings of the holistic-percentile family ------
+    // percentile_agg / outlier_iqr / robust_scale / winsorize all ask
+    // Spark's `percentile` to buffer each group's ENTIRE value multiset
+    // — an executor OOM at 100 TB with 3-5 group keys. These four
+    // derive the SAME exact interpolated quantile values from
+    // RelationalOps.groupQuantileValues (approx-quantile bucketing +
+    // prefix-sum ranks + endpoint extraction: no task ever holds more
+    // than one (group, bucket) cell), then apply the identical
+    // downstream arithmetic. Oracles replay the rank-and-interpolate
+    // construction with window SQL in the same textual op order, so
+    // the compare is bit-exact by construction — not by trusting
+    // quantile_cont and `percentile` to round identically.
+
+    // percentile_agg's scale sibling: exact interpolated p50/p90 per
+    // market segment, no group ever buffered.
+    "percentile_scale" -> QDef(
+      (s, d) => {
+        val j = Tables.load(s, d, "orders")
+          .join(broadcast(Tables.load(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+        RelationalOps.groupQuantileValues(j, "c_mktsegment",
+          "o_totalprice", Seq("p50" -> 0.5, "p90" -> 0.9))
+          .select(col("c_mktsegment"), col("p50"), col("p90"),
+            col("__n").as("n"))
+      },
+      "WITH j AS (SELECT c_mktsegment, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey), " +
+        quantileReplaySql("j", "c_mktsegment", "o_totalprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9)) +
+        " SELECT c_mktsegment, p50, p90, n FROM q"),
+
+    // outlier_iqr's scale sibling: same Tukey fences, quartiles from
+    // the prefix-sum machinery, fact table joins the broadcast
+    // boundaries map-only.
+    "outlier_iqr_scale" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val q = RelationalOps.groupQuantileValues(o, "o_orderstatus",
+          "o_totalprice", Seq("q1" -> 0.25, "q3" -> 0.75)).drop("__n")
+        o.join(broadcast(q), "o_orderstatus")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") <
+              col("q1") - (col("q3") - col("q1")) * 1.5 ||
+              col("o_totalprice") >
+                col("q3") + (col("q3") - col("q1")) * 1.5)
+              .cast("int").as("is_outlier"))
+      },
+      "WITH " + quantileReplaySql("orders", "o_orderstatus",
+        "o_totalprice", Seq("q1" -> 0.25, "q3" -> 0.75)) +
+        " SELECT o_orderkey, o.o_orderstatus, " +
+        "CASE WHEN o_totalprice < q1 - (q3 - q1) * 1.5 " +
+        "OR o_totalprice > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END " +
+        "AS is_outlier FROM orders o " +
+        "JOIN q ON o.o_orderstatus = q.o_orderstatus"),
+
+    // robust_scale's scale sibling: same median/IQR rescale (and the
+    // same floor-rounding doctrine — see robust_scale on why round()
+    // is a -0.0 trap), boundaries from the prefix-sum machinery.
+    "robust_scale_dist" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val q = RelationalOps.groupQuantileValues(o, "o_orderstatus",
+          "o_totalprice",
+          Seq("med" -> 0.5, "q1" -> 0.25, "q3" -> 0.75)).drop("__n")
+        o.join(broadcast(q), "o_orderstatus")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (floor((col("o_totalprice") - col("med")) /
+              (col("q3") - col("q1")) * 1e6 + 0.5) / 1e6)
+              .as("scaled"))
+      },
+      "WITH " + quantileReplaySql("orders", "o_orderstatus",
+        "o_totalprice",
+        Seq("med" -> 0.5, "q1" -> 0.25, "q3" -> 0.75)) +
+        " SELECT o_orderkey, o.o_orderstatus, " +
+        "FLOOR((o_totalprice - med) / (q3 - q1) * 1000000.0 + 0.5) " +
+        "/ 1000000.0 AS scaled " +
+        "FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus"),
+
+    // winsorize's scale sibling: clamp to [p5, p95] bands derived
+    // without buffering a group — pure min/max downstream, so the
+    // compare needs no rounding at all.
+    "winsorize_scale" -> QDef(
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        val q = RelationalOps.groupQuantileValues(o, "o_orderstatus",
+          "o_totalprice", Seq("lo" -> 0.05, "hi" -> 0.95)).drop("__n")
+        o.join(broadcast(q), "o_orderstatus")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+              .as("winsorized"))
+      },
+      "WITH " + quantileReplaySql("orders", "o_orderstatus",
+        "o_totalprice", Seq("lo" -> 0.05, "hi" -> 0.95)) +
+        " SELECT o_orderkey, o.o_orderstatus, " +
         "LEAST(GREATEST(o_totalprice, lo), hi) AS winsorized " +
         "FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus"),
 

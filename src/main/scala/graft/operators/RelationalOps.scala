@@ -286,6 +286,81 @@ object RelationalOps {
     rangeBucketRank(df, Seq(groupCol), valueCol, Nil, rankCol,
       "distributedGroupRank")._1
 
+  /** Exact per-group interpolated quantile VALUES without buffering any
+    * group — the scale path for Spark's `percentile`, which is a
+    * HOLISTIC aggregate: each group's full value multiset accumulates
+    * in one aggregation buffer, so a 100-TB fact table grouped by a
+    * 3-5-key column (status, segment) concentrates terabytes per
+    * buffer and OOMs an executor. Few huge groups are exactly the
+    * failure mode; many small groups are the easy case.
+    *
+    * This form never holds more than one (group, bucket) cell's rows
+    * in any task: [[rangeBucketRank]] assigns every row its exact
+    * within-group rank (prefix-sum over approx-quantile buckets,
+    * parallel across groups×buckets), a broadcast of per-group counts
+    * turns each requested prob into two target ranks, a map-side
+    * filter keeps ONLY the rows at those ranks (≤ 2·|probs| rows per
+    * group), and a final tiny aggregation interpolates
+    *
+    *   h = (n−1)·p;  q = v(⌊h⌋+1) + (v(⌊h⌋+2) − v(⌊h⌋+1))·(h − ⌊h⌋)
+    *
+    * — the same linear interpolation `percentile`/`quantile_cont`
+    * define, with every IEEE op in a fixed textual order so a DuckDB
+    * window-function replay is bit-exact (the oracle doctrine; no
+    * reliance on either engine's internal interpolation order).
+    *
+    * Ties in `valueCol` are fine: equal values always share a bucket
+    * and any rank permutation among ties yields the same value at each
+    * rank, so no tie-break column is needed (unlike
+    * [[distributedGroupRank]]'s unique-value contract).
+    *
+    * @param probs (outputColumn, p) pairs, p in [0, 1]
+    * @return one row per group: groupCol, `__n` (group row count,
+    *         long), and one double column per requested prob
+    */
+  def groupQuantileValues(df: DataFrame, groupCol: String,
+                          valueCol: String,
+                          probs: Seq[(String, Double)]): DataFrame = {
+    require(probs.nonEmpty, "groupQuantileValues needs >= 1 prob")
+    probs.foreach { case (nm, p) =>
+      require(p >= 0.0 && p <= 1.0, s"prob $nm=$p outside [0,1]") }
+    val slim = df.select(col(groupCol),
+      col(valueCol).cast("double").as(valueCol))
+    val (ranked, _) = rangeBucketRank(slim, Seq(groupCol), valueCol,
+      Nil, "__r", "groupQuantileValues")
+    val counts = slim.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val j = ranked.join(broadcast(counts), Seq(groupCol))
+    // target ranks per prob: lo = floor((n-1)·p) (long); rows at ranks
+    // lo+1 and lo+2 are the interpolation endpoints. The keep filter is
+    // map-only over the ranked relation — everything not at a target
+    // rank drops before the final (tiny) shuffle.
+    def loRank(p: Double): Column =
+      floor((col("__n").cast("double") - 1) * lit(p))
+    val keep = probs.map { case (_, p) =>
+      col("__r") === loRank(p) + 1 || col("__r") === loRank(p) + 2
+    }.reduce(_ || _)
+    val aggs = probs.flatMap { case (nm, p) => Seq(
+      max(when(col("__r") === loRank(p) + 1, col(valueCol)))
+        .as(s"__lo_$nm"),
+      max(when(col("__r") === loRank(p) + 2, col(valueCol)))
+        .as(s"__hi_$nm")) }
+    val g = j.where(keep).groupBy(col(groupCol))
+      .agg(max(col("__n")).as("__n"), aggs: _*)
+    val out = probs.foldLeft(g) { case (acc, (nm, p)) =>
+      val h = (col("__n").cast("double") - 1) * lit(p)
+      val frac = h - floor(h)
+      // frac = 0 ⇒ the lo rank IS the quantile (and the hi rank may
+      // not exist when lo+1 = n); CaseWhen never evaluates the
+      // interpolation branch there, so the null hi can't propagate
+      acc.withColumn(nm,
+        when(frac === 0.0, col(s"__lo_$nm"))
+          .otherwise(col(s"__lo_$nm") +
+            (col(s"__hi_$nm") - col(s"__lo_$nm")) * frac))
+    }
+    out.select((col(groupCol) +: col("__n") +:
+      probs.map { case (nm, _) => col(nm) }): _*)
+  }
+
   /** Point-in-interval range join without an equi key — "which events
     * fall inside which time windows" when the windows overlap and
     * belong to no shared partition key, the case plain equi-joins
