@@ -617,6 +617,11 @@ object AnalyticsQueries {
           RelationalOps.q4Sum(q2, scale = 2).as("sx"),
           RelationalOps.q4ProdSum(q2, q2, scale = 2).as("sxx"))
         o.join(broadcast(stats), "o_orderstatus")
+          // lane-domain row-count guard (RelationalOps.laneMaxRows):
+          // a >2^31-row group would wrap the lane sums silently —
+          // raise instead; the oracle never sees the guard fire
+          .withColumn("n",
+            RelationalOps.laneRowGuard(col("n"), "zscore_scale"))
           .select(col("o_orderkey"), col("o_orderstatus"),
             when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
               floor((col("o_totalprice") - col("sx") / col("n")) /
@@ -724,6 +729,10 @@ object AnalyticsQueries {
           RelationalOps.q4ProdSum(qx, qx).as("sxx"),
           RelationalOps.q4ProdSum(qy, qy).as("syy"),
           RelationalOps.q4ProdSum(qx, qy).as("sxy"))
+          // same lane row-count guard as zscore_scale: loud failure
+          // past 2^31 rows, not a silently wrapped moment
+          .withColumn("n",
+            RelationalOps.laneRowGuard(col("n"), "corr_agg"))
         agg.select(round(
           (col("n") * col("sxy") - col("sx") * col("sy")) /
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *

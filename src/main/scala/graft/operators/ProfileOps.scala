@@ -166,7 +166,10 @@ object ProfileOps {
     * integer sums, ~2× the whole query vs the decimal(28) BigDecimal
     * path). The lane domain (|quantized value| < 2^31.5, so per-row
     * products fit Int64) is checked with `max(abs(q))` aggregates
-    * riding the SAME pass; on violation the decimal(28, scale) form
+    * riding the SAME pass, and the row count is bounded by
+    * [[RelationalOps.laneMaxRows]] = 2^31−1 in the same row (past it
+    * the lane SUMS themselves would wrap Int64 even with every value
+    * in-domain); on violation of either the decimal(28, scale) form
     * recomputes — slower, 28-digit domain, and it quantizes each
     * PRODUCT after multiplying where the lanes quantize each FACTOR
     * before (both deterministic, not bit-identical to each other; an
@@ -244,7 +247,13 @@ object ProfileOps {
               .as(s"__sp__${a}__$b")
           }
         val row = df.agg(laneAggs.head, laneAggs.tail: _*).head()
-        val inDomain = cols.forall { c =>
+        // row-count half of the lane domain (RelationalOps.laneMaxRows):
+        // the lo lane adds up to 2^32−1 per row, so past 2^31−1 rows the
+        // lane SUM wraps silently even when every value is in-domain —
+        // count(*) rides the same pass, so the check is free
+        val nRows = row.getDouble(row.fieldIndex("__n"))
+        val inDomain = nRows <= RelationalOps.laneMaxRows.toDouble &&
+          cols.forall { c =>
           val lo = row.fieldIndex(s"__qmin__$c")
           val hi = row.fieldIndex(s"__qmax__$c")
           (row.isNullAt(lo) ||

@@ -442,18 +442,47 @@ object RelationalOps {
     *    so even where the true sum exceeds 2^53 both engines round
     *    identically.
     *
-    * Domain: |q| must stay below [[q4MaxAbs]] = floor(2^31.5) so the
-    * per-row product fits Int64 — at scale 4 that is values up to
-    * ~3×10^5 in magnitude squared, or ~3×10^9 crossed with ~1; TPC-H
-    * quantities and prices qualify with orders of magnitude to
-    * spare. Callers verify with `max(abs(q))` in the SAME aggregate
-    * pass (see ProfileOps.correlations) and fall back to
-    * [[exactSum]] (decimal, slower, 28-digit domain) when violated. */
+    * Domain — TWO bounds, both enforced by callers in the same
+    * aggregate pass (count(*) and min/max(q) ride along free):
+    *
+    *  - per VALUE: |q| must stay below [[q4MaxAbs]] = floor(2^31.5)
+    *    so the per-row product fits Int64 — at scale 4 that is values
+    *    up to ~3×10^5 in magnitude squared, or ~3×10^9 crossed with
+    *    ~1; TPC-H quantities and prices qualify with orders of
+    *    magnitude to spare. Checked with signed min/max(q) (see
+    *    ProfileOps.correlations).
+    *  - per ROW COUNT: n ≤ [[laneMaxRows]] = 2^31−1. The lo lane adds
+    *    a value in [0, 2^32) per row, so its SUM itself wraps Int64
+    *    silently (ansi=false) past ~2^31 rows — well inside a 100-TB
+    *    fact table even though every per-row product is in-domain.
+    *    The value bound never constrains n; this one does.
+    *
+    * On violation callers fall back to [[exactSum]] (decimal, slower,
+    * 28-digit domain — ProfileOps.correlations) or raise loudly via
+    * [[laneRowGuard]] (the oracle-gated moment queries). */
   def q4(c: Column, scale: Int = 4): Column =
     floor(c * lit(math.pow(10, scale)) + lit(0.5)).cast("long")
 
   /** Largest |q| for which q·q fits Int64: floor(2^31.5). */
   val q4MaxAbs: Long = 3037000499L
+
+  /** Largest row count for which [[q4ProdSum]]'s lane SUMS stay inside
+    * Int64: the lo lane contributes up to 2^32−1 per row, and
+    * (2^31−1)·(2^32−1) < 2^63−1 while 2^31·(2^32−1) overflows. The hi
+    * lane (|hi| ≤ 2^31 per row) is safe under the same bound. */
+  val laneMaxRows: Long = Int.MaxValue.toLong
+
+  /** Inline row-count guard for q4 lane-moment queries: passes `n`
+    * (a double count) through unchanged inside [[laneMaxRows]], raises
+    * loudly beyond it — a silently-wrapped moment sum would produce a
+    * confidently wrong corr/stddev with no witness. CaseWhen evaluates
+    * the raise only on the violating row, so the guard costs one
+    * comparison on the (tiny) aggregate relation. */
+  def laneRowGuard(n: Column, caller: String): Column =
+    when(n > lit(laneMaxRows.toDouble), raise_error(lit(
+      s"$caller: row count exceeds the q4 lane-sum domain " +
+        s"(2^31-1 rows) — switch to the decimal exactSum path")))
+      .otherwise(n)
 
   /** Value-domain exact sum of a [[q4]]-quantized column. */
   def q4Sum(qc: Column, scale: Int = 4): Column =

@@ -200,6 +200,25 @@ class RelationalOpsSpec extends SparkSpec {
         s"group $g vs Spark percentile")
   }
 
+  test("laneRowGuard passes in-domain counts through and raises " +
+    "past 2^31-1 rows (the lane-SUM wrap domain)") {
+    val ok = Seq(1000.0).toDF("n")
+      .select(RelationalOps.laneRowGuard(col("n"), "t").as("n"))
+      .as[Double].head()
+    assert(ok === 1000.0)
+    val boundary = Seq(RelationalOps.laneMaxRows.toDouble).toDF("n")
+      .select(RelationalOps.laneRowGuard(col("n"), "t").as("n"))
+      .as[Double].head()
+    assert(boundary === RelationalOps.laneMaxRows.toDouble)
+    val e = intercept[Exception] {
+      Seq(RelationalOps.laneMaxRows.toDouble + 1).toDF("n")
+        .select(RelationalOps.laneRowGuard(col("n"), "corr_agg"))
+        .collect()
+    }
+    assert(e.getMessage.contains("lane-sum domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("lane-sum domain")))
+  }
+
   test("correlations exact: wide-magnitude values trip the lane " +
     "guard and fall back to decimal, same closed form") {
     // values ~1e6..4e7 quantize to |q| ~1e10..4e11 > 2^31.5: a lane
