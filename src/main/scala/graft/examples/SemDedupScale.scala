@@ -90,6 +90,9 @@ object SemDedupScale {
     val nPlanted = planted.count()
     val recall = clustered.toDouble / nPlanted
     val drops = v.where(col("keep") === 0).count()
+    // last consumer of the cached verdict — release before the timing
+    // runs so they measure fresh pipelines, not block-manager pressure
+    v.unpersist(blocking = true)
 
     // ---- scaling: quarter vs full, k ∝ n vs fixed k --------------------
     full.where(col("vec_id") % 4 === 0)

@@ -148,12 +148,25 @@ object Dedup {
     * set is observable via [[minhashOversizedBuckets]]. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.6, bands: Int = 8,
-                   rowsPer: Int = 4, maxBucket: Int = 100000): DataFrame = {
+                   rowsPer: Int = 4, maxBucket: Int = 100000): DataFrame =
+    // Unmanaged convenience form: the persisted shingle relation stays
+    // cached until the session LRU-evicts it (fine for one-shot driver
+    // runs). A long-lived session looping over corpora should use
+    // [[minhashDedupManaged]] and release() after its terminal action.
+    minhashDedupManaged(docs, idCol, textCol, threshold, bands, rowsPer,
+      maxBucket).df
+
+  /** [[minhashDedup]] with an explicit cache-lifecycle handle — see
+    * [[ManagedResult]]. */
+  def minhashDedupManaged(docs: DataFrame, idCol: String,
+                          textCol: String, threshold: Double = 0.6,
+                          bands: Int = 8, rowsPer: Int = 4,
+                          maxBucket: Int = 100000): ManagedResult = {
     // The pipeline is genuinely multi-pass over the shingles (signature,
     // sizes, exact verify), so the exploded shingle relation is persisted
-    // — computed once, reused by every pass within the job, LRU-evicted
-    // by the block manager afterwards. Everything that shuffles from here
-    // on is ids + 8-byte hashes, never text.
+    // — computed once, reused by every pass within the job; ownership of
+    // the cached blocks is the returned handle's. Everything that
+    // shuffles from here on is ids + 8-byte hashes, never text.
     val ex = docs
       .where(size(split(col(textCol), " ")) >= 3)
       .select(col(idCol).as("id"),
@@ -186,7 +199,7 @@ object Dedup {
         Seq("b_id"))
       .where(least(col("a_n"), col("b_n")) >=
         lit(threshold) * greatest(col("a_n"), col("b_n")))
-    sized
+    val pairs = sized
       .join(ex.select(col("id").as("a_id"), col("shingle")), Seq("a_id"))
       .join(ex.select(col("id").as("b_id"), col("shingle")),
         Seq("b_id", "shingle"))
@@ -195,6 +208,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (col("i") / (col("a_n") + col("b_n") - col("i"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    ManagedResult(pairs, Seq(ex))
   }
 
   /** Cross-relation MinHash-LSH matching — the FUZZY form of train/
@@ -224,7 +238,22 @@ object Dedup {
                           textCol: String,
                           threshold: Double = 0.8, bands: Int = 16,
                           rowsPer: Int = 2,
-                          maxBucket: Int = 100000): DataFrame = {
+                          maxBucket: Int = 100000): DataFrame =
+    // Unmanaged convenience form — same caller-owned-or-LRU cache
+    // lifecycle note as [[minhashDedup]]; long-lived sessions should
+    // use the managed form and release() after the terminal action.
+    crossMinhashMatchesManaged(evalDocs, trainDocs, evalIdCol,
+      trainIdCol, textCol, threshold, bands, rowsPer, maxBucket).df
+
+  /** [[crossMinhashMatches]] with an explicit cache-lifecycle handle —
+    * see [[ManagedResult]]. Both exploded shingle relations (eval and
+    * train) are persisted for the pipeline's internal passes and
+    * released together. */
+  def crossMinhashMatchesManaged(
+      evalDocs: DataFrame, trainDocs: DataFrame,
+      evalIdCol: String, trainIdCol: String, textCol: String,
+      threshold: Double = 0.8, bands: Int = 16, rowsPer: Int = 2,
+      maxBucket: Int = 100000): ManagedResult = {
     def exploded(df: DataFrame, idCol: String) = df
       .where(size(split(col(textCol), " ")) >= 3)
       .select(col(idCol).as("id"),
@@ -252,7 +281,7 @@ object Dedup {
       .join(sizes(exT, "train"), Seq("train_id"))
       .where(least(col("eval_n"), col("train_n")) >=
         lit(threshold) * greatest(col("eval_n"), col("train_n")))
-    sized
+    val matches = sized
       .join(exE.select(col("id").as("eval_id"), col("shingle")),
         Seq("eval_id"))
       .join(exT.select(col("id").as("train_id"), col("shingle")),
@@ -263,6 +292,7 @@ object Dedup {
         (col("i") / (col("eval_n") + col("train_n") - col("i")))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+    ManagedResult(matches, Seq(exE, exT))
   }
 
   /** (band, bucket, bucket_n) groups above `maxBucket` for this corpus/

@@ -145,14 +145,24 @@ object TextQueries {
     * pruned join (the prune must happen BEFORE the join's exchange to
     * save the shuffle, so totals/hits are genuinely two consumers).
     * Without the persists each second use would re-scan its corpus —
-    * the double-scan shape ivfIndex was rightly dinged for. They stay
-    * cached until the session evicts them (LRU) or the caller clears
-    * them; a service looping over many corpora should
-    * `spark.catalog.clearCache()` between iterations. */
+    * the double-scan shape ivfIndex was rightly dinged for. This
+    * convenience form leaves the blocks to session LRU (fine for
+    * one-shot driver runs); a service looping over many corpora should
+    * use [[contaminationCheckBloomManaged]] and release() after its
+    * terminal action. */
   def contaminationCheckBloom(evalDocs: DataFrame, trainDocs: DataFrame,
                               evalIdCol: String, textCol: String,
                               expectedItems: Long,
-                              fpp: Double = 0.01): DataFrame = {
+                              fpp: Double = 0.01): DataFrame =
+    contaminationCheckBloomManaged(evalDocs, trainDocs, evalIdCol,
+      textCol, expectedItems, fpp).df
+
+  /** [[contaminationCheckBloom]] with an explicit cache-lifecycle
+    * handle — see [[graft.operators.ManagedResult]]. */
+  def contaminationCheckBloomManaged(
+      evalDocs: DataFrame, trainDocs: DataFrame,
+      evalIdCol: String, textCol: String, expectedItems: Long,
+      fpp: Double = 0.01): ManagedResult = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val evalSh = shingleDigests(
       evalDocs.select(col(evalIdCol).as("eval_id"), col(textCol)),
@@ -167,11 +177,12 @@ object TextQueries {
     val hits = evalSh.where(mightContain(col("h")))
       .join(trainSh, Seq("h"))
       .groupBy("eval_id").agg(count("*").as("n_hits"))
-    totals.join(hits, Seq("eval_id"), "left")
+    val out = totals.join(hits, Seq("eval_id"), "left")
       .na.fill(0L, Seq("n_hits"))
       .select(col("eval_id"), col("n_shingles"), col("n_hits"),
         round(col("n_hits") / col("n_shingles"), 6).as("contam_frac"),
         (col("n_hits") > 0).cast("int").as("is_contaminated"))
+    ManagedResult(out, Seq(evalSh, trainSh))
   }
 
   /** Correctly-sized distributed Bloom filter over a string column.

@@ -35,6 +35,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall over ${exactPairs.size} pairs")
   }
 
+  test("managed pipelines: no cached relation outlives its query " +
+    "once released (two sequential queries, storage drained after " +
+    "each)") {
+    def cachedBlocks: Int = spark.sparkContext.getRDDStorageInfo.length
+    // a corpus unique to this test: CacheManager dedupes identical
+    // plans, so reusing `docs` would hit (and then release!) cache
+    // entries other tests legitimately left behind
+    val corpus = (1 to 60).map { i =>
+      val base = s"sentence $i about topic ${i % 7} with shared words"
+      (i.toLong, if (i % 2 == 0) base else base + " tail")
+    }.toDF("doc_id", "text")
+    val baseline = cachedBlocks
+    // query 1: minhash near-dup
+    val m1 = Dedup.minhashDedupManaged(corpus, "doc_id", "text",
+      threshold = 0.8)
+    assert(m1.df.count() >= 0)
+    assert(cachedBlocks > baseline,
+      "shingle relation should be cached while the query runs")
+    m1.release(blocking = true)
+    assert(cachedBlocks === baseline,
+      "released pipeline must leave no cached blocks behind")
+    // query 2: cross-relation decontamination in the same session —
+    // the accumulation scenario the unmanaged form is prone to
+    val ev = corpus.limit(20)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val m2 = Dedup.crossMinhashMatchesManaged(ev, corpus, "eval_id",
+      "doc_id", "text", threshold = 0.8)
+    assert(m2.df.count() >= 0)
+    m2.release(blocking = true)
+    assert(cachedBlocks === baseline,
+      "second query's blocks must drain too — no accumulation")
+    // and the Bloom-prefiltered contamination path
+    val m3 = TextQueries.contaminationCheckBloomManaged(ev, corpus,
+      "eval_id", "text", expectedItems = 100000)
+    assert(m3.df.count() >= 0)
+    m3.release(blocking = true)
+    assert(cachedBlocks === baseline)
+  }
+
   test("simhash64 is deterministic and order-insensitive enough " +
     "for identical token multisets") {
     val a = Dedup.simhash64(Seq("x", "y", "z"))
