@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Model-based quality filtering — the classifier stage of the modern
@@ -28,16 +28,26 @@ import org.apache.spark.sql.functions._
   *    deploy with a large vocabulary. Accumulation follows token order,
   *    so it is NOT bit-identical to the counts form (same value within
   *    ~1e-12; QualityClassifierSpec pins the agreement bound).
+  *
+  * Tokenization contract: EVERY phase — [[vocab]], [[train]]'s
+  * features, both margin forms, and the DuckDB oracle's
+  * `string_split(text, ' ')` — splits on a SINGLE ASCII space. One
+  * tokenizer end to end, or a document with tabs or runs of spaces
+  * would yield different token counts at scoring than the model was
+  * trained on, silently skewing margins. Empty tokens (from repeated
+  * spaces) never enter the vocabulary and carry no weight at scoring,
+  * so they cancel out of both phases identically.
   */
 object QualityClassifier {
 
   /** Deterministic training vocabulary: the `vocabSize` most frequent
     * corpus words, ties broken lexicographically (same ordering
     * doctrine as Bpe.train's histogram cap). Bounded collect — the
-    * vocab IS the model's feature axis, sized by the caller. */
+    * vocab IS the model's feature axis, sized by the caller.
+    * Single-space tokenization (the object-level contract). */
   def vocab(docs: DataFrame, textCol: String,
             vocabSize: Int): Array[String] =
-    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+    docs.select(explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count("*").as("n"))
       .orderBy(col("n").desc, col("w"))
@@ -47,7 +57,10 @@ object QualityClassifier {
   /** Train LR on fixed-vocab token counts; returns (weights, bias)
     * aligned with `vocab` — the exported model the scoring pass
     * broadcasts. Deterministic given the input sample (LBFGS on a
-    * fixed feature space; no random init). */
+    * fixed feature space; no random init). Features tokenize on a
+    * single space — the SAME tokenizer the scoring margins use (the
+    * object-level contract; empty tokens are never in-vocab, so runs
+    * of spaces contribute nothing in either phase). */
   def train(labeled: DataFrame, textCol: String, labelCol: String,
             vocab: Array[String], regParam: Double = 1e-4)
       : (Array[Double], Double) = {
@@ -55,7 +68,7 @@ object QualityClassifier {
     val dim = vocab.length
     val featUdf = udf { (t: String) =>
       val counts = new Array[Double](dim)
-      if (t != null) t.split("\\s+").foreach { w =>
+      if (t != null) t.split(" ").foreach { w =>
         idx.get(w).foreach(i => counts(i) += 1.0)
       }
       Vectors.dense(counts)
@@ -103,6 +116,45 @@ object QualityClassifier {
     aggregate(split(text, " "),
       lit(bias),
       (acc, t) => acc + coalesce(element_at(wmap, t), lit(0.0)))
+  }
+
+  /** Persist the exported model as its deployable artifact: one
+    * parquet row per term (`ord`, `term`, `weight`) plus the bias as
+    * `ord = -1` with a null term. ORDER IS PART OF THE MODEL:
+    * [[marginByCounts]]' sum follows ascending vocab order, so the
+    * artifact carries an explicit ordinal rather than trusting file
+    * or row order — a loaded model replays margins bit-identically
+    * (QualityClassifierSpec pins the round trip). Tiny table
+    * (|vocab|+1 rows), coalesced to one file. */
+  def saveModel(spark: SparkSession, path: String, vocab: Seq[String],
+                weights: Seq[Double], bias: Double): Unit = {
+    require(vocab.length == weights.length, "vocab/weights misaligned")
+    import spark.implicits._
+    val rows = (-1, null: String, bias) +:
+      vocab.indices.map(i => (i, vocab(i), weights(i)))
+    rows.toDF("ord", "term", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]] artifact back into (vocab, weights, bias),
+    * validating shape loudly: exactly one bias row and contiguous
+    * term ordinals 0..n-1 — a truncated or doubled write fails here,
+    * not as a silently re-ordered (= silently different) model. */
+  def loadModel(spark: SparkSession, path: String)
+      : (Array[String], Array[Double], Double) = {
+    val rows = spark.read.parquet(path)
+      .select("ord", "term", "weight").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty && rows.head._1 == -1,
+      s"model at $path has no bias row (ord = -1)")
+    val bias = rows.head._3
+    val terms = rows.tail
+    require(terms.map(_._1).toSeq == terms.indices.toSeq,
+      s"model at $path has non-contiguous term ordinals — " +
+        "corrupt or partially written artifact")
+    (terms.map(_._2), terms.map(_._3), bias)
   }
 
   /** Corpus-wide scoring pass: (id columns…, margin, keep). Map-only —

@@ -81,4 +81,68 @@ class QualityClassifierSpec extends SparkSpec {
         s"degenerate keep split: $kept of ${scored.count()}")
     }
   }
+
+  test("model save/load round trip: the loaded artifact scores " +
+    "bit-identical margins (order preserved via explicit ordinals)") {
+    val vocab = QualityClassifier.vocab(docs, "text", 32)
+    val (w, b) = QualityClassifier.train(labeled, "text", "label", vocab)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qc_model").toString
+    try {
+      QualityClassifier.saveModel(spark, dir, vocab.toSeq, w.toSeq, b)
+      val (v2, w2, b2) = QualityClassifier.loadModel(spark, dir)
+      // the artifact IS the model: exact equality, including order
+      assert(v2.toSeq === vocab.toSeq)
+      assert(w2.toSeq === w.toSeq)
+      assert(b2 === b)
+      // and the deploy loop end-to-end: margins from the loaded model
+      // are bit-identical to margins from the in-memory one, both forms
+      Seq(true, false).foreach { exact =>
+        val diff = docs.select(
+          QualityClassifier.marginByCounts(col("text"), vocab.toSeq,
+            w.toSeq, b).as("m0"),
+          (if (exact)
+            QualityClassifier.marginByCounts(col("text"), v2.toSeq,
+              w2.toSeq, b2)
+          else
+            QualityClassifier.marginByTokens(col("text"), v2.toSeq,
+              w2.toSeq, b2)).as("m1"))
+        if (exact)
+          assert(diff.where(col("m0") =!= col("m1")).count() === 0,
+            "loaded-model exact-order margins must be bit-identical")
+        else {
+          val dmax = diff.select(max(abs(col("m0") - col("m1"))))
+            .head().getDouble(0)
+          assert(dmax < 1e-9, s"token-order form diverged by $dmax")
+        }
+      }
+    } finally
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("loadModel rejects a corrupt artifact loudly (missing bias, " +
+    "gapped ordinals)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qc_bad").toString
+    try {
+      // gapped ordinals: 0 then 2
+      Seq((-1, null: String, 0.5), (0, "a", 1.0), (2, "b", 2.0))
+        .toDF("ord", "term", "weight").write.mode("overwrite").parquet(dir)
+      val e1 = intercept[IllegalArgumentException] {
+        QualityClassifier.loadModel(spark, dir)
+      }
+      assert(e1.getMessage.contains("non-contiguous"))
+      // no bias row
+      Seq((0, "a", 1.0)).toDF("ord", "term", "weight")
+        .write.mode("overwrite").parquet(dir)
+      val e2 = intercept[IllegalArgumentException] {
+        QualityClassifier.loadModel(spark, dir)
+      }
+      assert(e2.getMessage.contains("bias"))
+    } finally
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+  }
 }
