@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.operators.RelationalOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sharded corpus export: assign every row a stable
@@ -80,5 +80,70 @@ object ShardedExport {
     m.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/_manifest")
     m
+  }
+
+  /** Consumer half of the audit chain — the integrity check a training
+    * job runs BEFORE reading a shard directory (and a resume runs
+    * before trusting a partial download): re-derive the manifest from
+    * the shard data actually on disk and diff it against the committed
+    * one under `_manifest/`.
+    *
+    * @return discrepancy rows (shard, field, expected, actual) —
+    *         EMPTY means the artifact verifies. Any edit, loss, or
+    *         duplication of a single row flips that shard's
+    *         `content_md5` (and usually `n_docs`/`n_chars`); a shard
+    *         present on only one side reports every field against
+    *         `<absent>`; rows sitting in the wrong shard directory
+    *         (id-derived shard ≠ partition directory) report as
+    *         `misplaced_rows`, which the id-keyed re-derived manifest
+    *         alone could never see. One scan of the shard bytes plus
+    *         a metadata-scale diff — same cost shape as the write-side
+    *         manifest.
+    *
+    * `nShards` is the count the artifact was written with (the
+    * reader's contract, like the schema); a stored shard id at or
+    * above it is itself reported as a `shard_id_range` discrepancy.
+    */
+  def verifyShards(spark: SparkSession, outDir: String, idCol: String,
+                   textCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    // `_manifest/` starts with an underscore, so the data read's file
+    // listing skips it (Hadoop hidden-path convention) — the manifest
+    // never verifies itself.
+    val data = spark.read.parquet(outDir)
+      .select(col(idCol), col(textCol),
+        col("shard").cast("int").as("__dir_shard"))
+    val misplaced = data
+      .withColumn("__expect",
+        pmod(RelationalOps.mixKey(col(idCol)), lit(nShards)).cast("int"))
+      .where(col("__expect") =!= col("__dir_shard"))
+      .groupBy(col("__dir_shard").as("shard"))
+      .agg(count("*").as("__n"))
+      .select(col("shard"), lit("misplaced_rows").as("field"),
+        lit("0").as("expected"), col("__n").cast("string").as("actual"))
+    val fields = Seq("n_docs", "n_chars", "min_doc", "max_doc",
+      "content_md5")
+    val fresh = manifest(data.select(idCol, textCol), idCol, textCol,
+      nShards)
+    val stored = spark.read.parquet(s"$outDir/_manifest")
+    val outOfRange = stored
+      .where(col("shard") < 0 || col("shard") >= nShards)
+      .select(col("shard").cast("int").as("shard"),
+        lit("shard_id_range").as("field"),
+        lit(s"[0, $nShards)").as("expected"),
+        col("shard").cast("string").as("actual"))
+    val j = stored.select(col("shard").cast("int").as("shard") +:
+        fields.map(f => col(f).cast("string").as(s"e_$f")): _*)
+      .join(fresh.select(col("shard") +:
+        fields.map(f => col(f).cast("string").as(s"a_$f")): _*),
+        Seq("shard"), "full_outer")
+    val fieldDiffs = fields.map { f =>
+      j.where(col(s"e_$f").isNull || col(s"a_$f").isNull ||
+          col(s"e_$f") =!= col(s"a_$f"))
+        .select(col("shard"), lit(f).as("field"),
+          coalesce(col(s"e_$f"), lit("<absent>")).as("expected"),
+          coalesce(col(s"a_$f"), lit("<absent>")).as("actual"))
+    }.reduce(_ unionByName _)
+    fieldDiffs.unionByName(misplaced).unionByName(outOfRange)
   }
 }
