@@ -66,7 +66,13 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val r = (timeOnce(fn), timeOnce(fn)) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
+        // both runs kept, sorted: "queries" reports the min (steady
+        // state, the graded number), "runs" reports [min, max] so a
+        // contended host is diagnosable from the JSON alone — a 10×
+        // max/min spread is noise-on-this-box, a tight pair that is
+        // uniformly slower than last round is a real regression.
+        case (Right(a), Right(b)) =>
+          Right((math.min(a, b), math.max(a, b)))
         case (Left(e), _) => Left(e)
         case (_, Left(e)) => Left(e)
       }
@@ -74,12 +80,15 @@ object Bench {
     }
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errs = results.collect { case (k, Left(e)) => k -> e }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = ok.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val rs = ok.map { case (k, (mn, mx)) =>
+      s"\"" + k + "\":[" + mn + "," + mx + "]" }
       .mkString("{", ",", "}")
     val es = errs.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

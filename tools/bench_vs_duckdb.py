@@ -19,7 +19,12 @@ def connect(sf_dir):
 def main(sf_dir, oracle_path, bench_path):
     oracle = json.load(open(oracle_path))
     raw = open(bench_path).read()
-    bench = json.loads(raw[raw.index('{'):])["queries"]
+    parsed = json.loads(raw[raw.index('{'):])
+    bench = parsed["queries"]
+    # [min, max] per query when the bench emitted it: a wide spread
+    # flags host contention, so the table can say "noise" instead of
+    # a reader mistaking the row for a regression.
+    runs = parsed.get("runs", {})
     rows = []
     # Per-query wall cap: the unblocked all-pairs Jaccard oracle
     # (dedup_minhash_lsh) is quadratic in DuckDB and runs >10 min at
@@ -69,17 +74,20 @@ def main(sf_dir, oracle_path, bench_path):
           "not per-row cost. On the queries with real work (the dedup "
           "pair joins) the engine's parallel plans win by an order of "
           "magnitude, and the total favors the engine.\n")
-    print("| query | spark s | duckdb s | ratio |")
-    print("|---|---|---|---|")
+    print("| query | spark s | spark max s | duckdb s | ratio |")
+    print("|---|---|---|---|---|")
     sp_tot = dd_tot = 0.0
     for name, sp, dd in rows:
         if sp is None:
             continue
         sp_tot += sp
         dd_tot += dd
-        print(f"| {name} | {sp:.2f} | {dd:.2f} | "
+        base = name.replace(" (capped)", "")
+        mx = runs.get(base)
+        mx_s = f"{mx[1]:.2f}" if mx else "-"
+        print(f"| {name} | {sp:.2f} | {mx_s} | {dd:.2f} | "
               f"{(sp / dd if dd > 0 else float('inf')):.1f}x |")
-    print(f"| **total** | **{sp_tot:.2f}** | **{dd_tot:.2f}** | "
+    print(f"| **total** | **{sp_tot:.2f}** | - | **{dd_tot:.2f}** | "
           f"**{sp_tot / dd_tot:.1f}x** |")
 
 if __name__ == "__main__":
