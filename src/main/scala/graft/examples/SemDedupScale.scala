@@ -94,6 +94,74 @@ object SemDedupScale {
     // runs so they measure fresh pipelines, not block-manager pressure
     v.unpersist(blocking = true)
 
+    // ---- multi-probe boundary recovery: p=2 vs p=1 --------------------
+    // Plant twin pairs ON cell boundaries (midpoint of each centroid
+    // and its nearest neighbor, nudged ±1e-3 along the axis): cluster
+    // blocking at p=1 misses them BY CONSTRUCTION — the members
+    // quantize to different cells — while probes = 2 indexes each
+    // member into both cells, so the pair meets. Same trained
+    // quantizer as the production path.
+    import spark.implicits._
+    val (cents, _) = Similarity.ivfIndex(full, nlistFor(nRows))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    def nearestOf(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val dd = d2(cents(c), v)
+        if (dd < bd) { bd = dd; best = c }
+        c += 1
+      }
+      best
+    }
+    def cosOf(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) {
+        s += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+      }
+      s / math.sqrt(na * nb)
+    }
+    val boundary = cents.indices.iterator.flatMap { ci =>
+      var bj = -1; var bd = Double.MaxValue; var j = 0
+      while (j < cents.length) {
+        if (j != ci) {
+          val dd = d2(cents(ci), cents(j))
+          if (dd < bd) { bd = dd; bj = j }
+        }
+        j += 1
+      }
+      val a = cents(ci); val b = cents(bj)
+      // float-round exactly as the planted rows will be stored, then
+      // re-check assignment/similarity on what the engine will see
+      def mk(sign: Double) = Array.tabulate(a.length)(x =>
+        ((a(x) + b(x)) / 2 + sign * 1e-3 * (b(x) - a(x))).toFloat
+          .toDouble)
+      val t1 = mk(-1.0); val t2 = mk(1.0)
+      if (nearestOf(t1) == ci && nearestOf(t2) == bj &&
+          cosOf(t1, t2) >= threshold) Iterator((t1, t2))
+      else Iterator.empty
+    }.take(50).toArray
+    val twinDf = boundary.zipWithIndex.flatMap { case ((t1, t2), i) =>
+      Seq((-(2L * i + 1), 0, t1.map(_.toFloat).toSeq),
+        (-(2L * i + 2), 0, t2.map(_.toFloat).toSeq))
+    }.toSeq.toDF("vec_id", "label", "embedding")
+    val withTwins = full.unionByName(twinDf)
+    val centsIdx = cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+    def boundaryRecovered(probes: Int): Int = {
+      val m = Similarity
+        .semanticDedup(withTwins, centsIdx, threshold, probes = probes)
+        .where(col("vec_id") < 0)
+        .select(col("vec_id"), col("canonical_id"))
+        .as[(Long, Long)].collect().toMap
+      boundary.indices.count(i => m(-(2L * i + 1)) == m(-(2L * i + 2)))
+    }
+    val nBoundary = boundary.length
+    val rec1 = boundaryRecovered(1)
+    val rec2 = boundaryRecovered(2)
+
     // ---- scaling: quarter vs full, k ∝ n vs fixed k --------------------
     full.where(col("vec_id") % 4 === 0)
       .write.mode("overwrite").parquet(s"$tmp/emb_q")
@@ -128,6 +196,13 @@ object SemDedupScale {
       s"${check(recall >= 0.95, "twin recall")} |\n"
     md ++= s"| drops >= found twins | $drops >= $clustered | >= | " +
       s"${check(drops >= clustered, "drop count")} |\n"
+    md ++= s"| boundary twins at p=1 | $rec1 of $nBoundary | <= " +
+      s"${nBoundary / 2} | ${check(rec1 <= nBoundary / 2,
+        "p=1 boundary miss")} |\n"
+    md ++= s"| boundary twins at p=2 | $rec2 of $nBoundary | >= " +
+      s"${math.ceil(0.9 * nBoundary).toInt} | ${check(nBoundary > 0 &&
+        rec2 >= math.ceil(0.9 * nBoundary).toInt, "p=2 boundary " +
+        "recovery")} |\n"
     md ++= f"| 4x rows, k = √n | ${tQ}%.2f s -> ${tF}%.2f s " +
       f"(${ratio}%.1fx) | <= ${slack * 8}%.0fx | " +
       s"${check(ratio <= slack * 8, "k = √n scaling")} |\n"
@@ -136,6 +211,12 @@ object SemDedupScale {
     md ++= f"| 4x rows, k ∝ n (${kLinear(nQ)}→${kLinear(nRows)}) | " +
       f"${tQlin}%.2f s -> ${tFlin}%.2f s (${ratioLin}%.1fx) | " +
       "reported | — |\n"
+    md ++= "\nBoundary rows: twin pairs planted at cell-boundary " +
+      "midpoints (members quantize to DIFFERENT cells of the trained " +
+      "quantizer by construction). p=1 cluster blocking misses them — " +
+      "the documented recall trade — and probes = 2 (each vector " +
+      "indexed into its two nearest cells) recovers them for ~2× pair " +
+      "cost.\n"
     md ++= "\nThe reported rows are the two failure regimes of the " +
       "O(n·k) + O(n²/k) cost model: hold k fixed and pair work grows " +
       "as n²; scale k ∝ n and the flat-scan assignment grows as n². " +

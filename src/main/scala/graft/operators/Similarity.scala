@@ -541,10 +541,19 @@ object Similarity {
     * accumulation keeps the distance bit-comparable with DuckDB's
     * `list_dot_product` replay.
     *
-    * Like the paper's algorithm, a near-dup pair split across two
-    * cells is missed — that is the accepted recall trade of cluster
-    * blocking ([[lshDedupPairs]] is the multi-table alternative when
-    * cross-cell recall matters).
+    * Like the paper's algorithm, at `probes = 1` a near-dup pair split
+    * across two cells is missed — the accepted recall trade of cluster
+    * blocking. `probes = 2` applies the IVF nprobe idea to INDEXING:
+    * each vector enters its two nearest cells, so a boundary pair
+    * whose members straddle adjacent cells still meets in whichever of
+    * the two cells they share — most of the lost boundary recall back
+    * for ~probes× pair-generation cost (DedupSimilaritySpec plants
+    * such straddling twins and shows p=1 provably misses them;
+    * [[lshDedupPairs]] remains the multi-table alternative when full
+    * cross-cell recall matters). The reported `cell` and the oracle
+    * contract stay primary-cell (nearest); duplicate meetings of a
+    * pair sharing BOTH probe cells collapse via dropDuplicates on the
+    * 16-byte pair ids before components run.
     *
     * @return (vec_id, cell, canonical_id, keep) — keep=1 iff the row
     *         is its cluster's canonical (or a singleton)
@@ -552,29 +561,62 @@ object Similarity {
   def semanticDedup(emb: DataFrame,
                     centroids: Array[(Long, Array[Double])],
                     threshold: Double,
-                    maxCell: Int = 100000): DataFrame = {
+                    maxCell: Int = 100000,
+                    probes: Int = 1): DataFrame = {
     require(centroids.nonEmpty, "semanticDedup needs >= 1 centroid")
+    require(probes >= 1 && probes <= centroids.length,
+      s"probes must be in 1..${centroids.length}, got $probes")
     val sorted = centroids.sortBy(_._1)
     val cellIds = sorted.map(_._1)
     val cts = sorted.map(_._2)
-    // ascending-cellId scan + strict < keeps first-min ties on the
-    // LOWEST cell id — mirrored by the oracle's (dist, c_id) ordering
-    val assign = udf((v: Seq[Double]) => cellIds(nearestCell(cts, v)))
-    // The UDF column is a join key below; the shuffle exchange
-    // materializes it per row on each side, so the per-match
+    val base = VectorQueries.withNorm(emb)
+      .select(col("vec_id").as("id"), col("v"), col("nrm"))
+    // The assignment UDF column is a join key below; the shuffle
+    // exchange materializes it per row on each side, so the per-match
     // re-evaluation trap (broadcast-join inlining) doesn't bite here —
     // the assignment runs ~3 narrow passes total (pairs ×2, verdict).
-    val celled = VectorQueries.withNorm(emb)
-      .select(col("vec_id").as("id"), col("v"), col("nrm"))
-      .withColumn("cell", assign(col("v")))
-    val pruned = Dedup.pruneOversized(celled, Seq("cell"), maxCell)
-    val pairs = pruned.as("a").join(pruned.as("b"),
+    // `celled` carries the PRIMARY (nearest) cell for the verdict;
+    // `pairSource` carries one row per (vector, probed cell).
+    val (celled, pairSource) =
+      if (probes == 1) {
+        // ascending-cellId scan + strict < keeps first-min ties on the
+        // LOWEST cell id — mirrored by the oracle's (dist, c_id) order
+        val assign = udf((v: Seq[Double]) => cellIds(nearestCell(cts, v)))
+        val c = base.withColumn("cell", assign(col("v")))
+        (c, c)
+      } else {
+        // p nearest cells, ascending (distance, cellId) — element 0
+        // equals the strict-< first-min primary cell
+        val p = probes
+        val assignP = udf { (v: Seq[Double]) =>
+          val ds = new Array[Double](cts.length)
+          var c = 0
+          while (c < cts.length) {
+            val ct = cts(c); var d = 0.0; var j = 0
+            while (j < ct.length && j < v.length) {
+              val t = v(j) - ct(j); d += t * t; j += 1
+            }
+            ds(c) = d; c += 1
+          }
+          ds.indices.sortBy(i => (ds(i), i)).take(p)
+            .map(cellIds(_)): Seq[Long]
+        }
+        val c = base.withColumn("cells", assignP(col("v")))
+        (c.withColumn("cell", col("cells")(0)).drop("cells"),
+          c.withColumn("cell", explode(col("cells"))).drop("cells"))
+      }
+    val pruned = Dedup.pruneOversized(pairSource, Seq("cell"), maxCell)
+    val rawPairs = pruned.as("a").join(pruned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         (VectorQueries.dot(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
       .select("a_id", "b_id")
+    // a pair sharing BOTH probed cells meets twice — its cos is
+    // computed identically both times, so the dedup is on bare ids
+    val pairs = if (probes == 1) rawPairs
+                else rawPairs.dropDuplicates("a_id", "b_id")
     val comp = Dedup.dupComponents(pairs)
       .withColumnRenamed("id", "vec_id")
     celled.select(col("id").as("vec_id"), col("cell"))

@@ -421,6 +421,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("semanticDedup multi-probe (p=2) recovers cross-cell boundary " +
+    "twins that p=1 provably misses, and agrees with p=1 elsewhere") {
+    // two well-separated cells at x=0 and x=10; a twin pair straddles
+    // the midpoint (cos = 1, but nearest cells differ), plus normal
+    // in-cell members and an in-cell duplicate pair as the control
+    val rows = Seq(
+      (1L, 0, Seq(0.1, 1.0, 0.0)),   // cell A interior
+      (2L, 0, Seq(0.2, 0.9, 0.1)),   // cell A interior
+      (3L, 0, Seq(10.0, 1.0, 0.0)),  // cell B interior
+      (4L, 0, Seq(10.0, 1.0, 0.0)),  // exact dup of 3 — same cell
+      // boundary twins: cosine ≈ 1 to each other, but pointing away
+      // from both interiors' directions (cos < 0.8 to every other
+      // vector), straddling the A/B midplane by ±0.001 in x
+      (5L, 0, Seq(4.999, -3.0, 1.0)),  // nearest = A
+      (6L, 0, Seq(5.001, -3.001, 1.0)) // nearest = B
+    ).toDF("vec_id", "label", "embedding")
+    val cents = Array(
+      (0L, Array(0.0, 0.0, 0.0)), (1L, Array(10.0, 0.0, 0.0)))
+    // sanity: 5 and 6 are cosine-identical up to ~1e-8 but straddle
+    val p1 = Similarity.semanticDedup(rows, cents, threshold = 0.999)
+      .select("vec_id", "canonical_id").as[(Long, Long)]
+      .collect().toMap
+    assert(p1(5L) === 5L && p1(6L) === 6L,
+      "p=1 must miss the straddling pair (that is the documented trade)")
+    assert(p1(4L) === 3L, "in-cell dup must still cluster at p=1")
+    val p2 = Similarity.semanticDedup(rows, cents, threshold = 0.999,
+      probes = 2)
+      .select("vec_id", "canonical_id").as[(Long, Long)]
+      .collect().toMap
+    assert(p2(5L) === 5L && p2(6L) === 5L,
+      s"p=2 must recover the straddling pair, got $p2")
+    assert(p2(4L) === 3L)
+    // non-boundary verdicts unchanged
+    assert(p2(1L) === p1(1L) && p2(2L) === p1(2L) && p2(3L) === p1(3L))
+    // primary-cell reporting: the verdict's cell is the NEAREST cell
+    // under both settings
+    val cells1 = Similarity.semanticDedup(rows, cents, 0.999)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val cells2 = Similarity.semanticDedup(rows, cents, 0.999, probes = 2)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells1 === cells2)
+    assert(cells2(5L) === 0L && cells2(6L) === 1L)
+  }
+
   test("rollingHash fingerprints are deterministic and prefix-sensitive") {
     val df = Seq("hello world", "hello world", "hello worlds")
       .toDF("text")
