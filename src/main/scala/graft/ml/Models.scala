@@ -191,7 +191,9 @@ object Models {
     * plus a mean/stddev summary — all metric math as aggregations.
     * Returns (perFold, summary). */
   def kFoldMetrics(df: DataFrame, keyCol: String, folds: Int = 5,
-                   threshold: Double = 0.5): (DataFrame, DataFrame) = {
+                   threshold: Double = 0.5,
+                   fit: DataFrame => org.apache.spark.ml.Transformer =
+                     df => lasso().fit(df)): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val assigned = graft.operators.RelationalOps
@@ -199,7 +201,7 @@ object Models {
     val rows = (1 to folds).map { f =>
       val train = assigned.where(col("fold") =!= f)
       val valid = assigned.where(col("fold") === f)
-      val model = lasso().fit(train)
+      val model = fit(train)
       val scored = model.transform(valid).select(
         col("label").cast("int").as("label"), col("score"))
       // Both metrics in ONE aggregation (same formulas as

@@ -153,6 +153,54 @@ object Encoders {
     pool(grid)
   }
 
+  /** M4 fidelity step beyond [[poolDayGridWindows]]: exponential-decay
+    * day-weighted pooling — the final state of a FIXED-WEIGHT linear
+    * recurrence over the day axis, the closest thing to a recurrent
+    * pass expressible without a DL framework. Per code c the forward
+    * block is
+    *
+    *   h_c = Σ_d  α^(365−d) · x[d,c]   (= h after h_d = α·h_{d−1} + x_d
+    *                                      over all 366 day rows)
+    *
+    * — a GRU with its gates frozen at a constant update rate α: recent
+    * days dominate, old days decay geometrically, and unlike ANY
+    * windowed pooling two occurrence patterns with the same window
+    * histogram but different day order now encode differently. The
+    * backward block (α^d weights) carries the symmetric early-history
+    * memory, so the head sees both ends of the year. Output is
+    * [fwd | bwd], size 2·width, sparse on codes that occur at all.
+    * Closed pow() form, not 366 multiplies — same value up to float
+    * ulps (ExtensionsAndPoolingSpec pins agreement with an explicit
+    * recurrence loop). Narrow per-row transform like its siblings. */
+  def poolDayGridDecay(grid: Column, width: Int,
+                       alpha: Double = 0.97): Column = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"alpha must be in (0, 1), got $alpha")
+    val pool = udf { (v: MlVector) =>
+      val fwd = new Array[Double](width)
+      val bwd = new Array[Double](width)
+      // same explicit-zero rule as poolDayGrid: only truly nonzero
+      // cells contribute, whatever the vector representation
+      v.foreachActive((ix, value) => if (value != 0.0) {
+        val day = ix / width // 0..365
+        val c = ix % width
+        fwd(c) += math.pow(alpha, (365 - day).toDouble)
+        bwd(c) += math.pow(alpha, day.toDouble)
+      })
+      val idx = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      var c = 0
+      while (c < width) {
+        if (fwd(c) != 0.0) idx += ((c, fwd(c)))
+        if (bwd(c) != 0.0) idx += ((width + c, bwd(c)))
+        c += 1
+      }
+      val sorted = idx.sortBy(_._1)
+      Vectors.sparse(2 * width, sorted.map(_._1).toArray,
+        sorted.map(_._2).toArray): MlVector
+    }
+    pool(grid)
+  }
+
   /** AOV flatten (E1): given per-(key, year) rows with an indicator-index
     * array and demographic columns, emit one row per key with a
     * `years.size * (demos.size + width)` sparse vector, year-major —

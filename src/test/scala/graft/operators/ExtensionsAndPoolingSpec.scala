@@ -190,6 +190,43 @@ class ExtensionsAndPoolingSpec extends SparkSpec {
     assert(pe(we * 3 * w + w + 1) === 1.0 / daysInWe)
   }
 
+  test("poolDayGridDecay equals the explicit linear recurrence, " +
+    "keeps day ORDER (not just window histograms), and carries both " +
+    "directions") {
+    val w = 3
+    val alpha = 0.97
+    // code 0 on days 1 and 366 (0-based 0 and 365); code 1 on day 101
+    val grid = Vectors.sparse(366 * w,
+      Array(0 * w + 0, 100 * w + 1, 365 * w + 0), Array(1.0, 1.0, 1.0))
+    val out = Seq(Tuple1(grid)).toDF("grid")
+      .select(Encoders.poolDayGridDecay(col("grid"), w, alpha).as("p"))
+      .head().getAs[SparseVector]("p")
+    assert(out.size === 2 * w)
+    // explicit recurrence h_d = alpha*h_{d-1} + x_d over the 366 rows
+    def recur(days: Seq[Int]): Double = {
+      var h = 0.0
+      (0 until 366).foreach { d =>
+        h = alpha * h + (if (days.contains(d)) 1.0 else 0.0)
+      }
+      h
+    }
+    assert(math.abs(out(0) - recur(Seq(0, 365))) < 1e-9)   // fwd code 0
+    assert(math.abs(out(1) - recur(Seq(100))) < 1e-9)      // fwd code 1
+    // backward block: same recurrence over reversed days
+    assert(math.abs(out(w + 0) - (1.0 + math.pow(alpha, 365))) < 1e-12)
+    assert(math.abs(out(w + 1) - math.pow(alpha, 100)) < 1e-12)
+    // order sensitivity: one occurrence on day 10 vs day 300 — same
+    // count, same month-window histogram would differ only by window;
+    // decay separates ANY reordering
+    def one(day: Int) = Seq(Tuple1(Vectors.sparse(366 * w,
+      Array((day - 1) * w), Array(1.0)))).toDF("grid")
+      .select(Encoders.poolDayGridDecay(col("grid"), w, alpha).as("p"))
+      .head().getAs[SparseVector]("p")
+    assert(one(10)(0) !== one(300)(0))
+    assert(one(10)(0) < one(300)(0), "later day must carry MORE " +
+      "forward weight (recency)")
+  }
+
   test("M3/M4 paths: MLP on the raw grid and LR on pooled features " +
     "train on the CMS fixture MHE output") {
     def res(n: String) = getClass.getResource(s"/cms/$n.csv").getPath
