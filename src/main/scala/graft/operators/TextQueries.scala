@@ -356,6 +356,59 @@ object TextQueries {
         "WHERE length(line) >= 20 " +
         "GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 2"),
 
+    // Exact duplicated-SPAN detection (the exact-substring-dedup idea of
+    // Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    // Better", re-expressed distributed): every 15-token window (stride
+    // 1) is hashed; windows whose hash appears in ≥ 2 DISTINCT documents
+    // are reported. Stride 1 makes detection shift-invariant — a copied
+    // run ≥ 15 tokens is caught at ANY offset. The planted probes
+    // re-enter every 10th doc MINUS ITS FIRST 3 TOKENS under a negative
+    // id to prove exactly that: dedup_lines' whole-sentence pass misses
+    // such spliced copies, this pass provably catches them. Cost is the
+    // documented trade vs a single-machine suffix array: ~n_tokens
+    // exploded rows, but each shuffled row is a (16-byte md5, doc_id)
+    // pair — the span TEXT never shuffles — with map-side partial
+    // aggregation on the hash key. A removal pass is then a broadcast
+    // semi-join of this (small) relation against the re-exploded corpus,
+    // exactly as in dedup_lines.
+    "dedup_spans" -> QDef(
+      (s, d) => {
+        val k = 15
+        val base = docs(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        // negative probe ids: disjoint from real doc_ids at any scale
+        val probes = base.where(col("doc_id") % 10 === 0)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            slice(col("w"), lit(4),
+              greatest(size(col("w")) - 3, lit(0))).as("w"))
+        base.unionByName(probes)
+          .where(size(col("w")) >= k)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("w")) - (k - 1)))
+              .as("i"),
+            col("w"))
+          .select(col("doc_id"),
+            md5(array_join(slice(col("w"), col("i"), lit(k)), " "))
+              .as("span_hash"))
+          .groupBy(col("span_hash"))
+          .agg(count_distinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc"),
+            count("*").as("n_occ"))
+          .where(col("n_docs") >= 2)
+      },
+      "WITH b AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents WHERE text IS NOT NULL " +
+        "UNION ALL SELECT -doc_id - 1, w[4:len(w)] FROM (" +
+        "SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 10 = 0)), " +
+        "e AS (SELECT doc_id, md5(array_to_string(w[i:i+14], ' ')) " +
+        "AS span_hash FROM (SELECT doc_id, w, " +
+        "UNNEST(range(1, len(w) - 15 + 2)) AS i FROM b " +
+        "WHERE len(w) >= 15)) " +
+        "SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs, " +
+        "MIN(doc_id) AS first_doc, COUNT(*) AS n_occ FROM e " +
+        "GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2"),
+
     // Near-dup detection: word-3-gram Jaccard with (lang, length-bucket)
     // blocking. Blocking bounds the pair count — the all-pairs join is
     // replaced by a per-bucket join, which is the scalable shape (same
@@ -480,6 +533,67 @@ object TextQueries {
         "ROUND(LEAST(1.0, n_words / 200.0) * 0.4 + " +
         "(stop_cnt / n_words) * 0.3 + (n_distinct / n_words) * 0.3, 6) " +
         "AS quality FROM q"),
+
+    // Gopher HARD document-filter rules (Rae et al. 2021, Table A1) as
+    // one narrow projection of per-rule flags plus the measured signals
+    // — the rule gate that runs before any model-based quality scoring
+    // (quality_classifier_probe is the model half; this is the rule
+    // half). Published constants are kept even where this synthetic
+    // corpus cannot fail them (mean-word-length in [3,10], ≥80%
+    // alphabetic words): their VALUES still vary per row and are
+    // hash-checked, so the arithmetic is gated either way; the
+    // word-count (≥25) and ≥2-stopword rules genuinely split this
+    // corpus. Mean word length is (chars − spaces) / words — exact
+    // under single-space tokenization, pure int→double arithmetic in
+    // both engines. Map-only: pushes onto the scan, survives any
+    // corpus size; the keep column makes the removal pass a trivial
+    // filter.
+    "gopher_filter" -> QDef(
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val nW = size(w)
+        val meanLen = (length(col("text")) - (nW - 1)) / nW
+        val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]"))) / nW
+        val stopCnt = size(filter(w, x =>
+          x.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+        val rLen = nW >= 25 && nW <= 100000
+        val rMean = meanLen >= 3 && meanLen <= 10
+        val rAlpha = alphaFrac >= 0.8
+        val rStop = stopCnt >= 2
+        docs(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"), nW.as("n_words"),
+            round(meanLen, 6).as("mean_word_len"),
+            round(alphaFrac, 6).as("alpha_frac"),
+            stopCnt.as("stop_cnt"),
+            rLen.cast("int").as("r_len"),
+            rMean.cast("int").as("r_mean_len"),
+            rAlpha.cast("int").as("r_alpha"),
+            rStop.cast("int").as("r_stop"),
+            (rLen && rMean && rAlpha && rStop).cast("int").as("keep"))
+      },
+      "WITH q AS (SELECT doc_id, length(text) AS nc, " +
+        "string_split(text, ' ') AS w FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "r AS (SELECT doc_id, len(w) AS n_words, " +
+        "(nc - (len(w) - 1)) / len(w) AS mean_word_len, " +
+        "len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) " +
+        "/ len(w) AS alpha_frac, " +
+        "len(list_filter(w, x -> x IN " +
+        stopwords.mkString("('", "','", "')") + ")) AS stop_cnt " +
+        "FROM q) " +
+        "SELECT doc_id, CAST(n_words AS INT) AS n_words, " +
+        "ROUND(mean_word_len, 6) AS mean_word_len, " +
+        "ROUND(alpha_frac, 6) AS alpha_frac, " +
+        "CAST(stop_cnt AS INT) AS stop_cnt, " +
+        "CAST(n_words >= 25 AND n_words <= 100000 AS INT) AS r_len, " +
+        "CAST(mean_word_len >= 3 AND mean_word_len <= 10 AS INT) " +
+        "AS r_mean_len, " +
+        "CAST(alpha_frac >= 0.8 AS INT) AS r_alpha, " +
+        "CAST(stop_cnt >= 2 AS INT) AS r_stop, " +
+        "CAST(n_words >= 25 AND n_words <= 100000 AND " +
+        "mean_word_len >= 3 AND mean_word_len <= 10 AND " +
+        "alpha_frac >= 0.8 AND stop_cnt >= 2 AS INT) AS keep " +
+        "FROM r"),
 
     // PII scrubbing (C4/Dolma-style cleaning): emails and URLs are
     // replaced with placeholder tokens and the replacement counts kept

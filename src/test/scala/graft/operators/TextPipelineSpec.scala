@@ -179,4 +179,74 @@ class TextPipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("n_hits") === 2)
     assert(r.getAs[Double]("contam_frac") === 0.666667)
   }
+
+  /** md5 hex exactly as Spark's `md5` / DuckDB's `md5` render it. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dedup_spans: shift-invariant span catch + exact expected set") {
+    val t = (1 to 30).map(i => s"t$i")
+    val d = (1 to 20).map(i => s"d$i")
+    val docsDf = Seq(
+      (2L, t.mkString(" ")),                              // source doc
+      // 20-token verbatim splice of t6..t25 at a DIFFERENT offset —
+      // the case sentence-level dedup misses
+      (3L, (Seq("p1", "p2", "p3") ++ t.slice(5, 25) :+ "q1")
+        .mkString(" ")),
+      (7L, (1 to 20).map(i => s"u$i").mkString(" ")),     // unrelated
+      (10L, d.mkString(" "))                              // probe source
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("spans").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.Registry.all("dedup_spans").fn(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("span_hash"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("n_occ"))).toSet
+    // expected: the 6 windows fully inside the shared t6..t25 run
+    // (doc 2 windows starting at i=6..11 == doc 3 windows i=4..9) …
+    val shared = (5 until 11).map(i =>
+      (md5hex(t.slice(i, i + 15).mkString(" ")), 2L, 2L, 2L))
+    // … plus doc 10's shifted probe re-entry (-11 = drop 3 tokens):
+    // probe windows i=1..3 == doc-10 windows i=4..6
+    val probe = (3 until 6).map(i =>
+      (md5hex(d.slice(i, i + 15).mkString(" ")), 2L, -11L, 2L))
+    assert(got === (shared ++ probe).toSet)
+  }
+
+  test("gopher_filter: each rule fires on its designed failure doc") {
+    val stop2 = "the of" // two stopwords
+    val docsDf = Seq(
+      // 30 normal words incl. 2 stopwords → all rules pass
+      (1L, (stop2 +: (1 to 28).map(i => s"word$i")).mkString(" ")),
+      (2L, (stop2 +: (1 to 8).map(i => s"word$i"))
+        .mkString(" ")),                                  // short
+      (3L, (1 to 30).map(i => s"word$i").mkString(" ")),  // no stopwords
+      (4L, (stop2 +: Seq.fill(28)("12345"))
+        .mkString(" ")),                                  // non-alpha
+      (5L, (stop2 +: Seq.fill(28)("abcdefghijkl"))
+        .mkString(" "))                                   // long words
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("gopher").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.Registry.all("gopher_filter").fn(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def flags(id: Long) = (rows(id).getAs[Int]("r_len"),
+      rows(id).getAs[Int]("r_mean_len"), rows(id).getAs[Int]("r_alpha"),
+      rows(id).getAs[Int]("r_stop"), rows(id).getAs[Int]("keep"))
+    assert(flags(1L) === ((1, 1, 1, 1, 1)))
+    assert(flags(2L) === ((0, 1, 1, 1, 0)))      // 10 words < 25
+    assert(flags(3L) === ((1, 1, 1, 0, 0)))      // 0 stopwords
+    assert(flags(4L) === ((1, 1, 0, 1, 0)))      // 28/30 digit words
+    // alpha_frac for doc 4: only "the of" are alphabetic → 2/30
+    assert(rows(4L).getAs[Double]("alpha_frac") === 0.066667)
+    assert(flags(5L) === ((1, 0, 1, 1, 0)))      // mean word len > 10
+    // doc 5 mean: (2×len(stopword words)+28×12 chars + spaces…) exact:
+    // chars = 6 ("the of") + 1 + 28×12 + 27 = 370; spaces = 29;
+    // mean = (370 − 29) / 30
+    assert(rows(5L).getAs[Double]("mean_word_len") ===
+      math.rint((370.0 - 29) / 30 * 1e6) / 1e6)
+  }
 }
