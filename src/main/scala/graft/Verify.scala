@@ -19,6 +19,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Testdata-drift canary (r6 postmortem): if the driver regenerated
+    // the parquet with different column types, say so in ONE place with
+    // the drifted column named, before the per-query failures start.
+    // Warning, not fatal — a partial gate that names its cause beats an
+    // empty one.
+    val drift = TestdataSchema.driftAll(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println("[verify] WARNING: TESTDATA DRIFT DETECTED — " +
+        "the tables no longer match the schema the engine was built " +
+        "against; expect correlated query failures below:")
+      drift.foreach(d => System.err.println(s"[verify]   $d"))
+    }
     // Dev-only subset filter (same contract as Bench): the driver never
     // sets it, so the gate always dumps every query. Because
     // oracle_check.py only grades directories that exist, a LEAKED env

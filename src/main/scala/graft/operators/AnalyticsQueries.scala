@@ -103,6 +103,42 @@ object AnalyticsQueries {
         "n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) " +
         "AS sum_value FROM islands GROUP BY user_id, sid"),
 
+    // The SAME sessionization, but through the custom stateful operator
+    // the streaming pipeline runs (StreamingOps.sessionize,
+    // flatMapGroupsWithState) on its batch path — so the driver's
+    // DuckDB gate now pins the streaming code's session-boundary
+    // semantics, not just the built-in session_window's (r7 verdict
+    // item 4). Gates the integer-exact surface (boundaries as epoch-ms
+    // + event counts): the fold's sum_value accumulates doubles in
+    // event-time order, which cannot hash-match a decimal-exact oracle
+    // at the last ulp, and is already covered by session_agg's
+    // exactSum + StreamingOpsSpec. Boundary semantics: merge at gap ≤
+    // 30 min (inclusive), new session strictly beyond — identical to
+    // the oracle's strict `> INTERVAL` marker, pinned by
+    // SessionBoundarySpec on the session_window form too.
+    "sessionize_state" -> QDef(
+      (s, d) => {
+        import s.implicits._
+        val evs = Tables.load(s, d, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.StreamingOps.Event]
+        graft.streaming.StreamingOps
+          .sessionize(evs, gapMs = 30L * 60 * 1000)
+          .select(col("user_id"), col("session_start"),
+            col("session_end"), col("n_events").cast("long")
+              .as("n_events"))
+      },
+      "WITH marked AS (SELECT user_id, ts, CASE WHEN ts - " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > " +
+        "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), " +
+        "islands AS (SELECT user_id, ts, SUM(new_s) OVER (" +
+        "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) " +
+        "AS sid FROM marked) " +
+        "SELECT user_id, epoch_ms(MIN(ts)) AS session_start, " +
+        "epoch_ms(MAX(ts)) AS session_end, COUNT(*) AS n_events " +
+        "FROM islands GROUP BY user_id, sid"),
+
     // Exact interpolated percentiles per market segment.
     "percentile_agg" -> QDef(
       (s, d) => Tables.load(s, d, "orders")
