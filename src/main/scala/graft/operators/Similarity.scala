@@ -46,6 +46,33 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Home bucket of `v` plus its least-confident 1-bit-flip neighbor,
+    * as one struct<bucket:int, flip:int> expression. The flip bucket is
+    * the multi-probe (p=2) probe target: the bit whose hyperplane
+    * projection has the smallest |margin| is the one most likely to
+    * have landed on the wrong side for a true near-duplicate, so
+    * probing exactly that flip recovers most boundary pairs at 2×
+    * candidate fan-out instead of the (nBits+1)× of probing every
+    * 1-bit flip. Projections are computed ONCE into an array and reused
+    * for both the sign fold and the argmin — same doubles, same
+    * buckets as [[bucketExpr]]; argmin ties resolve to the lowest bit
+    * (array_position returns the first match), deterministically. */
+  private def bucketWithFlip(v: Column, nBits: Int, dim: Int,
+                             seed: Long): Column = {
+    val ps = planes(nBits, dim, seed)
+    val projs = array((0 until nBits).map(b =>
+      VectorQueries.dot(v, typedlit(ps(b).toSeq))): _*)
+    val bucket = (0 until nBits).map { b =>
+      when(element_at(projs, b + 1) > 0.0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val absProjs = transform(projs, abs(_))
+    val flipBit = array_position(absProjs, array_min(absProjs)) - 1
+    val flipMask = (0 until nBits).map { b =>
+      when(flipBit === b, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    struct(bucket.as("bucket"), bucket.bitwiseXOR(flipMask).as("flip"))
+  }
+
   /** Corpus prepared for bucketed search: one row per (vector, table)
     * with columns id, v, nrm, tbl, bucket. */
   def index(emb: DataFrame, nBits: Int, dim: Int, tables: Int = 4,
@@ -75,22 +102,56 @@ object Similarity {
     * size; the cosine is computed map-side in the join and the
     * dropDuplicates shuffle carries 24-byte (a, b, cos) rows — vectors
     * never re-shuffle. The label-blocked exact form
-    * (`dedup_embed_cosine`) stays as the oracle-checked verifier. */
+    * (`dedup_embed_cosine`) stays as the oracle-checked verifier.
+    *
+    * Multi-probe (`probes = 2`, the [[semanticDedup]] p=2 trick applied
+    * to the hyperplane path): each (vector, table) row ADDITIONALLY
+    * probes the bucket with its least-|margin| bit flipped — the bit a
+    * true near-duplicate most plausibly disagrees on. The probe join is
+    * ASYMMETRIC: only the probe side fans out (2× rows), home buckets
+    * stay single, so candidate growth is 2×, not 4×. Because a probe
+    * collision is directional (a's flip may land in b's home but not
+    * vice versa), probe-row candidates join on `id =!= id` and the pair
+    * is canonicalized with least/greatest before the exact-cosine
+    * verify; home-home candidates keep the tighter `<` so exact-bucket
+    * pairs are still generated once. Precision is unchanged (every
+    * candidate is exact-verified); recall on boundary pairs rises from
+    * (1-(1-p^n)^L) toward the p=2 curve at 2× fan-out. */
   def lshDedupPairs(emb: DataFrame, threshold: Double, nBits: Int = 6,
                     dim: Int = 64, tables: Int = 4,
                     seed: Long = 42L,
-                    maxBucket: Int = 100000): DataFrame = {
-    val indexed = index(emb, nBits, dim, tables, seed)
+                    maxBucket: Int = 100000,
+                    probes: Int = 1): DataFrame = {
+    require(probes == 1 || probes == 2,
+      s"probes must be 1 (home bucket only) or 2 (+least-margin flip), " +
+        s"got $probes")
+    val base = VectorQueries.withNorm(emb)
+      .withColumnRenamed("vec_id", "id")
+    val tb = array((0 until tables).flatMap { t =>
+      val bf = bucketWithFlip(col("v"), nBits, dim, seed + t)
+      val home = struct(lit(t).as("tbl"),
+        bf.getField("bucket").as("bucket"), lit(0).as("kind"))
+      if (probes == 2)
+        Seq(home, struct(lit(t).as("tbl"),
+          bf.getField("flip").as("bucket"), lit(1).as("kind")))
+      else Seq(home)
+    }: _*)
+    val indexed = base.withColumn("tb", explode(tb))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("tb.kind").as("kind"))
     // Hot-bucket guard — see [[Dedup.pruneOversized]]; the stakes are
     // higher here because the duplicated anti-join subtree would carry
     // the VECTORS, where the window form shuffles them once.
     val pruned = Dedup.pruneOversized(indexed, Seq("tbl", "bucket"),
       maxBucket)
-    pruned.as("a").join(pruned.as("b"),
+    pruned.as("a").join(pruned.where(col("kind") === 0).as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          ((col("a.kind") === 0 && col("a.id") < col("b.id")) ||
+            (col("a.kind") === 1 && col("a.id") =!= col("b.id"))))
+      .select(least(col("a.id"), col("b.id")).as("a_id"),
+        greatest(col("a.id"), col("b.id")).as("b_id"),
         (VectorQueries.dot(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= threshold)

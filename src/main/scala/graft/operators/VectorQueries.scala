@@ -284,6 +284,11 @@ object VectorQueries {
     // Probe ids are NEGATIVE (-vec_id - 1): disjoint from any real
     // non-negative id space at any corpus size, unlike an additive
     // offset which aliases once ids pass it.
+    // probes = 2 (r7): each row also probes its least-margin 1-bit-flip
+    // bucket, catching boundary pairs that land one bit apart in every
+    // table. The oracle is unchanged — multi-probe only ADDS candidates
+    // and every candidate is exact-cosine-verified, so the output still
+    // equals the exact all-pairs answer the SQL recomputes.
     "dedup_embed_lsh" -> QDef(
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
@@ -291,7 +296,8 @@ object VectorQueries {
           .select((-col("vec_id") - 1).as("vec_id"), col("label"),
             transform(col("embedding"), x => x * lit(2.0f))
               .as("embedding"))
-        Similarity.lshDedupPairs(e.unionByName(probes), threshold = 0.95)
+        Similarity.lshDedupPairs(e.unionByName(probes),
+            threshold = 0.95, probes = 2)
           .select(col("a_id"), col("b_id"),
             round(col("cos"), 6).as("cosine"))
       },

@@ -355,6 +355,62 @@ class DedupSimilaritySpec extends SparkSpec {
         s"spurious ${found -- exact}")
   }
 
+  test("lshDedupPairs multi-probe (probes=2) recovers boundary twins " +
+    "p=1 misses, is a superset of p=1, and stays exact vs brute force") {
+    // Noisy twins at cos ≈ 0.96 sit near hyperplane boundaries: unlike
+    // the scaled copies above (same direction ⇒ same bucket in EVERY
+    // table, structural recall 1.0), a twin's least-margin bit flips
+    // with real probability, so with fixed seeds some planted pairs
+    // land one bit apart in ALL 4 tables and p=1 deterministically
+    // misses them. p=2 probes exactly that least-margin flip and must
+    // (a) find a strict superset of p=1's pairs, (b) recover at least
+    // one planted pair p=1 missed, (c) still equal a subset of the
+    // brute-force truth (precision exact — every candidate is
+    // exact-cosine-verified).
+    val rnd = new scala.util.Random(7)
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val twins = base.map { case (id, v) =>
+      val g = Array.fill(v.length)(rnd.nextGaussian())
+      val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val gn = math.sqrt(g.map(x => x * x).sum)
+      // twin = v/|v| + 0.27·g/|g| → cos ≈ 1/sqrt(1+0.27²) ≈ 0.965
+      // (± the |v|-component of g), straddling the 0.95 threshold
+      val tw = v.indices.map(i =>
+        (v(i) / vn + 0.27 * g(i) / gn).toFloat)
+      (-id - 1, tw)
+    }
+    val u = base.toSeq.toDF("vec_id", "embedding")
+      .unionByName(twins.toSeq.toDF("vec_id", "embedding"))
+    def run(p: Int) = Similarity.lshDedupPairs(
+        u.withColumn("label", lit(0)), threshold = 0.95, probes = p)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val found1 = run(1)
+    val found2 = run(2)
+    // exact ground truth (brute force over the 1000-vector union)
+    val n = VectorQueries.withNorm(
+      u.withColumn("label", lit(0)))
+    val exact = n.as("a").join(n.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (VectorQueries.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val planted = exact.filter { case (a, b) => a == -b - 1 || b == -a - 1 }
+    assert(planted.size > 100, s"planted in-threshold twins: ${planted.size}")
+    assert(found1.subsetOf(exact) && found2.subsetOf(exact),
+      "multi-probe must not break exact precision")
+    assert(found1.subsetOf(found2),
+      s"p=2 lost pairs p=1 had: ${found1 -- found2}")
+    val missed1 = planted -- found1
+    val recovered = missed1.intersect(found2)
+    assert(missed1.nonEmpty,
+      "seed no longer plants a cross-bucket twin; re-tune noise/seed")
+    assert(recovered.nonEmpty,
+      s"p=2 recovered none of the ${missed1.size} twins p=1 missed")
+  }
+
   test("crossMinhashMatches: edited eval docs match their source, " +
     "clean evals never match, precision is exact-verified") {
     // Eval side: every 10th doc with its last two words removed
