@@ -219,6 +219,44 @@ class RelationalOpsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("lane-sum domain")))
   }
 
+  test("q4 lane row-count domain END-TO-END: a real >2^31-row " +
+    "aggregate wraps the lo lane silently, and laneRowGuard raises " +
+    "on that aggregate's actual count") {
+    // r5 ADVICE said the over-domain failure was silent; r6 added the
+    // guard but only drove it with LITERAL counts. This test drives a
+    // REAL aggregate past laneMaxRows: spark.range is lazy per-row
+    // generation, so 2^31+4 rows cost ~a second of codegen'd
+    // aggregation, not memory.
+    val n = RelationalOps.laneMaxRows + 5 // 2^31 + 4 rows
+    val df = spark.range(n)
+    // (a) The wrap the guard exists for is REAL at exactly this row
+    // count: an in-domain per-row product (2 × (2^31−1), both factors
+    // ≤ q4MaxAbs) has lo lane 4294967294; summed over 2^31+4 rows the
+    // true total 9223372051887161336 exceeds Int64 and the lane sum
+    // wraps SILENTLY under ansi=false to a negative — deterministic
+    // because Long addition is associative mod 2^64.
+    val p = lit(2L) * lit(2147483647L)
+    val laneSum = df.agg(
+        sum(p.bitwiseAND(lit(4294967295L))).as("s"))
+      .select(col("s")).as[Long].head()
+    val trueSum = BigInt(4294967294L) * BigInt(n)
+    assert(trueSum > BigInt(Long.MaxValue), "test must exceed Int64")
+    assert(BigInt(laneSum) !== trueSum,
+      "lane sum was expected to wrap past Int64 — if Spark now " +
+        "raises or widens here, the laneRowGuard domain can be relaxed")
+    assert(laneSum === (trueSum - (BigInt(2).pow(64))).toLong,
+      "wrapped value should be exact mod 2^64")
+    // (b) The guard fires from the SAME shape the gated queries use —
+    // count(*) aggregated over the over-domain frame, not a literal.
+    val e2 = intercept[Exception] {
+      df.agg(count("*").cast("double").as("n"))
+        .select(RelationalOps.laneRowGuard(col("n"), "zscore_scale"))
+        .collect()
+    }
+    assert(causeChain(e2).contains("lane-sum domain"),
+      s"guard must name the domain, got: ${causeChain(e2)}")
+  }
+
   test("correlations exact: wide-magnitude values trip the lane " +
     "guard and fall back to decimal, same closed form") {
     // values ~1e6..4e7 quantize to |q| ~1e10..4e11 > 2^31.5: a lane
