@@ -315,9 +315,18 @@ object ProfileOps {
     * report carries per-column stats, distribution plots, and
     * correlation/interaction tables; dataprep_report.py:11,27).
     * Numeric columns are detected from the schema; histogram and
-    * correlation sections are appended when any exist. */
+    * correlation sections are appended when any exist.
+    *
+    * `exactCorr = true` routes the interactions section through the
+    * quantized lane-sum moments ([[correlations]] exact mode) — the
+    * SAME arithmetic the oracle-gated `profile_corr` query runs, so
+    * the persisted artifact's corr digits equal the gate's
+    * bit-for-bit (ProfileOpsSpec pins this). Leave false for
+    * arbitrary frames whose magnitudes may sit outside the lane/
+    * decimal quantization domain. */
   def writeHtmlReport(df: DataFrame, path: String,
-                      title: String = "EDA report"): Unit = {
+                      title: String = "EDA report",
+                      exactCorr: Boolean = false): Unit = {
     val prof = profile(df)
     val numCols = df.schema.fields
       .collect { case f if f.dataType.isInstanceOf[NumericType] =>
@@ -362,13 +371,15 @@ object ProfileOps {
     if (nullFree.size >= 2) {
       extra ++= "<h2>Interactions (Pearson)</h2>\n<table><tr>" +
         "<th>col_a</th><th>col_b</th><th>corr</th></tr>\n"
-      // exact = false: arbitrary report frames need the unquantized,
-      // overflow-free double moments; the deliberate trade is that the
-      // interactions section (alone) is not byte-reproducible across
-      // partitioning layouts — a corr at a 6th-decimal rounding
-      // boundary can flip its last digit. renderHtml's byte-identity
-      // doctrine holds for the profile and distribution sections.
-      correlations(df, nullFree, exact = false).collect()
+      // exactCorr=false (default): arbitrary report frames need the
+      // unquantized, overflow-free double moments; the deliberate
+      // trade is that the interactions section (alone) is not
+      // byte-reproducible across partitioning layouts — a corr at a
+      // 6th-decimal rounding boundary can flip its last digit.
+      // renderHtml's byte-identity doctrine holds for the profile and
+      // distribution sections either way, and for interactions too
+      // under exactCorr=true (lane-sum moments, in-domain data).
+      correlations(df, nullFree, exact = exactCorr).collect()
         .foreach { r =>
         extra ++= s"<tr><td>${esc(r.getString(0))}</td>" +
           s"<td>${esc(r.getString(1))}</td>" +

@@ -147,6 +147,73 @@ class ProfileOpsSpec extends SparkSpec {
     assert(html.endsWith("</body></html>"))
   }
 
+  test("writeHtmlReport artifact numbers equal the oracle-gated " +
+    "profile_summary / profile_histogram / profile_corr outputs " +
+    "(S5 as an artifact, not just three result sets)") {
+    // The three queries are the driver-gated truth; the report is the
+    // reference's dataprep_report.py-shaped artifact. This pins that
+    // the persisted file is the SAME numbers — parse the HTML tables
+    // back and compare cell-for-cell against the Registry queries on
+    // the same data (exactCorr=true routes the interactions section
+    // through the identical lane-sum arithmetic profile_corr gates).
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_discount")
+    val out = java.nio.file.Files
+      .createTempFile("graft_eda_parity", ".html").toString
+    ProfileOps.writeHtmlReport(li, out, exactCorr = true)
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8")
+    def fmt(d: Double, p: String) =
+      String.format(java.util.Locale.ROOT, p, Double.box(d))
+    // section-split so identical cell shapes can't cross-match
+    val profSec = html.substring(0, html.indexOf("<h2>"))
+    val histSec = html.substring(
+      html.indexOf("<h2>Distributions"),
+      html.indexOf("<h2>Interactions"))
+    val corrSec = html.substring(html.indexOf("<h2>Interactions"))
+    val row = "<tr><td>(.*?)</td>(.*?)</tr>".r
+    def cells(sec: String): Seq[Seq[String]] =
+      row.findAllMatchIn(sec).map(m => m.group(1) +:
+        "<td>(.*?)</td>".r.findAllMatchIn(m.group(2))
+          .map(_.group(1)).toSeq).toSeq
+
+    // 1) summary: (col, n, min, max) — the gate's exact surface
+    val summary = graft.Registry.all("profile_summary")
+      .fn(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val profRows = cells(profSec).map(c => c(0) -> c).toMap
+    assert(summary.keySet.subsetOf(profRows.keySet))
+    for ((cName, (n, mn, mx)) <- summary) {
+      val c = profRows(cName)
+      assert(c(2) === n.toString, s"$cName n: ${c(2)} vs $n")
+      assert(c(5) === fmt(mn, "%.4f"), s"$cName min: ${c(5)}")
+      assert(c(6) === fmt(mx, "%.4f"), s"$cName max: ${c(6)}")
+    }
+
+    // 2) histogram: (col, bin) -> n for the gate's two columns
+    val gateHist = graft.Registry.all("profile_histogram")
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val reportHist = cells(histSec)
+      .filter(c => gateHist.keySet.map(_._1).contains(c(0)))
+      .map(c => (c(0), c(1).toInt) -> c(3).toLong).toMap
+    assert(reportHist === gateHist,
+      s"histogram drift: ${(reportHist.toSet diff gateHist.toSet) ++
+        (gateHist.toSet diff reportHist.toSet)}")
+
+    // 3) corr: formatted %.6f strings must be byte-equal
+    val gateCorr = graft.Registry.all("profile_corr")
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(v =>
+          fmt(v.asInstanceOf[Double], "%.6f")).getOrElse("")).toMap
+    val reportCorr = cells(corrSec)
+      .map(c => (c(0), c(1)) -> c(2)).toMap
+    assert(reportCorr === gateCorr,
+      s"corr drift: report $reportCorr vs gate $gateCorr")
+  }
+
   test("withPdeCounts joins prescription counts with zero-fill") {
     def res(n: String) = getClass.getResource(s"/cms/$n.csv").getPath
     val claims = CmsPipeline.arthritisPatientData(
