@@ -17,6 +17,11 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Testdata-drift canary (shared with Verify; r6 postmortem): a
+    // regenerated-testdata type shift should announce itself in ONE
+    // line naming the drifted column before 100+ queries error out.
+    TestdataSchema.driftAll(spark, sfDir).foreach(d =>
+      System.err.println(s"[bench] TESTDATA DRIFT: $d"))
     // Two timed executions per query, report the min: amortizes JIT/
     // codegen warmup and the host VM's sporadic CPU-throttle stalls,
     // giving the steady-state per-query cost. A failing query is an

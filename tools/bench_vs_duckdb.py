@@ -73,7 +73,12 @@ def main(sf_dir, oracle_path, bench_path):
           "that is what the large ratios on millisecond queries measure, "
           "not per-row cost. On the queries with real work (the dedup "
           "pair joins) the engine's parallel plans win by an order of "
-          "magnitude, and the total favors the engine.\n")
+          "magnitude, and the total favors the engine. `spark max s` is "
+          "the slower of the two timed runs: a wide [min, max] spread "
+          "on a query whose min is ordinary (e.g. the r5 knn_sq8 7s "
+          "reading, min 0.9s in r7) is shared-host CPU contention, not "
+          "a plan property — grade the min, read the spread as a noise "
+          "bar.\n")
     print("| query | spark s | spark max s | duckdb s | ratio |")
     print("|---|---|---|---|---|")
     sp_tot = dd_tot = 0.0
