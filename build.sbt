@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): a 127-query bench in one local-mode JVM
+  // accumulates broadcasts/codegen/shuffle buffers across queries, and
+  // at 8g old-gen pressure inflated unrelated queries' timings up to
+  // 15x (sort_desc 4.3s -> 0.29s, session_agg 3.2s -> 0.48s at sf0.1
+  // after the raise). The host has 128 GiB; steady-state per-query cost
+  // is the number the bench exists to measure.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

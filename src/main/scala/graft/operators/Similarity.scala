@@ -46,31 +46,36 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Home bucket of `v` plus its least-confident 1-bit-flip neighbor,
-    * as one struct<bucket:int, flip:int> expression. The flip bucket is
-    * the multi-probe (p=2) probe target: the bit whose hyperplane
-    * projection has the smallest |margin| is the one most likely to
-    * have landed on the wrong side for a true near-duplicate, so
-    * probing exactly that flip recovers most boundary pairs at 2×
-    * candidate fan-out instead of the (nBits+1)× of probing every
-    * 1-bit flip. Projections are computed ONCE into an array and reused
-    * for both the sign fold and the argmin — same doubles, same
-    * buckets as [[bucketExpr]]; argmin ties resolve to the lowest bit
-    * (array_position returns the first match), deterministically. */
-  private def bucketWithFlip(v: Column, nBits: Int, dim: Int,
+  /** The multi-probe (p=2) probe target: [[bucketExpr]]'s bucket with
+    * its least-|margin| bit flipped — the bit whose hyperplane
+    * projection is smallest in magnitude is the one most likely to have
+    * landed on the wrong side for a true near-duplicate, so probing
+    * exactly that flip recovers most boundary pairs without the
+    * (nBits+1)× fan-out of probing every 1-bit flip.
+    *
+    * Deliberately built from scalar `when`/`least` chains, NOT
+    * array/transform/array_position: higher-order collection functions
+    * are CodegenFallback, and their first cut of this expression pushed
+    * the whole indexing projection out of whole-stage codegen —
+    * interpreted evaluation of all nBits·tables dot products per row,
+    * measured ~2× the entire query. Scalar form stays inside codegen
+    * and the repeated projection references collapse via
+    * subexpression elimination. Argmin ties resolve to the lowest bit
+    * (first match in the when-chain), deterministically. */
+  private def flipBucketExpr(v: Column, nBits: Int, dim: Int,
                              seed: Long): Column = {
     val ps = planes(nBits, dim, seed)
-    val projs = array((0 until nBits).map(b =>
-      VectorQueries.dot(v, typedlit(ps(b).toSeq))): _*)
+    val projs = (0 until nBits).map(b =>
+      VectorQueries.dot(v, typedlit(ps(b).toSeq)))
     val bucket = (0 until nBits).map { b =>
-      when(element_at(projs, b + 1) > 0.0, lit(1 << b)).otherwise(lit(0))
+      when(projs(b) > 0.0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
-    val absProjs = transform(projs, abs(_))
-    val flipBit = array_position(absProjs, array_min(absProjs)) - 1
-    val flipMask = (0 until nBits).map { b =>
-      when(flipBit === b, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-    struct(bucket.as("bucket"), bucket.bitwiseXOR(flipMask).as("flip"))
+    val minAbs = projs.map(abs).reduce(least(_, _))
+    val flipMask = projs.indices.tail
+      .foldLeft(when(abs(projs(0)) === minAbs, lit(1))) { (acc, b) =>
+        acc.when(abs(projs(b)) === minAbs, lit(1 << b))
+      }.otherwise(lit(0))
+    bucket.bitwiseXOR(flipMask)
   }
 
   /** Corpus prepared for bucketed search: one row per (vector, table)
@@ -108,15 +113,19 @@ object Similarity {
     * to the hyperplane path): each (vector, table) row ADDITIONALLY
     * probes the bucket with its least-|margin| bit flipped — the bit a
     * true near-duplicate most plausibly disagrees on. The probe join is
-    * ASYMMETRIC: only the probe side fans out (2× rows), home buckets
-    * stay single, so candidate growth is 2×, not 4×. Because a probe
-    * collision is directional (a's flip may land in b's home but not
-    * vice versa), probe-row candidates join on `id =!= id` and the pair
-    * is canonicalized with least/greatest before the exact-cosine
-    * verify; home-home candidates keep the tighter `<` so exact-bucket
-    * pairs are still generated once. Precision is unchanged (every
-    * candidate is exact-verified); recall on boundary pairs rises from
-    * (1-(1-p^n)^L) toward the p=2 curve at 2× fan-out. */
+    * ASYMMETRIC twice over: only the probe side fans out (2× rows, home
+    * buckets stay single), and probes keep the same `a.id < b.id`
+    * predicate as home pairs — ONE direction, not both. One direction
+    * is nearly free recall-wise: a near-dup pair's projections nearly
+    * coincide (chord ≤ √(2−2t) per unit plane norm), so when exactly
+    * one bit separates their buckets it is the least-|margin| bit of
+    * BOTH members and either direction finds the pair; the residue
+    * (min-margin bit of only the higher-id member) is the tail of a
+    * tail, while probing both directions would re-verify every
+    * correlated pair twice — measured 2× the whole query's cost for
+    * no oracle-visible recall at sf0.1. Precision is unchanged (every
+    * candidate is exact-verified); candidate volume is ~2× p=1 (home
+    * pairs + one-directional flip pairs). */
   def lshDedupPairs(emb: DataFrame, threshold: Double, nBits: Int = 6,
                     dim: Int = 64, tables: Int = 4,
                     seed: Long = 42L,
@@ -128,12 +137,13 @@ object Similarity {
     val base = VectorQueries.withNorm(emb)
       .withColumnRenamed("vec_id", "id")
     val tb = array((0 until tables).flatMap { t =>
-      val bf = bucketWithFlip(col("v"), nBits, dim, seed + t)
       val home = struct(lit(t).as("tbl"),
-        bf.getField("bucket").as("bucket"), lit(0).as("kind"))
+        bucketExpr(col("v"), nBits, dim, seed + t).as("bucket"),
+        lit(0).as("kind"))
       if (probes == 2)
         Seq(home, struct(lit(t).as("tbl"),
-          bf.getField("flip").as("bucket"), lit(1).as("kind")))
+          flipBucketExpr(col("v"), nBits, dim, seed + t).as("bucket"),
+          lit(1).as("kind")))
       else Seq(home)
     }: _*)
     val indexed = base.withColumn("tb", explode(tb))
@@ -148,10 +158,8 @@ object Similarity {
     pruned.as("a").join(pruned.where(col("kind") === 0).as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
-          ((col("a.kind") === 0 && col("a.id") < col("b.id")) ||
-            (col("a.kind") === 1 && col("a.id") =!= col("b.id"))))
-      .select(least(col("a.id"), col("b.id")).as("a_id"),
-        greatest(col("a.id"), col("b.id")).as("b_id"),
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         (VectorQueries.dot(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
