@@ -40,7 +40,7 @@ object VectorQueries {
   /** Embeddings with a cast-to-double vector and precomputed L2 norm.
     * Norms are computed once per row (narrow), not per pair. */
   def withNorm(emb: DataFrame): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast("double"))
+    val v = col("embedding").cast("array<double>")
     emb.select(col("vec_id"), col("label"), v.as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
@@ -137,7 +137,7 @@ object VectorQueries {
         // quantizer here instead
         val cents = e.where(col("vec_id") % 101 === 0)
           .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
+            col("embedding").cast("array<double>").as("v"))
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         Similarity.semanticDedup(e.unionByName(plants), cents,
@@ -186,7 +186,7 @@ object VectorQueries {
     // dump). One narrow projection, no shuffle, scan-fused.
     "embed_quantize" -> QDef(
       (s, d) => {
-        val v = transform(col("embedding"), x => x.cast("double"))
+        val v = col("embedding").cast("array<double>")
         Tables.load(s, d, "embeddings")
           .select(col("vec_id"), v.as("v"))
           .withColumn("maxabs",
@@ -217,7 +217,7 @@ object VectorQueries {
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
           .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
+            col("embedding").cast("array<double>").as("v"))
           .withColumn("maxabs",
             array_max(transform(col("v"), x => abs(x))))
           .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
