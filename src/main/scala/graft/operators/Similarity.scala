@@ -384,7 +384,7 @@ object Similarity {
     val subDim = dim / m
     val pts = emb
       .select(xxhash64(col("vec_id"), lit(seed)).as("__h"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .orderBy("__h").limit(trainPoints).select("v")
       .collect().map(_.getSeq[Double](0).toArray)
     Array.tabulate(m) { i =>
@@ -413,7 +413,7 @@ object Similarity {
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
     emb.select(col("vec_id").as("id"),
       encodeUdf(codebooks)(
-        transform(col("embedding"), x => x.cast("double")))
+        col("embedding").cast("array<double>"))
         .as("code"))
   }
 
