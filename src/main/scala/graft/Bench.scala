@@ -70,6 +70,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = selected.map { case (name, fn) =>
+      // Untimed inter-query hygiene: an explicit GC lets Spark's
+      // ContextCleaner reclaim the previous queries' broadcasts and
+      // shuffle state NOW instead of mid-way through a later query's
+      // timed run — at 8g heap the accumulated pressure inflated
+      // unrelated queries' readings up to 15×; with 24g + this, a
+      // query's full-run timing tracks its isolated cost.
+      System.gc()
       val r = (timeOnce(fn), timeOnce(fn)) match {
         // both runs kept, sorted: "queries" reports the min (steady
         // state, the graded number), "runs" reports [min, max] so a
