@@ -139,6 +139,46 @@ object AnalyticsQueries {
         "epoch_ms(MAX(ts)) AS session_end, COUNT(*) AS n_events " +
         "FROM islands GROUP BY user_id, sid"),
 
+    // Full outer join — the one standard join type the gate didn't
+    // cover (inner/broadcast, 3-way, left, left-semi, left-anti all
+    // have entries): per-nation premium-customer vs premium-supplier
+    // counts, where the acctbal thresholds are chosen so all three
+    // regimes are non-vacuous at the sf0.01 gate (customer-only
+    // nations, supplier-only nations, and both). Aggregate-then-join:
+    // both inputs collapse to ≤25 rows before the join, so the
+    // full-outer (which cannot broadcast — both sides must see
+    // unmatched rows) shuffles only nation-count pairs, never base
+    // tables. COALESCE canonicalizes the null sides for the hash
+    // compare.
+    "join_full_outer" -> QDef(
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+          .where(col("c_acctbal") > 9900)
+          .groupBy(col("c_nationkey").as("c_nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = Tables.load(s, d, "supplier")
+          .where(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("s_nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("c_nk") === col("s_nk"), "full_outer")
+          .select(
+            coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            when(col("c_nk").isNull, "supplier_only")
+              .when(col("s_nk").isNull, "customer_only")
+              .otherwise("both").as("side"))
+      },
+      "WITH c AS (SELECT c_nationkey AS c_nk, COUNT(*) AS n_cust " +
+        "FROM customer WHERE c_acctbal > 9900 GROUP BY 1), " +
+        "s AS (SELECT s_nationkey AS s_nk, COUNT(*) AS n_supp " +
+        "FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) " +
+        "SELECT COALESCE(c_nk, s_nk) AS nationkey, " +
+        "COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp, " +
+        "CASE WHEN c_nk IS NULL THEN 'supplier_only' " +
+        "WHEN s_nk IS NULL THEN 'customer_only' ELSE 'both' END AS side " +
+        "FROM c FULL OUTER JOIN s ON c_nk = s_nk"),
+
     // Exact interpolated percentiles per market segment.
     "percentile_agg" -> QDef(
       (s, d) => Tables.load(s, d, "orders")
