@@ -411,9 +411,16 @@ object Similarity {
     * oracle's argmin convention. */
   def pqEncode(emb: DataFrame,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    // transform(cast) here, NOT the native array cast used by the
+    // codegen consumers (withNorm etc.): feeding this UDF a native
+    // cast(array<float> AS array<double>) measured ~10× slower on the
+    // ann_pq queries (7.1 s vs 0.65 s at sf0.1, tight [min,max] so not
+    // noise — r7, LshProbeBench methodology). Rule of thumb from that
+    // measurement: native casts for codegen consumers, transform for
+    // Scala-UDF inputs.
     emb.select(col("vec_id").as("id"),
       encodeUdf(codebooks)(
-        col("embedding").cast("array<double>"))
+        transform(col("embedding"), x => x.cast("double")))
         .as("code"))
   }
 
