@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.{Registry, SparkSpec}
+
+/** Plan-shape regression pins for the scale-critical queries.
+  *
+  * The 100-TB story rests on plan SHAPES, not code intent: a map-only
+  * filter must stay shuffle-free, a dimension lookup must stay a
+  * broadcast join, a stats-then-scan scaler must broadcast its tiny
+  * stats row rather than re-shuffle the fact side. Those properties
+  * hold today (docs/PLANS.md census) but nothing stopped a refactor
+  * from silently losing one — e.g. a threshold change or a moved
+  * `broadcast()` hint turning a broadcast join into a sort-merge join
+  * adds two fact-table exchanges that no correctness gate would ever
+  * see. This spec executes the static plan (AQE disabled, like the
+  * DevPlans census — an AdaptiveSparkPlan hides its exchanges until
+  * runtime) and pins each query's exchange/broadcast counts.
+  *
+  * Pins are EXACT for shuffle counts (a new exchange on these shapes is
+  * always a regression; a removed one is a plan improvement worth
+  * noticing and re-pinning) and lower-bounded for broadcasts (AQE-less
+  * planning may stack an extra reused broadcast without harm).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  /** (query, exact shuffle count, min broadcast count). */
+  private val pins: Seq[(String, Int, Int)] = Seq(
+    // pure scan+project: NOTHING may shuffle
+    ("scan_project", 0, 0),
+    // pushdown filters: map-only
+    ("eq_filter", 0, 0),
+    ("year_pushdown_filter", 0, 0),
+    ("gopher_filter", 0, 0),
+    ("corpus_filter", 0, 0),
+    ("pii_scrub", 0, 0),
+    // top-k fuses to TakeOrderedAndProject — no global sort exchange
+    ("topk_limit", 0, 0),
+    // dimension lookup: broadcast join, fact side never shuffles
+    ("dict_recode", 0, 1),
+    ("join_ben_ip", 0, 1),
+    // stats-broadcast-over-scan scalers: ONE stats shuffle, fact side
+    // rejoined by broadcast
+    ("minmax_scale", 1, 1),
+    ("zscore_scale", 1, 1),
+    // single-shuffle aggregations
+    ("groupby_max", 1, 0),
+    ("dedup_exact", 1, 0),
+    ("multi_hot", 1, 0),
+    ("seq_pack", 1, 0)
+  )
+
+  private def shapeOf(name: String): (Int, Int) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Registry.all(name).fn(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val shuffles = "\\bExchange hashpartitioning|\\bExchange rangepartitioning|\\bExchange SinglePartition"
+        .r.findAllIn(plan).size
+      val bcasts = "BroadcastExchange".r.findAllIn(plan).size
+      (shuffles, bcasts)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  for ((name, wantShuffles, minBcast) <- pins) {
+    test(s"plan shape: $name has exactly $wantShuffles shuffle(s) and " +
+      s">=$minBcast broadcast(s)") {
+      val (shuffles, bcasts) = shapeOf(name)
+      assert(shuffles === wantShuffles,
+        s"$name shuffle count drifted: a new exchange on this shape " +
+          "re-shuffles the fact table at scale (or a removed one is " +
+          "an improvement — re-pin after reading the plan)")
+      assert(bcasts >= minBcast,
+        s"$name lost its broadcast: the small side now reaches the " +
+          "join through a shuffle, which at scale moves the fact table")
+    }
+  }
+}
