@@ -108,7 +108,11 @@ object AnalyticsQueries {
     // flatMapGroupsWithState) on its batch path — so the driver's
     // DuckDB gate now pins the streaming code's session-boundary
     // semantics, not just the built-in session_window's (r7 verdict
-    // item 4). Gates the integer-exact surface (boundaries as epoch-ms
+    // item 4). Scale routing: for BATCH sessionization over a full
+    // history prefer `session_agg` (session_window — no per-key
+    // in-memory sort, groups never buffer); this form's per-key
+    // toSeq.sortBy is bounded by a key's events per TRIGGER in its
+    // native streaming use, which is what the gate certifies. Gates the integer-exact surface (boundaries as epoch-ms
     // + event counts): the fold's sum_value accumulates doubles in
     // event-time order, which cannot hash-match a decimal-exact oracle
     // at the last ulp, and is already covered by session_agg's
