@@ -46,7 +46,26 @@ class PlanShapeSpec extends SparkSpec {
     ("groupby_max", 1, 0),
     ("dedup_exact", 1, 0),
     ("multi_hot", 1, 0),
-    ("seq_pack", 1, 0)
+    ("seq_pack", 1, 0),
+    // time/window family: one shuffle each (keyed state or range
+    // partitioning), no hidden second exchange
+    ("window_hourly", 1, 0),
+    ("session_agg", 1, 0),
+    ("sessionize_state", 1, 0),
+    ("rolling_window", 1, 0),
+    ("sort_desc", 1, 0),
+    // grain-bucketed range join: interval side explodes + broadcasts,
+    // points shuffle once at most
+    ("range_join", 1, 1),
+    // as-of: two keyed shuffles (events + quotes to the same key), not
+    // a cross product
+    ("asof_join", 2, 0),
+    // two-phase skew-salted agg: exactly the partial + final pair
+    ("salted_agg", 2, 0),
+    // aggregate-then-join full outer: two count shuffles; the join
+    // itself co-locates on them (no third fact-side exchange beyond
+    // the join's own requirement)
+    ("join_full_outer", 2, 0)
   )
 
   private def shapeOf(name: String): (Int, Int) = {
