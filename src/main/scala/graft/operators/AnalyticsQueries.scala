@@ -108,18 +108,28 @@ object AnalyticsQueries {
     // flatMapGroupsWithState) on its batch path — so the driver's
     // DuckDB gate now pins the streaming code's session-boundary
     // semantics, not just the built-in session_window's (r7 verdict
-    // item 4). Scale routing: for BATCH sessionization over a full
-    // history prefer `session_agg` (session_window — no per-key
-    // in-memory sort, groups never buffer); this form's per-key
-    // toSeq.sortBy is bounded by a key's events per TRIGGER in its
-    // native streaming use, which is what the gate certifies. Gates the integer-exact surface (boundaries as epoch-ms
-    // + event counts): the fold's sum_value accumulates doubles in
-    // event-time order, which cannot hash-match a decimal-exact oracle
-    // at the last ulp, and is already covered by session_agg's
-    // exactSum + StreamingOpsSpec. Boundary semantics: merge at gap ≤
-    // 30 min (inclusive), new session strictly beyond — identical to
-    // the oracle's strict `> INTERVAL` marker, pinned by
-    // SessionBoundarySpec on the session_window form too.
+    // item 4).
+    //
+    // Scale routing: for BATCH sessionization over a full history
+    // prefer `session_agg` (session_window — no per-key in-memory
+    // sort, groups never buffer); this form's per-key toSeq.sortBy is
+    // bounded by a key's events per TRIGGER in its native streaming
+    // use, which is what the gate certifies.
+    //
+    // Gated surface: the integer-exact columns only (boundaries as
+    // epoch-MICROseconds + event counts). sum_value is dropped from
+    // the gate because the fold accumulates doubles in event-time
+    // order, which cannot hash-match a decimal-exact oracle at the
+    // last ulp; it is already covered by session_agg's exactSum +
+    // StreamingOpsSpec.
+    //
+    // Boundary semantics: merge at gap ≤ 30 min (inclusive), new
+    // session strictly beyond — identical to the oracle's strict
+    // `> INTERVAL` marker, pinned by SessionBoundarySpec on the
+    // session_window form too. The fold compares gaps in epoch-MICROS
+    // (StreamingOps.epochUs), the same precision as the oracle's
+    // `ts - lag(ts)` — at ms the gate only passed when no gap landed
+    // in (30min, 30min+1ms] (r7 ADVICE №1).
     "sessionize_state" -> QDef(
       (s, d) => {
         import s.implicits._
@@ -139,8 +149,8 @@ object AnalyticsQueries {
         "islands AS (SELECT user_id, ts, SUM(new_s) OVER (" +
         "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) " +
         "AS sid FROM marked) " +
-        "SELECT user_id, epoch_ms(MIN(ts)) AS session_start, " +
-        "epoch_ms(MAX(ts)) AS session_end, COUNT(*) AS n_events " +
+        "SELECT user_id, epoch_us(MIN(ts)) AS session_start, " +
+        "epoch_us(MAX(ts)) AS session_end, COUNT(*) AS n_events " +
         "FROM islands GROUP BY user_id, sid"),
 
     // Full outer join — the one standard join type the gate didn't

@@ -126,6 +126,31 @@ object Similarity {
     * no oracle-visible recall at sf0.1. Precision is unchanged (every
     * candidate is exact-verified); candidate volume is ~2× p=1 (home
     * pairs + one-directional flip pairs). */
+  /** Hot-bucket guard for the HOME/PROBE (kind 0/1) bucket layout —
+    * same single-shuffle window shape as [[Dedup.pruneOversized]] (the
+    * stakes are higher here because an anti-join form would duplicate
+    * the vector-carrying subtree), but the bucket-death decision counts
+    * HOME rows only: a combined count could kill a bucket whose home
+    * population is under the cap purely on probe inflow, making p=2
+    * LOSE pairs p=1 found (r7 ADVICE №2) — multi-probe must only ADD
+    * candidates. Probe inflow is capped separately, dropping only the
+    * probe rows of a flooded bucket (never its home rows), so pair
+    * volume per bucket stays ≤ maxBucket·home + home²/2 while every
+    * p=1 home pair survives. Both counts fold into ONE window over the
+    * same partitioning the self-join shuffles by. */
+  private[graft] def pruneHomeProbe(df: DataFrame, keys: Seq[String],
+                                    maxBucket: Int): DataFrame = {
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    df.withColumn("__hn",
+        count(when(col("kind") === 0, lit(1))).over(gw))
+      .withColumn("__pn",
+        count(when(col("kind") === 1, lit(1))).over(gw))
+      .where(col("__hn") <= maxBucket &&
+        (col("kind") === 0 || col("__pn") <= maxBucket))
+      .drop("__hn", "__pn")
+  }
+
   def lshDedupPairs(emb: DataFrame, threshold: Double, nBits: Int = 6,
                     dim: Int = 64, tables: Int = 4,
                     seed: Long = 42L,
@@ -150,11 +175,7 @@ object Similarity {
       .select(col("id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
         col("tb.kind").as("kind"))
-    // Hot-bucket guard — see [[Dedup.pruneOversized]]; the stakes are
-    // higher here because the duplicated anti-join subtree would carry
-    // the VECTORS, where the window form shuffles them once.
-    val pruned = Dedup.pruneOversized(indexed, Seq("tbl", "bucket"),
-      maxBucket)
+    val pruned = pruneHomeProbe(indexed, Seq("tbl", "bucket"), maxBucket)
     pruned.as("a").join(pruned.where(col("kind") === 0).as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
@@ -630,6 +651,14 @@ object Similarity {
     * contract stay primary-cell (nearest); duplicate meetings of a
     * pair sharing BOTH probe cells collapse via dropDuplicates on the
     * 16-byte pair ids before components run.
+    *
+    * Cap interaction: [[Dedup.pruneOversized]] here counts primary AND
+    * probe rows per cell — correct for THIS join, which is symmetric
+    * (probe rows join both sides, so the combined count is the pair-
+    * volume bound) — but it means a cell sitting near `maxCell` can be
+    * pruned at p=2 that survived at p=1. Callers running close to the
+    * cap should scale `maxCell` by `probes`. ([[lshDedupPairs]] is
+    * different: its b-side is home-only, so it prunes on home counts.)
     *
     * @return (vec_id, cell, canonical_id, keep) — keep=1 iff the row
     *         is its cluster's canonical (or a singleton)

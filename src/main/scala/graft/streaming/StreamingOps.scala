@@ -17,12 +17,23 @@ object StreamingOps {
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
 
+  /** Times are epoch-MICROseconds — the native precision of both a
+    * Spark TimestampType and the DuckDB oracle's `ts - lag(ts)`
+    * comparison. Folding at ms (Timestamp.getTime) silently merged
+    * gaps in (gap, gap+1ms] that the oracle split. */
   final case class SessionState(start: Long, lastTs: Long, n: Int,
                                 sumValue: Double)
 
+  /** session_start / session_end are epoch-microseconds (see
+    * [[SessionState]]). */
   final case class Session(user_id: Long, session_start: Long,
                            session_end: Long, n_events: Int,
                            sum_value: Double)
+
+  /** Epoch micros of a Timestamp: getTime already carries the ms part
+    * of nanos, so only the sub-ms remainder is added. */
+  def epochUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
   /** Streaming point-in-interval join — the streaming form of
     * [[graft.operators.RelationalOps.pointInIntervalJoin]] (the
@@ -107,7 +118,7 @@ object StreamingOps {
     */
   private[streaming] def foldSorted(uid: Long, evs: Seq[Event],
                                     init: Option[SessionState],
-                                    gapMs: Long)
+                                    gapUs: Long)
       : (List[Session], Option[SessionState]) = {
     var out = List.empty[Session]
     var cur = init
@@ -122,11 +133,11 @@ object StreamingOps {
     // merge horizon was emitted as a spurious singleton instead of
     // extending the (already-emitted) session it belonged to.
     val initLast = init.map(_.lastTs).getOrElse(Long.MinValue)
-    val (latePrefix, onTime) = evs.span(_.ts.getTime < initLast)
+    val (latePrefix, onTime) = evs.span(e => epochUs(e.ts) < initLast)
     latePrefix.reverse.foreach { e =>
-      val t = e.ts.getTime
+      val t = epochUs(e.ts)
       cur match {
-        case Some(s) if t >= s.start - gapMs =>
+        case Some(s) if t >= s.start - gapUs =>
           cur = Some(s.copy(start = math.min(s.start, t), n = s.n + 1,
             sumValue = s.sumValue + e.value))
         case _ => // stale beyond the merge horizon: singleton
@@ -134,7 +145,7 @@ object StreamingOps {
       }
     }
     onTime.foreach { e =>
-      val t = e.ts.getTime
+      val t = epochUs(e.ts)
       cur match {
         case Some(s) if t < s.lastTs =>
           // impossible for sorted input (the late prefix was peeled
@@ -142,7 +153,7 @@ object StreamingOps {
           // fail loudly rather than corrupt session boundaries
           throw new IllegalStateException(
             s"foldSorted: unsorted event $t < lastTs ${s.lastTs}")
-        case Some(s) if t - s.lastTs <= gapMs =>
+        case Some(s) if t - s.lastTs <= gapUs =>
           cur = Some(s.copy(lastTs = t, n = s.n + 1,
             sumValue = s.sumValue + e.value))
         case Some(s) => // t > lastTs + gap
@@ -182,15 +193,18 @@ object StreamingOps {
             Iterator.single(
               Session(uid, s.start, s.lastTs, s.n, s.sumValue))
           } else {
-            // Events arrive unordered within a trigger: sort by time.
-            val evs = it.toSeq.sortBy(_.ts.getTime)
+            // Events arrive unordered within a trigger: sort by time
+            // (micros — ms ordering could interleave same-ms events).
+            val evs = it.toSeq.sortBy(e => epochUs(e.ts))
             val (closed, cur) = foldSorted(uid, evs, state.getOption,
-              gapMs)
+              gapMs * 1000L)
             cur match {
               case Some(s) if streaming =>
                 state.update(s)
+                // state times are micros; the timeout clock is ms —
+                // round UP so the timeout never fires before lastTs+gap
                 state.setTimeoutTimestamp(
-                  math.max(s.lastTs + gapMs,
+                  math.max((s.lastTs + gapMs * 1000L + 999L) / 1000L,
                     state.getCurrentWatermarkMs() + 1))
                 closed.iterator
               case Some(s) =>
@@ -216,8 +230,8 @@ object StreamingOps {
     events
       .groupByKey(_.user_id)
       .flatMapGroups { (uid, it) =>
-        val evs = it.toSeq.sortBy(_.ts.getTime)
-        val (closed, cur) = foldSorted(uid, evs, None, gapMs)
+        val evs = it.toSeq.sortBy(e => epochUs(e.ts))
+        val (closed, cur) = foldSorted(uid, evs, None, gapMs * 1000L)
         (closed ++ cur.map(s =>
           Session(uid, s.start, s.lastTs, s.n, s.sumValue))).iterator
       }

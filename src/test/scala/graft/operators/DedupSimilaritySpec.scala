@@ -411,6 +411,32 @@ class DedupSimilaritySpec extends SparkSpec {
       s"p=2 recovered none of the ${missed1.size} twins p=1 missed")
   }
 
+  test("pruneHomeProbe: probe inflow never kills a bucket's home rows " +
+    "(r7 ADVICE №2 — multi-probe only ADDS candidates)") {
+    // (tbl=0, bucket b) populations; cap = 4
+    //   b=1: 3 home + 5 probe — home under cap: home KEPT (a combined
+    //        count, 8 > 4, would have dropped everything — the
+    //        pre-fix regression); probe inflow 5 > cap: probes dropped
+    //   b=2: 3 home + 2 probe — both under cap: all 5 kept
+    //   b=3: 5 home — over cap: dropped entirely (p=1 semantics)
+    val rows =
+      (1 to 3).map(i => (0, 1, 0, i.toLong)) ++
+        (4 to 8).map(i => (0, 1, 1, i.toLong)) ++
+        (11 to 13).map(i => (0, 2, 0, i.toLong)) ++
+        (14 to 15).map(i => (0, 2, 1, i.toLong)) ++
+        (21 to 25).map(i => (0, 3, 0, i.toLong))
+    val df = rows.toDF("tbl", "bucket", "kind", "id")
+    val kept = Similarity.pruneHomeProbe(df, Seq("tbl", "bucket"), 4)
+      .select("bucket", "kind", "id").as[(Int, Int, Long)]
+      .collect().toSet
+    assert(kept.filter(_._1 == 1) ===
+      (1 to 3).map(i => (1, 0, i.toLong)).toSet,
+      "home rows of an under-cap bucket must survive probe flooding")
+    assert(kept.filter(_._1 == 2).size === 5)
+    assert(kept.filter(_._1 == 3).isEmpty,
+      "a home population over the cap still drops the bucket")
+  }
+
   test("crossMinhashMatches: edited eval docs match their source, " +
     "clean evals never match, precision is exact-verified") {
     // Eval side: every 10th doc with its last two words removed

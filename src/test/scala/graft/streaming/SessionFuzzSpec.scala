@@ -62,16 +62,17 @@ class SessionFuzzSpec extends SparkSpec {
   /** The island model == the session_agg oracle's semantics: sort by
     * ts, split strictly-greater-than-gap, aggregate in time order. */
   private def model(evs: Seq[Event], uid: Long = 0L): List[Session] = {
-    val sorted = evs.sortBy(_.ts.getTime)
+    // epoch-MICROS throughout, matching Session/SessionState units
+    val sorted = evs.sortBy(e => StreamingOps.epochUs(e.ts))
     if (sorted.isEmpty) return Nil
     var out = List.empty[Session]
-    var start = sorted.head.ts.getTime
+    var start = StreamingOps.epochUs(sorted.head.ts)
     var last = start
     var n = 0
     var sum = 0.0
     sorted.foreach { e =>
-      val t = e.ts.getTime
-      if (t - last > Gap) {
+      val t = StreamingOps.epochUs(e.ts)
+      if (t - last > Gap * 1000) {
         out ::= Session(uid, start, last, n, sum)
         start = t; n = 0; sum = 0.0
       }
@@ -90,7 +91,7 @@ class SessionFuzzSpec extends SparkSpec {
     var closed = List.empty[Session]
     chunks.foreach { ch =>
       val (c, s) = StreamingOps.foldSorted(0L,
-        ch.sortBy(_.ts.getTime), state, Gap)
+        ch.sortBy(e => StreamingOps.epochUs(e.ts)), state, Gap * 1000)
       closed ++= c
       state = s
     }

@@ -55,13 +55,42 @@ class StreamingOpsSpec extends SparkSpec {
     // the FINAL session; when an on-time event closed the carried
     // session in the same trigger, an in-horizon late event became a
     // spurious singleton and the emitted session missed its extension.
-    val init = Some(SessionState(100000L, 100000L, 1, 1.0))
+    // state/session times are epoch-MICROS; Timestamp(ms) * 1000
+    val init = Some(SessionState(100000000L, 100000000L, 1, 1.0))
     val evs = Seq(
       Event(1, new java.sql.Timestamp(99500L), 1, "click", 1.0),
       Event(2, new java.sql.Timestamp(101500L), 1, "click", 1.0))
-    val (closed, cur) = StreamingOps.foldSorted(1L, evs, init, 1000L)
-    assert(closed === List(Session(1L, 99500L, 100000L, 2, 2.0)))
-    assert(cur === Some(SessionState(101500L, 101500L, 1, 1.0)))
+    val (closed, cur) = StreamingOps.foldSorted(1L, evs, init, 1000000L)
+    assert(closed === List(Session(1L, 99500000L, 100000000L, 2, 2.0)))
+    assert(cur === Some(SessionState(101500000L, 101500000L, 1, 1.0)))
+  }
+
+  test("foldSorted splits on a sub-millisecond gap excess (micros " +
+      "precision, r7 ADVICE №1)") {
+    // gap = 1s; the second event arrives at gap + 500 MICROS. At ms
+    // precision (Timestamp.getTime) the 500us excess truncates away
+    // and the events merge; the oracle's `ts - lag(ts) > INTERVAL`
+    // compares micros and splits. The fold must split too.
+    val t0 = new Timestamp(1700000000000L)
+    val t1 = new Timestamp(1700000001000L)
+    t1.setNanos(500000) // +0.5 ms
+    assert(StreamingOps.epochUs(t1) - StreamingOps.epochUs(t0) ===
+      1000500L)
+    val evs = Seq(Event(1, t0, 1, "a", 1.0), Event(2, t1, 1, "a", 2.0))
+    val (closed, cur) = StreamingOps.foldSorted(1L, evs, None, 1000000L)
+    assert(closed === List(
+      Session(1L, StreamingOps.epochUs(t0), StreamingOps.epochUs(t0),
+        1, 1.0)))
+    assert(cur === Some(SessionState(StreamingOps.epochUs(t1),
+      StreamingOps.epochUs(t1), 1, 2.0)))
+    // and a gap of exactly 1s + 999us still MERGES (inclusive ≤ gap
+    // needs the full micros excess to split)
+    val t2 = new Timestamp(1700000001000L)
+    t2.setNanos(0)
+    val (closed2, cur2) = StreamingOps.foldSorted(1L,
+      Seq(Event(1, t0, 1, "a", 1.0), Event(2, t2, 1, "a", 2.0)),
+      None, 1000000L)
+    assert(closed2.isEmpty && cur2.exists(_.n == 2))
   }
 
   test("sessionize on a batch Dataset emits the final open session " +
@@ -127,8 +156,8 @@ class StreamingOpsSpec extends SparkSpec {
       assert(closed.length === 1,
         s"late event must not split the session: $closed")
       assert(closed.head.n_events === 4)
-      assert(closed.head.session_start === ts(0).getTime)
-      assert(closed.head.session_end === ts(34).getTime)
+      assert(closed.head.session_start === ts(0).getTime * 1000)
+      assert(closed.head.session_end === ts(34).getTime * 1000)
       assert(closed.head.sum_value === 15.0)
     } finally q.stop()
   }
@@ -160,8 +189,8 @@ class StreamingOpsSpec extends SparkSpec {
       val closed = spark.table("late_order").as[Session].collect()
       assert(closed.length === 1, s"spurious singleton: ${closed.toSeq}")
       assert(closed.head.n_events === 5)
-      assert(closed.head.session_start === ts(30).getTime)
-      assert(closed.head.session_end === ts(180).getTime)
+      assert(closed.head.session_start === ts(30).getTime * 1000)
+      assert(closed.head.session_end === ts(180).getTime * 1000)
     } finally q.stop()
   }
 
