@@ -99,19 +99,92 @@ TJR_DX = ["71500", "71590", "7160", "71610", "71620", "71536"]
 TJR_PCS = ["8151", "8152", "8154"]
 
 if SCALED:
-    # Clean fully-enrolled corpus; ~10 background claims/patient/year.
-    # ~10% of patients get the 2010 TJR claim → label=1; its dx codes
-    # sit inside the 2010 feature block (the leakage under test).
+    # Clean fully-enrolled corpus; ~10 background claims/patient/year,
+    # ~10% of patients get the 2010 TJR claim → label=1.
+    #
+    # Cohorts OVERLAP deliberately (r7 verdict №1 — the old exclusive
+    # code pools made every task perfectly separable and saturated the
+    # parity table at 1.0000):
+    #  - every claim draws dx from the SAME arthritis-population pool,
+    #    so dx content alone cannot separate TJR claims;
+    #  - prior-TJR pcs codes (CCS 152 — the other-knee history) appear
+    #    on ~25% of 2008/09 background claims but NEVER on a 2010
+    #    background claim, so the patient-year AOV leak ("CCS 152 in
+    #    the 2010 block") stays near-exact (train AUC → 1.0, the
+    #    BASELINE.md leakage signature) while the per-claim grid task —
+    #    which sees day-of-year but not the year — has ~17% of negative
+    #    claims wearing the positive pcs signature;
+    #  - the TJR claim's DATE is the orderable signal, layered so each
+    #    M4 head resolves strictly more of it: positives sit in
+    #    November days 16-28; half the prior-TJR negatives sit in
+    #    months 1-10 (a DIFFERENT 30.5-day window — windowed pooling
+    #    separates them, whole-axis pooling cannot), the other half in
+    #    November days 1-13 (the SAME window as the positives — only
+    #    the decay recurrence, monotone in absolute day-of-year,
+    #    resolves the early/late split) — so the chain's fidelity
+    #    ordering (pooling < window < decay) is visible in AUC, not
+    #    just argued;
+    #  - ~2% of TJR claims are procedure-miscoded (CCS 153 instead of
+    #    152) and ~1% of negative patients carry a DRG-miscoded 2010
+    #    claim with a real TJR procedure code — label noise that keeps
+    #    the Lasso/RF CV and test rows off exactly 1.0000.
+    ALL_DX = TJR_DX + BG_DX
     for i, p in enumerate(patients):
+        is_pos = i % 10 == 3
         for y in (2008, 2009, 2010):
             for k in range(8 + (i + y) % 5):
-                date = f"{y}{(k % 12) + 1:02d}{((i + k) % 28) + 1:02d}"
                 drg = "001" if (i + k) % 2 == 0 else "123"
-                add_claim(p, date, drg, dx_pool=BG_DX, pcs_pool=BG_PCS)
-        if i % 10 == 3:
+                dx = random.sample(ALL_DX, 3)
+                month, day = random.randint(1, 12), random.randint(1, 28)
+                if y < 2010 and random.random() < 0.25:
+                    pcs = [random.choice(["8151", "8152"]),
+                           random.choice(BG_PCS)]
+                    r = random.random()
+                    if r < 0.40:
+                        # window-resolvable: a far window
+                        month, day = (random.randint(1, 10),
+                                      random.randint(1, 28))
+                    elif r < 0.75:
+                        # decay-only: the positives' window, earlier
+                        # days
+                        month, day = 11, random.randint(1, 13)
+                    else:
+                        # CLONE: grid-identical to a 2010 TJR claim
+                        # (same date window, dx tilt, single-pcs shape)
+                        # differing only in the year the grid cannot
+                        # see — irreducible per-claim error that keeps
+                        # every grid head, m3 included, off saturation
+                        month, day = 11, random.randint(16, 28)
+                        dx = (random.sample(TJR_DX, 2) +
+                              [random.choice(BG_DX)])
+                        pcs = [random.choice(["8151", "8152"])]
+                elif random.random() < 0.3:
+                    pcs = [random.choice(["8154"] + BG_PCS),
+                           random.choice(BG_PCS)]
+                else:
+                    pcs = random.sample(BG_PCS, 2)
+                date = f"{y}{month:02d}{day:02d}"
+                add_claim(p, date, drg, ndx=3, npcs=len(pcs),
+                          dx_pool=dx, pcs_pool=pcs)
+        if is_pos:
             tjr_drg = "470" if i % 20 == 3 else "469"
-            add_claim(p, f"2010{(i % 12) + 1:02d}15", tjr_drg,
-                      dx_pool=TJR_DX, pcs_pool=TJR_PCS)
+            date = f"201011{random.randint(16, 28):02d}"
+            pcs = ["8154"] if random.random() < 0.02 \
+                else [random.choice(["8151", "8152"])]
+            # dx TILT, not exclusivity: arthritis codes dominate but
+            # background codes appear — enough code signal to lift the
+            # order-free pooling head off coin-flip, not enough to
+            # separate without the date
+            dx = random.sample(TJR_DX, 2) + [random.choice(BG_DX)]
+            add_claim(p, date, tjr_drg, ndx=3, npcs=1,
+                      dx_pool=dx, pcs_pool=pcs)
+        elif random.random() < 0.01:
+            # DRG-miscoded TJR: real procedure code, background DRG —
+            # a 2010 false-flag in the AOV leak feature
+            add_claim(p, f"2010{random.randint(1, 12):02d}"
+                      f"{random.randint(1, 28):02d}", "123",
+                      ndx=3, npcs=1, dx_pool=random.sample(ALL_DX, 3),
+                      pcs_pool=[random.choice(["8151", "8152"])])
 else:
     for i, p in enumerate(patients):
         years = [2008, 2009, 2010]
