@@ -28,7 +28,9 @@ object Registry {
       operators.EncoderQueries.defs,
       operators.ApproxQueries.defs,
       operators.AnalyticsQueries.defs,
-      operators.CorpusQueries.defs)
+      operators.CorpusQueries.defs,
+      streaming.StreamGateQueries.defs,
+      multimodal.MediaQueries.defs)
     // Map ++ silently keeps the LAST duplicate — a colliding query name
     // would shadow an operator and shrink the driver's gate without any
     // failure. Refuse instead.

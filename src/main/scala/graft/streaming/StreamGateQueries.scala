@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.{QDef, Tables}
+import graft.operators.RelationalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-gated replays of the STREAMING pipeline (r7 verdict item 2):
+  * each entry runs the real Structured Streaming code — file source →
+  * stateful transform → checkpointed parquet sink, driven by
+  * `Trigger.AvailableNow` — on the events table, then returns the
+  * deterministic batch surface of the materialized sink for the DuckDB
+  * oracle to hash-check. `sessionize_state` pinned the stateful
+  * operator's batch path; these pin the watermark-dedup and
+  * stream-stream-join paths through the actual streaming runtime
+  * (offsets, state store, append-mode flush), the same machinery
+  * AvailableNowE2ESpec drives for sessionize.
+  *
+  * Determinism doctrine: a streaming run's ARRIVAL order is not
+  * deterministic (file listing, task order), so the gated surface must
+  * be order-invariant — key sets and aggregates, never "which duplicate
+  * survived". The watermark is set past the table's whole time span so
+  * no state evicts and no late row drops mid-replay: eviction semantics
+  * are spec-gated (StreamingOpsSpec, TextStreamingSpec) where arrival
+  * order is controlled file-by-file; the driver gate certifies the
+  * end-to-end plumbing loses and duplicates nothing.
+  */
+object StreamGateQueries {
+
+  /** Stage events into a fresh temp dir as plain TimestampType parquet
+    * and open a file-source stream over it. Two reasons not to stream
+    * the testdata file directly: (1) `Tables.load`'s schema-conditional
+    * nanos/NTZ handling (r6 postmortem) must apply to the streaming
+    * read too, and a file stream cannot re-type columns lazily; (2) the
+    * staged copy lives in a per-call directory, so concurrent/repeated
+    * invocations (bench warmup + 2 timed runs) never share source
+    * listings or checkpoints. The temp dirs are OS-tmp sized (events
+    * table only) and left for tmp cleanup — the returned frame still
+    * lazily reads the sink, so nothing may delete eagerly here.
+    */
+  private def stageEvents(s: SparkSession, d: String): (String, DataFrame) = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_streamgate").toString
+    val ev = Tables.load(s, d, "events").where(col("ts").isNotNull)
+    ev.write.mode("overwrite").parquet(s"$base/src")
+    val src = s.readStream.schema(ev.schema).parquet(s"$base/src")
+    (base, src)
+  }
+
+  private def runToSink(out: DataFrame, base: String): DataFrame = {
+    val q = out.writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(600000))
+      throw new IllegalStateException(
+        s"streaming gate query hung past 600s (checkpoint $base/ckpt)")
+    out.sparkSession.read.parquet(s"$base/out")
+  }
+
+  val defs: Map[String, QDef] = Map(
+
+    // Streaming exact dedup (StreamingOps.dedupWithinWatermark →
+    // dropDuplicatesWithinWatermark): the ingest-side "seen within the
+    // lateness horizon" filter. Gated surface is the KEY SET — which
+    // physical row survives per key is arrival-order-dependent, the set
+    // of keys is not (watermark spans the table, so exactly one row per
+    // key leaves the sink; a loss or a duplicate both break the row
+    // count before they break the hash).
+    "dedup_stream_state" -> QDef(
+      (s, d) => {
+        val (base, src) = stageEvents(s, d)
+        val deduped = StreamingOps.dedupWithinWatermark(
+          src, Seq("user_id", "event_type"), "ts",
+          watermark = "45 days")
+        runToSink(deduped.select("user_id", "event_type"), base)
+          .select(col("user_id"), col("event_type"))
+      },
+      "SELECT DISTINCT user_id, event_type FROM events " +
+        "WHERE ts IS NOT NULL"),
+
+    // Streaming point-in-interval join (StreamingOps
+    // .streamingPointInIntervalJoin): every event inside the 15-minute
+    // window each signup opens — the stream-stream self-join through
+    // the grain-bucketed equi-key rewrite (state probed per bucket,
+    // not scanned per point). The sink carries only (inc_id, value) —
+    // aggregate inputs cross the sink, never payloads — and the
+    // returned surface is the per-incident count + decimal-exact sum,
+    // order-invariant by construction (decimal addition commutes
+    // exactly; the batch `range_join` pins the identical relation
+    // shape non-streaming).
+    "interval_join_state" -> QDef(
+      (s, d) => {
+        val (base, src) = stageEvents(s, d)
+        val pts = src.select(col("event_id"), col("ts"), col("value"))
+        val inc = src.where(col("event_type") === "signup")
+          .select(col("event_id").as("inc_id"), col("ts").as("lo"))
+        val joined = StreamingOps.streamingPointInIntervalJoin(
+          pts, "ts", inc, "lo", "15 minutes", grainSec = 900,
+          watermark = "45 days")
+        runToSink(joined.select(col("inc_id"), col("value")), base)
+          .groupBy("inc_id")
+          .agg(count(lit(1)).as("n_events"),
+            RelationalOps.exactSum(col("value"), 6).as("sum_value"))
+      },
+      "WITH p AS (SELECT event_id, ts, value FROM events " +
+        "WHERE ts IS NOT NULL), " +
+        "i AS (SELECT event_id AS inc_id, ts AS lo FROM events " +
+        "WHERE ts IS NOT NULL AND event_type = 'signup') " +
+        "SELECT inc_id, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) " +
+        "AS sum_value FROM p JOIN i " +
+        "ON p.ts >= i.lo AND p.ts <= i.lo + INTERVAL 15 MINUTE " +
+        "GROUP BY inc_id"))
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The streaming driver-gate entries run end-to-end on the smoke-scale
+  * testdata and match batch oracles computed in-engine. The DuckDB
+  * hash-compare at sf0.01 is the authoritative gate; this pins the same
+  * semantics in `sbt test` so a regression is red before the driver
+  * runs — and asserts the gate-critical invariant (exactly one sink row
+  * per key / per join match) that a checkpoint or append-mode bug would
+  * break first.
+  */
+class StreamGateQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_stream_state emits exactly the distinct key set") {
+    val got = StreamGateQueries.defs("dedup_stream_state")
+      .fn(spark, sfDir)
+      .as[(Long, String)].collect()
+    val exp = Tables.load(spark, sfDir, "events")
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type")).distinct()
+      .as[(Long, String)].collect()
+    // sets equal AND no duplicate rows left the sink
+    assert(got.length === exp.length, "sink emitted duplicate keys")
+    assert(got.toSet === exp.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("interval_join_state matches the batch point-in-interval join") {
+    val got = StreamGateQueries.defs("interval_join_state")
+      .fn(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val ev = Tables.load(spark, sfDir, "events")
+      .where(col("ts").isNotNull)
+    val p = ev.select(col("ts").as("pt"), col("value"))
+    val i = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("inc_id"), col("ts").as("lo"))
+    // plain theta-join batch oracle — independent of the grain-bucket
+    // rewrite under test (sum through decimal, same as the engine, so
+    // the comparison is bit-exact)
+    val exp = p.join(i, col("pt") >= col("lo") &&
+        col("pt") <= col("lo") + expr("INTERVAL 15 MINUTES"))
+      .groupBy("inc_id")
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.RelationalOps.exactSum(col("value"), 6)
+          .as("sum_value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+}
