@@ -65,7 +65,28 @@ class PlanShapeSpec extends SparkSpec {
     // aggregate-then-join full outer: two count shuffles; the join
     // itself co-locates on them (no third fact-side exchange beyond
     // the join's own requirement)
-    ("join_full_outer", 2, 0)
+    ("join_full_outer", 2, 0),
+    // dedup/ANN/contamination families (r7 verdict item 4) — the most
+    // refactor-fragile shapes in the repo: every exchange below
+    // carries hashes/ids/buckets, never text or vectors, and a new
+    // one means payloads started shuffling.
+    // banded MinHash: shingle-sig shuffle → bucket self-join pair →
+    // component agg; candidate pairs are bucket-joined, not crossed
+    ("dedup_minhash_lsh", 4, 4),
+    // hyperplane-LSH embedding dedup: L-table multi-probe bucket join
+    // (the home/probe guard folds both counts into the self-join's own
+    // exchange — the pruneHomeProbe rework dropped this from 3 to 2);
+    // the one broadcast is the exact-verify rejoin's small side
+    ("dedup_embed_lsh", 2, 1),
+    // cluster-blocked SemDeDup: centroid assign + in-cluster pairing,
+    // no broadcast required (pairs co-locate on the cluster key)
+    ("semantic_dedup", 2, 0),
+    // cross-relation LSH decontamination: both sides sig+bucket (2×2
+    // shuffles) + verify pair agg + final; small side broadcasts 5×
+    ("contamination_minhash", 7, 5),
+    // TF-IDF top-k: token DF agg, doc-norm agg, score join, group
+    // top-k — each a keyed shuffle; vocab/IDF sides broadcast
+    ("tfidf_topk", 5, 2)
   )
 
   private def shapeOf(name: String): (Int, Int) = {
@@ -74,9 +95,17 @@ class PlanShapeSpec extends SparkSpec {
     try {
       val plan = Registry.all(name).fn(spark, sfDir)
         .queryExecution.executedPlan.toString
-      val shuffles = "\\bExchange hashpartitioning|\\bExchange rangepartitioning|\\bExchange SinglePartition"
-        .r.findAllIn(plan).size
-      val bcasts = "BroadcastExchange".r.findAllIn(plan).size
+      // A ReusedExchange line prints its referenced exchange INLINE
+      // ("ReusedExchange [...], Exchange hashpartitioning(...)") — a
+      // reuse is a second READ of one shuffle write, not a new
+      // exchange, so those lines must not count (they made the
+      // minhash pin read 5 where the census and the plan both say 4).
+      val lines = plan.linesIterator
+        .filterNot(_.contains("ReusedExchange")).toSeq
+      val shuffleRe = ("\\bExchange hashpartitioning|\\bExchange " +
+        "rangepartitioning|\\bExchange SinglePartition").r
+      val shuffles = lines.count(l => shuffleRe.findFirstIn(l).nonEmpty)
+      val bcasts = lines.count(_.contains("BroadcastExchange"))
       (shuffles, bcasts)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
