@@ -116,4 +116,79 @@ class PropertySpec extends SparkSpec {
         if (n1 > 1) assert(train(1) >= 1 && train(1) < n1)
       }
   }
+
+  test("correlation lane moments are exact vs BigInt reference over " +
+    "generated adversarial magnitudes (property)") {
+    // The corr_agg doctrine: per-row products in Int64, lane-split
+    // sums exact, recombination hi·2^32 + lo in double. This drives
+    // the CROSS-product lanes (qx·qy, not just squares) with values
+    // spanning the whole q4 domain — mixed signs (negative products
+    // exercise the arithmetic-shift sign extension) up to near
+    // ±q4MaxAbs/1e4 — and checks the engine's q4ProdSum against
+    // BigInt-exact moments pushed through the SAME recombination.
+    val magGen = Gen.chooseNum(0L, RelationalOps.q4MaxAbs - 1)
+    val rowGen = Gen.zip(magGen, magGen, Gen.oneOf(-1, 1),
+      Gen.oneOf(-1, 1))
+    samples(Gen.listOfN(60, rowGen), 8).foreach { rows =>
+      val data = rows.zipWithIndex.map { case ((ax, ay, sx, sy), i) =>
+        (i.toLong, sx * ax / 1e4, sy * ay / 1e4)
+      }
+      val df = data.toDF("id", "x", "y")
+      val (qx, qy) = (RelationalOps.q4(col("x")),
+        RelationalOps.q4(col("y")))
+      val got = df.agg(RelationalOps.q4ProdSum(qx, qy).as("sxy"))
+        .select("sxy").as[Double].head()
+      // reference: exact quantization + exact lane sums in BigInt,
+      // then the identical double recombination text
+      def q(v: Double): Long = math.floor(v * 1e4 + 0.5).toLong
+      val prods = data.map { case (_, x, y) => BigInt(q(x)) * q(y) }
+      prods.foreach(p => assert(p.isValidLong,
+        "per-row product must fit Int64 inside the q4 value domain"))
+      val hi = prods.map(p => p >> 32).sum
+      val lo = prods.map(p => p & 4294967295L).sum
+      assert(hi.isValidLong && lo.isValidLong,
+        "lane sums must fit Int64 at property-test row counts")
+      val expected = (hi.toLong.toDouble * 4294967296.0 +
+        lo.toLong.toDouble) / 1e8
+      assert(got === expected,
+        s"lane recombination drifted from the exact reference")
+      // within double's exact-integer range the recombination IS the
+      // true sum — pin that too where the generated data qualifies
+      val trueSum = prods.sum
+      if (trueSum.abs < BigInt(2).pow(53))
+        assert(got === trueSum.toDouble / 1e8)
+    }
+  }
+
+  test("corr_agg's aggregate shape raises loudly past the 2^31-row " +
+    "lane domain (END-TO-END)") {
+    // RelationalOpsSpec proves the wrap + guard for the zscore shape;
+    // this drives corr_agg's OWN six-aggregate closed form (both
+    // squared and cross lanes live) over laneMaxRows+5 real rows, so
+    // the gated correlation query's over-domain behavior is a loud
+    // named error from its actual count(*), not a wrapped moment.
+    val df = spark.range(RelationalOps.laneMaxRows + 5)
+      .select(col("id"),
+        ((col("id") % 7) - lit(3)).cast("double").as("x"),
+        ((col("id") % 5) - lit(2)).cast("double").as("y"))
+    val (qx, qy) = (RelationalOps.q4(col("x")),
+      RelationalOps.q4(col("y")))
+    val agg = df.agg(
+      count("*").cast("double").as("n"),
+      RelationalOps.q4Sum(qx).as("sx"),
+      RelationalOps.q4Sum(qy).as("sy"),
+      RelationalOps.q4ProdSum(qx, qx).as("sxx"),
+      RelationalOps.q4ProdSum(qy, qy).as("syy"),
+      RelationalOps.q4ProdSum(qx, qy).as("sxy"))
+      .withColumn("n", RelationalOps.laneRowGuard(col("n"), "corr_agg"))
+    val e = intercept[Exception] {
+      agg.select(
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"))
+        .collect()
+    }
+    val msgs = causeChain(e)
+    assert(msgs.contains("corr_agg") &&
+      msgs.contains("lane-sum domain"),
+      s"guard must name corr_agg and the domain, got: $msgs")
+  }
 }
