@@ -114,5 +114,64 @@ object StreamGateQueries {
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) " +
         "AS sum_value FROM p JOIN i " +
         "ON p.ts >= i.lo AND p.ts <= i.lo + INTERVAL 15 MINUTE " +
-        "GROUP BY inc_id"))
+        "GROUP BY inc_id"),
+
+    // Streaming tumbling-window aggregation (StreamingOps
+    // .hourlyCounts) with a REAL (finite, 1-hour) watermark — unlike
+    // the two gates above, append mode here only emits what the
+    // watermark FINALIZED, so this is the one entry that pins the
+    // watermark/late-data machinery itself: a single far-future
+    // sentinel row is staged alongside the events (the
+    // AvailableNowE2ESpec trick), advancing the watermark past every
+    // real window so the state store must flush exactly all of them —
+    // a dropped or double-emitted window breaks the count before the
+    // hash. The sentinel's own (unfinalized) window is excluded by the
+    // hour_start bound; the gated surface is the integer-exact columns
+    // (window, type, count) — sum_value's order-dependent double fold
+    // is covered decimal-exactly by the batch `window_hourly` entry.
+    "window_hourly_state" -> QDef(
+      (s, d) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_streamgate").toString
+        val srcDir = s"$base/src"
+        new java.io.File(srcDir).mkdirs()
+        val ev = Tables.load(s, d, "events").where(col("ts").isNotNull)
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        // One file per micro-batch, in mtime order: ALL real events in
+        // file 1 (processed under watermark 0 — no real row can be
+        // dropped as late by another real row's file landing first),
+        // then two sentinel files whose batches advance the watermark
+        // past every real window — the second guarantees the flush
+        // even if no trailing no-data batch runs.
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$base/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(srcDir, s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(mtime)
+        }
+        def sentinel(days: Long) = ev.limit(1).select(
+          lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + days * 86400000L))
+            .as("ts"),
+          lit(-1L).as("user_id"),
+          lit("__sentinel").as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+        stage(ev, "a_events", 1000000000000L)
+        stage(sentinel(90), "b_sentinel1", 1000000002000L)
+        stage(sentinel(180), "c_sentinel2", 1000000004000L)
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val agg = StreamingOps.hourlyCounts(src, watermark = "1 hour")
+        runToSink(agg, base)
+          .where(col("hour_start") <= lit(maxTs))
+          .select(col("hour_start"), col("event_type"),
+            col("n_events"))
+      },
+      "SELECT date_trunc('hour', ts) AS hour_start, event_type, " +
+        "COUNT(*) AS n_events FROM events WHERE ts IS NOT NULL " +
+        "GROUP BY 1, 2"))
 }

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Dev evidence tool: tile the driver's sf0.1 star schema to an
+sf1-equivalent so a bench tier exists where per-row work dominates
+Spark's fixed job overhead (at sf0.1 the engine total is ~80% scheduler
+overhead; r7 verdict item 5).
+
+Tiling, not re-synthesis: copy k of each fact/dim row shifts every join
+key by k*KEY_STRIDE, so referential integrity, key distributions, and
+selectivities match the driver data exactly at 10x the volume. The two
+content tables are perturbed per tile so self-similarity workloads
+scale like a larger corpus instead of degenerating into 10-way
+exact-duplicate groups:
+  - documents: every word is prefixed with the tile tag (t1w042 ...),
+    so shingle/minhash/jaccard candidates stay within-tile (a 10x
+    corpus with 10x the dup groups), token counts and doc lengths are
+    preserved, and vocab grows with the corpus as a real one would.
+    n_chars is recomputed.
+  - embeddings: vectors are np.roll'ed by the tile index — norms (and
+    the int8-quantization workload) are preserved, directions change,
+    so no cross-tile cosine~1 twin structure is planted.
+region/nation are shared dimensions and copied as-is.
+
+Physical schemas are preserved column-for-column (timestamp[us] stays
+timestamp[us] — Tables.load's NTZ handling applies unchanged).
+
+Usage: python3 tools/gen_star_sf1.py --mult 10 --out /tmp/graft_sf1
+"""
+import argparse
+import os
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+KEY_STRIDE = 10_000_000  # > any sf0.1 key; keeps shifted keys disjoint
+
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def shifted(tbl: pa.Table, name: str, k: int) -> pa.Table:
+    out = tbl
+    for c in SHIFT_COLS[name]:
+        i = out.schema.get_field_index(c)
+        out = out.set_column(i, out.schema.field(i),
+                             pc.add(out.column(c), k * KEY_STRIDE))
+    if name == "documents" and k > 0:
+        tag = f"t{k}"
+        texts = tbl.column("text").to_pylist()
+        new = [None if t is None else
+               " ".join(tag + w for w in t.split(" ")) for t in texts]
+        i = out.schema.get_field_index("text")
+        out = out.set_column(i, out.schema.field(i),
+                             pa.array(new, pa.string()))
+        j = out.schema.get_field_index("n_chars")
+        out = out.set_column(j, out.schema.field(j),
+                             pa.array([None if t is None else len(t)
+                                       for t in new], pa.int64()))
+    if name == "embeddings" and k > 0:
+        emb = tbl.column("embedding").combine_chunks()
+        mat = np.array(emb.to_pylist(), dtype=np.float32)
+        rolled = np.roll(mat, k, axis=1)
+        i = out.schema.get_field_index("embedding")
+        out = out.set_column(
+            i, out.schema.field(i),
+            pa.array(list(rolled), pa.list_(pa.float32())))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--out", required=True)
+    a = ap.parse_args()
+    os.makedirs(a.out, exist_ok=True)
+    for name in COPY_AS_IS:
+        tbl = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(tbl, f"{a.out}/{name}.parquet")
+        print(f"{name}: {tbl.num_rows} rows (shared dim)")
+    for name in SHIFT_COLS:
+        tbl = pq.read_table(f"{SRC}/{name}.parquet")
+        tiles = [shifted(tbl, name, k) for k in range(a.mult)]
+        big = pa.concat_tables(tiles)
+        pq.write_table(big, f"{a.out}/{name}.parquet",
+                       row_group_size=1_000_000)
+        print(f"{name}: {tbl.num_rows} -> {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
