@@ -11,6 +11,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan-split sizing for BENCH scale (the brief's "size
+      // maxPartitionBytes to the target SF" knob): the testdata tables
+      // are single parquet files of 2-200 MB, so the 128 MB default +
+      // 4 MB openCost floor planned 1-3 scan splits and ran every
+      // map-side stage (the broadcast range-join probe, explode+hash
+      // pipelines) on 1-3 of the 32 cores. ~16 MB cap / 256 KB floor
+      // puts 8-30 splits on the big facts. On a real cluster at 100 TB
+      // the inputs are many files and the 128 MB default is correct —
+      // this is per-deployment sizing, not engine semantics.
+      .config("spark.sql.files.maxPartitionBytes", "16777216")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")

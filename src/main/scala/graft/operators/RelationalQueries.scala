@@ -281,15 +281,21 @@ object RelationalQueries {
     // ----- §2.4 aggregation ---------------------------------------------
 
     // A1: hash groupBy + max/count/sum (ref cms_preprocess.py:286).
+    // sum_price via exactSumQ (guarded long lanes, identical HALF-UP
+    // scale-2 quantization): the decimal update path was half this
+    // query's sf1 time (2.0 s → 1.0 s measured); the decimal exactSum
+    // form stays gated on window_hourly/percentile siblings.
     "groupby_max" -> QDef(
       (s, d) => t(s, d, "orders")
         .groupBy(col("o_custkey"), year(col("o_orderdate")).as("o_year"))
         .agg(max(col("o_totalprice")).as("max_price"),
           count("*").as("n_orders"),
-          exactSum(col("o_totalprice")).as("sum_price")),
+          RelationalOps.exactSumQ(col("o_totalprice"), 2)
+            .as("sum_price")),
       "SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS o_year, " +
         "MAX(o_totalprice) AS max_price, COUNT(*) AS n_orders, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "CAST(SUM(CAST(SIGN(o_totalprice) * FLOOR(ABS(o_totalprice) " +
+        "* 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 " +
         "AS sum_price FROM orders GROUP BY o_custkey, year(o_orderdate)"),
 
     // A3: distinct (ref cms_preprocess.py:159 unique()).

@@ -200,6 +200,51 @@ class RelationalOpsSpec extends SparkSpec {
         s"group $g vs Spark percentile")
   }
 
+  test("exactSumQ matches a BigInt quantized reference (mixed signs, " +
+    "ties), agrees with exactSum on the gate data, nulls like SUM, " +
+    "and raises past its lane domain") {
+    // (a) reference equality: quantize each double's BINARY value with
+    // sign·floor(|x|·1e6 + 0.5) in exact BigInt space, sum, divide —
+    // the definition the oracle SQL replicates
+    val vals = Seq(0.25, -0.25, 1.0000005, -1.0000005, 12.34, -0.125,
+      3037.000499, -3037.000499, 0.0, 1e-7, -1e-7)
+    def qRef(x: Double): BigInt =
+      BigInt(math.signum(x).toLong) *
+        BigInt(math.floor(math.abs(x) * 1e6 + 0.5).toLong)
+    val expected = vals.map(qRef).sum.toLong.toDouble / 1e6
+    val got = vals.toDF("v")
+      .agg(RelationalOps.exactSumQ(col("v"), 6).as("s"))
+      .as[Double].head()
+    assert(got === expected)
+    // (b) on the driver gate data (events.value) the long-lane form
+    // and the decimal form agree exactly — the basis for switching
+    // the high-volume aggregates (range_join/session_agg/groupby_max)
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val (a, b) = ev.agg(
+        RelationalOps.exactSumQ(col("value"), 6).as("a"),
+        RelationalOps.exactSum(col("value"), 6).as("b"))
+      .as[(Double, Double)].head()
+    assert(a === b, "long-lane and decimal sums diverged on gate data")
+    // (c) null semantics match SUM: nulls skipped, all-null → null
+    val withNulls = Seq(Some(1.5), None, Some(-0.5), None).toDF("v")
+      .agg(RelationalOps.exactSumQ(col("v"), 6).as("s"))
+      .as[Option[Double]].head()
+    assert(withNulls === Some(1.0))
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+      .agg(RelationalOps.exactSumQ(col("v"), 6).as("s"))
+      .as[Option[Double]].head()
+    assert(allNull === None)
+    // (d) domain guard: a group whose n·max|q| could cross Int64
+    // raises loudly instead of wrapping (here one row with |q| > the
+    // 4.6e18 bound)
+    val e = intercept[Exception] {
+      Seq(9.0e12).toDF("v")
+        .agg(RelationalOps.exactSumQ(col("v"), 6).as("s")).collect()
+    }
+    assert(causeChain(e).contains("exactSumQ"),
+      s"guard must name exactSumQ, got: ${causeChain(e)}")
+  }
+
   test("laneRowGuard passes in-domain counts through and raises " +
     "past 2^31-1 rows (the lane-SUM wrap domain)") {
     val ok = Seq(1000.0).toDF("n")
