@@ -272,6 +272,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.count() === 1)
   }
 
+  test("dedupWithinWatermark re-admits a key after the watermark " +
+    "horizon (state is bounded, not an unbounded exact dedup)") {
+    // The scaladoc's central claim: state lives only within the
+    // lateness horizon. A duplicate inside the horizon is dropped;
+    // once the watermark passes the first sighting's expiry, the key's
+    // state is evicted and a much-later recurrence is a NEW row. This
+    // is the semantic difference from batch dropDuplicates that the
+    // driver gate (huge-watermark replay) deliberately neutralizes —
+    // so it must be pinned here, with controlled trigger order.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupWithinWatermark(mem.toDF(), Seq("event_id"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ddevict")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(5), 1, "click", 1.0)) // dup in horizon
+      q.processAllAvailable()
+      // advance event time far past t0 + 10min → evicts key 1's state
+      mem.addData(Event(2, ts(60), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(65), 1, "click", 9.0)) // key 1 returns
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("ddevict").select("event_id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids === Seq(1L, 1L, 2L),
+      "key 1 must be re-admitted after its state expired, exactly once")
+  }
+
   test("streaming ingest lands in a durable parquet sink with " +
     "checkpointed exactly-once (the training-data ingest shape)") {
     implicit val sqlCtx = spark.sqlContext
