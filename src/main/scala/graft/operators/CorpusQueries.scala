@@ -106,29 +106,58 @@ object CorpusQueries {
       }),
 
     // Per-document top-3 TF-IDF terms (tf × (N+1)/(df+1), the rational
-    // idf — module doc). Inverted-index shape: explode → (doc, word)
-    // counts → word-keyed df join → per-document window. The window is
-    // partitioned by doc_id (millions of small partitions — parallel,
-    // never a global sort); the df join is word-keyed and scales with
-    // vocabulary, not corpus. Ties break on the word itself, so top-3
-    // is deterministic in both engines.
+    // idf — module doc). Shuffle-the-vocabulary shape: per-doc term
+    // counts come from a NARROW typed kernel (one hash map per doc —
+    // the explode→groupBy form shuffled ~n_tokens (doc, word) pairs,
+    // the dominant cost at the sf1 tier: mostly-unique pairs get no
+    // map-side combine), df rides a vocabulary-bounded broadcast back
+    // over the narrow tf relation, and the per-doc top-3 is a hash
+    // AGGREGATE (sort_array ∘ collect_list ∘ slice): no per-partition
+    // sort, and partial aggregation folds each doc's terms into one
+    // list before the only corpus-keyed exchange. Scale routing: for
+    // an open-vocabulary corpus whose df relation outgrows a broadcast
+    // (100 TB web text), swap `broadcast(dfreq)` for the word-keyed
+    // shuffle join — the narrow-tf kernel and aggregate top-3 stand
+    // either way. Ties break on the word itself (struct sort:
+    // -tfidf, then word), so top-3 is deterministic in both engines.
     "tfidf_topk" -> QDef(
       (s, d) => {
+        import org.apache.spark.sql.types._
         val d0 = docs(s, d).where(col("text").isNotNull)
-        val words = d0.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("word"))
-        val tf = words.groupBy("doc_id", "word")
-          .agg(count(lit(1)).as("tf"))
+        val tfSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("word", StringType),
+          StructField("tf", LongType, nullable = false)))
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+          .encoderFor(tfSchema)
+        val tf = d0
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .mapPartitions { rows =>
+            rows.flatMap { r =>
+              val id = r.getLong(0)
+              val m = new java.util.HashMap[String, Long]()
+              r.getSeq[String](1).foreach(w => m.merge(w, 1L, _ + _))
+              import scala.jdk.CollectionConverters._
+              m.entrySet().iterator().asScala.map(e =>
+                org.apache.spark.sql.Row(id, e.getKey, e.getValue))
+            }
+          }(enc)
         val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
         val n = d0.agg(count(lit(1)).cast("double").as("n"))
-        val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+        val scored = tf.join(broadcast(dfreq), "word")
+          .crossJoin(broadcast(n))
           .select(col("doc_id"), col("word"),
             (col("tf").cast("double") * ((col("n") + lit(1.0)) /
               (col("df").cast("double") + lit(1.0)))).as("tfidf"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("tfidf").desc, col("word"))
-        scored.withColumn("rnk", row_number().over(w).cast("long"))
-          .where(col("rnk") <= 3)
+        scored.groupBy("doc_id")
+          .agg(slice(sort_array(collect_list(struct(
+              (-col("tfidf")).as("o"), col("word"), col("tfidf")))),
+            1, 3).as("top"))
+          .select(col("doc_id"),
+            posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("doc_id"), col("t.word").as("word"),
+            col("t.tfidf").as("tfidf"),
+            (col("i") + 1).cast("long").as("rnk"))
       },
       "WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS " +
         "word FROM documents WHERE text IS NOT NULL), " +

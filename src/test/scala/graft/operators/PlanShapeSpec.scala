@@ -84,9 +84,12 @@ class PlanShapeSpec extends SparkSpec {
     // cross-relation LSH decontamination: both sides sig+bucket (2×2
     // shuffles) + verify pair agg + final; small side broadcasts 5×
     ("contamination_minhash", 7, 5),
-    // TF-IDF top-k: token DF agg, doc-norm agg, score join, group
-    // top-k — each a keyed shuffle; vocab/IDF sides broadcast
-    ("tfidf_topk", 5, 2)
+    // TF-IDF top-k (shuffle-the-vocabulary rework): narrow per-doc tf
+    // kernel, so the only exchanges are the vocab df agg, the 1-row
+    // corpus count, and the per-doc top-3 aggregate (down from 5 —
+    // the 11M-pair (doc, word) exchange and the window sort are gone);
+    // df + N broadcast back over the narrow tf relation
+    ("tfidf_topk", 3, 2)
   )
 
   private def shapeOf(name: String): (Int, Int) = {
