@@ -56,11 +56,15 @@ object StreamScale {
 
     val nUsers = 50000L
     val gapMs = 30L * 60000
-    // Synthetic feed: ~40 events/user, consecutive per-user events
-    // 0-59 min apart (hash-jittered), so ~half the inter-event gaps
-    // split sessions. Global order is by sequence number, so slicing
-    // the range into quarters yields TIME-ORDERED files — the shape a
-    // real ingest directory has — while within-file order is free.
+    // Synthetic feed: ~40 events/user on an hourly lattice with a
+    // uniform [0, 60) min jitter, so consecutive per-user gaps are
+    // triangular on (0, 120) min and ~7/8 of them exceed the 30-min
+    // session gap (~35 sessions/user — sessions of 1-2 events
+    // dominate, which maximizes session-state churn per event, the
+    // stressful direction for this proof). Global order is by
+    // sequence number, so slicing the range into quarters yields
+    // TIME-ORDERED files — the shape a real ingest directory has —
+    // while within-file order is free.
     val base = 1700000000000L
     def gen(n: Long): DataFrame = spark.range(n).select(
       col("id").as("event_id"),
@@ -75,16 +79,8 @@ object StreamScale {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_streamscale").toString
     def stage(df: DataFrame, dir: String, name: String,
-              mtime: Long): Unit = {
-      val t = s"$tmp/stage_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(t)
-      val part = new java.io.File(t).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val d = new java.io.File(dir); d.mkdirs()
-      val dst = new java.io.File(d, s"$name.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtime)
-    }
+              mtime: Long): Unit =
+      graft.streaming.StreamStage.stageFile(df, dir, name, mtime)
     val all = gen(nEvents)
     val evSchema = all.schema
     // 4 time-ordered quarter files + sentinel (far future: advances
@@ -129,19 +125,26 @@ object StreamScale {
       RunResult(secs, maxState, progress.length.toLong)
     }
 
-    val full = runSessionize(s"$tmp/src_full", "full")
+    // half BEFORE full: JVM/codegen/state-store warmup lands on the
+    // half run's numerator, so the full/half ratio can only OVERSTATE
+    // the full run — the conservative direction for a linearity gate.
     val half = runSessionize(s"$tmp/src_half", "half")
+    val full = runSessionize(s"$tmp/src_full", "full")
 
     // 1a. batch parity (sessionize): sentinel's own session is
-    // unflushed by design; everything real must match exactly
-    // the second sentinel closes-and-emits the first's session (user
-    // -1); everything real is user_id >= 0
-    val streamed = spark.read.parquet(s"$tmp/out_full")
+    // unflushed by design; everything real must match exactly.
+    // The second sentinel closes-and-emits the first's session (user
+    // -1); everything real is user_id >= 0. MULTISET equality, not
+    // set: count first (a double-emitted identical session — the
+    // append-mode/checkpoint failure mode — changes the count before
+    // the set), then set-compare distinct rows.
+    val streamedRows = spark.read.parquet(s"$tmp/out_full")
       .where(col("user_id") >= 0)
-      .as[Session].collect().toSet
+      .as[Session].collect()
+    val streamed = streamedRows.toSet
     val batch = StreamingOps.sessionizeBatch(all.as[Event], gapMs)
       .collect().toSet
-    val parity = streamed == batch
+    val parity = streamedRows.length == batch.size && streamed == batch
     val nSessions = batch.size
 
     // 1b. batch parity (hourlyCounts) through the same staged feed
@@ -154,14 +157,16 @@ object StreamScale {
       .option("checkpointLocation", s"$tmp/ckpt_hourly")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     require(qh.awaitTermination(600000), "hourly hung")
-    val gotH = spark.read.parquet(s"$tmp/out_hourly")
+    val gotHRows = spark.read.parquet(s"$tmp/out_hourly")
       .where(col("event_type") =!= "sentinel")
       .select("hour_start", "event_type", "n_events")
-      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    val gotH = gotHRows.toSet
     val expH = StreamingOps.hourlyCounts(all)
       .select("hour_start", "event_type", "n_events")
       .as[(java.sql.Timestamp, String, Long)].collect().toSet
-    val parityH = gotH == expH
+    // multiset equality (see the sessionize check)
+    val parityH = gotHRows.length == expH.size && gotH == expH
 
     // 2. dedup state bound: 4× duplicated keys over the horizon
     val dupSrc = spark.readStream.schema(evSchema)

@@ -142,6 +142,13 @@ object CorpusQueries {
                 org.apache.spark.sql.Row(id, e.getKey, e.getValue))
             }
           }(enc)
+          // materialized once: the broadcast(dfreq) build subtree and
+          // the probe side share no exchange, so without this the
+          // kernel + scan would execute twice per run (the old
+          // shuffle-join shape got the same effect from exchange
+          // reuse). Same lineage-truncation tool dedup_components
+          // uses; the tf relation is compact (distinct terms per doc).
+          .localCheckpoint()
         val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
         val n = d0.agg(count(lit(1)).cast("double").as("n"))
         val scored = tf.join(broadcast(dfreq), "word")

@@ -93,6 +93,31 @@ object Similarity {
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
+  /** Hot-bucket guard for the HOME/PROBE (kind 0/1) bucket layout —
+    * same single-shuffle window shape as [[Dedup.pruneOversized]] (the
+    * stakes are higher here because an anti-join form would duplicate
+    * the vector-carrying subtree), but the bucket-death decision counts
+    * HOME rows only: a combined count could kill a bucket whose home
+    * population is under the cap purely on probe inflow, making p=2
+    * LOSE pairs p=1 found (r7 ADVICE №2) — multi-probe must only ADD
+    * candidates. Probe inflow is capped separately, dropping only the
+    * probe rows of a flooded bucket (never its home rows), so pair
+    * volume per bucket stays ≤ maxBucket·home + home²/2 while every
+    * p=1 home pair survives. Both counts fold into ONE window over the
+    * same partitioning the self-join shuffles by. */
+  private[graft] def pruneHomeProbe(df: DataFrame, keys: Seq[String],
+                                    maxBucket: Int): DataFrame = {
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    df.withColumn("__hn",
+        count(when(col("kind") === 0, lit(1))).over(gw))
+      .withColumn("__pn",
+        count(when(col("kind") === 1, lit(1))).over(gw))
+      .where(col("__hn") <= maxBucket &&
+        (col("kind") === 0 || col("__pn") <= maxBucket))
+      .drop("__hn", "__pn")
+  }
+
   /** Embedding near-dup pairs via LSH-bucketed candidate generation —
     * the scale-safe replacement for blocked all-pairs cosine: the corpus
     * is indexed once (L hyperplane tables), candidates are the
@@ -126,31 +151,6 @@ object Similarity {
     * no oracle-visible recall at sf0.1. Precision is unchanged (every
     * candidate is exact-verified); candidate volume is ~2× p=1 (home
     * pairs + one-directional flip pairs). */
-  /** Hot-bucket guard for the HOME/PROBE (kind 0/1) bucket layout —
-    * same single-shuffle window shape as [[Dedup.pruneOversized]] (the
-    * stakes are higher here because an anti-join form would duplicate
-    * the vector-carrying subtree), but the bucket-death decision counts
-    * HOME rows only: a combined count could kill a bucket whose home
-    * population is under the cap purely on probe inflow, making p=2
-    * LOSE pairs p=1 found (r7 ADVICE №2) — multi-probe must only ADD
-    * candidates. Probe inflow is capped separately, dropping only the
-    * probe rows of a flooded bucket (never its home rows), so pair
-    * volume per bucket stays ≤ maxBucket·home + home²/2 while every
-    * p=1 home pair survives. Both counts fold into ONE window over the
-    * same partitioning the self-join shuffles by. */
-  private[graft] def pruneHomeProbe(df: DataFrame, keys: Seq[String],
-                                    maxBucket: Int): DataFrame = {
-    val gw = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-    df.withColumn("__hn",
-        count(when(col("kind") === 0, lit(1))).over(gw))
-      .withColumn("__pn",
-        count(when(col("kind") === 1, lit(1))).over(gw))
-      .where(col("__hn") <= maxBucket &&
-        (col("kind") === 0 || col("__pn") <= maxBucket))
-      .drop("__hn", "__pn")
-  }
-
   def lshDedupPairs(emb: DataFrame, threshold: Double, nBits: Int = 6,
                     dim: Int = 64, tables: Int = 4,
                     seed: Long = 42L,

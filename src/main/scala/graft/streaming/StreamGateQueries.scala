@@ -43,6 +43,18 @@ object StreamGateQueries {
     val base = java.nio.file.Files
       .createTempDirectory("graft_streamgate").toString
     val ev = Tables.load(s, d, "events").where(col("ts").isNotNull)
+    // The no-eviction determinism argument above requires the 45-day
+    // watermark to exceed the table's whole time span (30 days in the
+    // driver testdata). Pin that assumption: a regenerated table with
+    // a longer span plus a multi-batch replay could evict state
+    // mid-run and fail the gate confusingly — or pass by luck.
+    val mm = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .head()
+    val spanMs = mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime
+    require(spanMs < 45L * 86400000L,
+      s"events span ${spanMs / 86400000L} days >= the 45-day gate " +
+        "watermark - widen the watermark in StreamGateQueries or the " +
+        "no-eviction replay argument no longer holds")
     ev.write.mode("overwrite").parquet(s"$base/src")
     val src = s.readStream.schema(ev.schema).parquet(s"$base/src")
     (base, src)
@@ -143,15 +155,8 @@ object StreamGateQueries {
         // then two sentinel files whose batches advance the watermark
         // past every real window — the second guarantees the flush
         // even if no trailing no-data batch runs.
-        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-          val tmp = s"$base/stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(srcDir, s"$name.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(mtime)
-        }
+        def stage(df: DataFrame, name: String, mtime: Long): Unit =
+          StreamStage.stageFile(df, srcDir, name, mtime)
         def sentinel(days: Long) = ev.limit(1).select(
           lit(-1L).as("event_id"),
           lit(new java.sql.Timestamp(maxTs.getTime + days * 86400000L))
