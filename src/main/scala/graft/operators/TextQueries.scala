@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * dedup, token counting, quality scoring, language-ID heuristics,
   * fingerprinting. These go beyond the reference (which has no text
   * pipeline) per the build brief; all are expressed as codegen-friendly
-  * built-in expression compositions — no UDFs in the hot path.
+  * built-in expression compositions — no UDFs in the hot path — with
+  * ONE measured exception: `dedup_spans` hashes its ~n_tokens spans per
+  * document in a typed byte-range kernel (see its comment; the
+  * expression form's per-span string/digest allocations were the
+  * query's dominant cost at the sf1 tier).
   */
 object TextQueries {
 
@@ -394,8 +398,7 @@ object TextQueries {
         val base = docs(s, d).where(col("text").isNotNull)
           .select(col("doc_id"), col("text"), lit(0).as("skip"))
         // negative probe ids: disjoint from real doc_ids at any scale
-        val probes = docs(s, d).where(col("text").isNotNull &&
-            col("doc_id") % 10 === 0)
+        val probes = base.where(col("doc_id") % 10 === 0)
           .select((-col("doc_id") - 1).as("doc_id"), col("text"),
             lit(3).as("skip"))
         val outSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -407,27 +410,29 @@ object TextQueries {
           .encoderFor(outSchema)
         val hashes = base.unionByName(probes).mapPartitions { rows =>
           val md = java.security.MessageDigest.getInstance("MD5")
-          val hexd = "0123456789abcdef".toCharArray
-          def hex(b: Array[Byte]): String = {
-            val out = new Array[Char](b.length * 2)
-            var i = 0
-            while (i < b.length) {
-              out(2 * i) = hexd((b(i) >> 4) & 0xf)
-              out(2 * i + 1) = hexd(b(i) & 0xf)
-              i += 1
-            }
-            new String(out)
-          }
+          val hex = java.util.HexFormat.of() // lowercase by default
           rows.flatMap { r =>
             val id = r.getLong(0)
             val bytes = r.getString(1)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             val skip = r.getInt(2)
-            // word j (0-based) spans [starts(j), ends(j)) in bytes
-            val starts = scala.collection.mutable.ArrayBuffer(0)
+            // word j (0-based) spans [starts(j), ends(j)) in bytes.
+            // Primitive Array[Int] (count pass + fill pass), not an
+            // ArrayBuffer[Int]: the buffer boxes every boundary index
+            // — one Integer per token — in the loop this kernel
+            // exists to make allocation-free.
+            var spaces = 0
             var i = 0
             while (i < bytes.length) {
-              if (bytes(i) == ' ') starts += i + 1
+              if (bytes(i) == ' ') spaces += 1
+              i += 1
+            }
+            val starts = new Array[Int](spaces + 1)
+            starts(0) = 0
+            var j = 1
+            i = 0
+            while (i < bytes.length) {
+              if (bytes(i) == ' ') { starts(j) = i + 1; j += 1 }
               i += 1
             }
             val n = starts.length - skip // tokens after the probe skip
@@ -439,7 +444,7 @@ object TextQueries {
               else bytes.length
               md.reset()
               md.update(bytes, from, until - from)
-              org.apache.spark.sql.Row(id, hex(md.digest()))
+              org.apache.spark.sql.Row(id, hex.formatHex(md.digest()))
             }
           }
         }(enc)
