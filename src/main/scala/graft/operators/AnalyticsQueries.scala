@@ -645,18 +645,47 @@ object AnalyticsQueries {
     // per (user, hour) keep the LAST event's value (deterministic pick
     // = max (ts, event_id)), span each user's range with an hourly
     // spine, and forward-fill empty hours from the most recent
-    // observation. All shuffles are keyed on user_id (grouped agg,
-    // spine join, ffill window) — no global sort; the spine explode is
-    // bounded by each user's time range, not the corpus.
+    // observation. ONE exchange total (r9 rework — the r8 shape paid
+    // four: the (user, hour) agg, the spine's user agg, the spine
+    // join, and the ffill window, the last re-shuffling the FULL
+    // ~n_hours grid, the heaviest engine row at sf1): a single
+    // repartition on user_id up front makes every later requirement —
+    // grouped agg, spine agg + explode, grid join, ffill window — a
+    // ClusteredDistribution a user_id partitioning already satisfies,
+    // so Catalyst inserts no further exchange and only local sorts
+    // (PlanShapeSpec pins 1). The trade: the raw events shuffle loses
+    // the (user, hour) agg's map-side combine — a wash here and at
+    // any realistic event stream (hourly dedup removes little), and
+    // the 7x-larger filled GRID never shuffles at all, which is the
+    // term that grows with the time span. Skew follows the hottest
+    // user exactly as the old window stage already did; the spine
+    // explode stays bounded by each user's time range, not the corpus.
     "resample_ffill" -> QDef(
       (s, d) => {
+        // hv is materialized ONCE (lazy localCheckpoint): its two
+        // consumers (spine derivation, grid join) would otherwise be
+        // planned as independent subtrees whose per-subtree column
+        // pruning defeats exchange reuse — events read + shuffled
+        // twice. The checkpoint preserves the user_id partitioning,
+        // so everything downstream is exchange-free. Cluster caveat
+        // (as in tfidf/bm25): checkpoint blocks are executor-local;
+        // trade a second scan for fault tolerance by dropping it.
         val hv = Tables.load(s, d, "events")
+          .repartition(col("user_id"))
           .groupBy(col("user_id"),
             date_trunc("hour", col("ts")).as("h"))
           .agg(max_by(col("value"),
             struct(col("ts"), col("event_id"))).as("v"))
-        val spine = hv.groupBy("user_id")
-          .agg(min("h").as("h0"), max("h").as("h1"))
+          .localCheckpoint(eager = false)
+        // per-user [h0, h1] via an unordered window over hv, NOT a
+        // second groupBy(user) aggregate (which would re-shuffle);
+        // the window rides hv's user partitioning, and the unique
+        // h == h0 row per user then seeds the hourly spine
+        val bounds = Window.partitionBy("user_id")
+        val spine = hv
+          .withColumn("h0", min(col("h")).over(bounds))
+          .withColumn("h1", max(col("h")).over(bounds))
+          .where(col("h") === col("h0"))
           .select(col("user_id"),
             explode(sequence(col("h0"), col("h1"),
               expr("interval 1 hour"))).as("h"))

@@ -44,44 +44,53 @@ object CorpusQueries {
   val defs: Map[String, QDef] = Map(
 
     // BM25 (Robertson et al., TREC-3) of every document against the
-    // fixed term set, k1=1.2, b=0.75. Two passes over the scan: one
-    // 1-row corpus-stats aggregate (N, avgdl, per-term df) broadcast
-    // back over a second narrow projection pass — no shuffle of
-    // document rows at any scale, the same broadcast-stats shape as
-    // minmax_scale. idf is the RSJ ratio (N − df + ½)/(df + ½) without
+    // fixed term set, k1=1.2, b=0.75. The per-document (dl, tf_i)
+    // tuple comes from ONE byte-kernel pass
+    // ([[graft.functions.TokenCountKernel]] — the dedup_spans recipe;
+    // the old split+array_contains/filter(HOF) form paid ~n_tokens
+    // interpreted evaluations per doc, 6× the sf1 columnar baseline),
+    // lazily localCheckpointed so the corpus-stats aggregate (N,
+    // avgdl, per-term df) and the scoring projection share a single
+    // text scan instead of re-running the kernel per subtree. The
+    // stats row rides a broadcast back over the narrow counted
+    // relation — no shuffle of document rows at any scale, the same
+    // broadcast-stats shape as minmax_scale. Cluster caveat: the
+    // checkpoint blocks are executor-local (lost with an executor, no
+    // lineage to rebuild) — at cluster scale prefer recomputing the
+    // kernel (drop the checkpoint) over irrecoverable blocks.
+    // idf is the RSJ ratio (N − df + ½)/(df + ½) without
     // the log (see module doc); tf=0 terms contribute exactly 0.0, so
     // no CASE is needed. Per-term scores are added in fixed textual
-    // order — bit-exact cross-engine.
+    // order — bit-exact cross-engine (dl/tf/df reach the formula as
+    // exactly-converted integer doubles, same values the split form
+    // produced).
     "bm25_score" -> QDef(
       (s, d) => {
         val k1 = 1.2
         val b = 0.75
-        val d0 = docs(s, d).where(col("text").isNotNull)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val counted = graft.functions.TokenCountKernel.tokenCounts(
+          docs(s, d).where(col("text").isNotNull)
+            .select(col("doc_id"), col("text")),
+          "text", bm25Terms, "__dl",
+          bm25Terms.indices.map(i => s"__tf$i"))
+          .localCheckpoint(eager = false)
         val statCols =
           count(lit(1)).cast("double").as("n") +:
-            (sum(size(col("w"))).cast("double") /
+            (sum(col("__dl")).cast("double") /
               count(lit(1)).cast("double")).as("avgdl") +:
-            bm25Terms.zipWithIndex.map { case (t, i) =>
-              sum(array_contains(col("w"), t).cast("long"))
+            bm25Terms.indices.map { i =>
+              sum((col(s"__tf$i") > 0).cast("long"))
                 .cast("double").as(s"df$i")
             }
-        val stats = d0.agg(statCols.head, statCols.tail: _*)
-        val tfCols =
-          col("doc_id") +: size(col("w")).cast("double").as("dl") +:
-            bm25Terms.zipWithIndex.map { case (t, i) =>
-              size(filter(col("w"), x => x === t))
-                .cast("double").as(s"tf$i")
-            }
+        val stats = counted.agg(statCols.head, statCols.tail: _*)
         val perTerm = bm25Terms.indices.map { i =>
-          val tf = col(s"tf$i"); val df = col(s"df$i")
+          val tf = col(s"__tf$i").cast("double"); val df = col(s"df$i")
           ((col("n") - df + lit(0.5)) / (df + lit(0.5))) *
             ((tf * lit(k1 + 1.0)) /
               (tf + lit(k1) * (lit(1.0) - lit(b) +
-                lit(b) * col("dl") / col("avgdl"))))
+                lit(b) * col("__dl").cast("double") / col("avgdl"))))
         }
-        d0.select(tfCols: _*)
-          .crossJoin(broadcast(stats))
+        counted.crossJoin(broadcast(stats))
           .select(col("doc_id"), perTerm.reduce(_ + _).as("bm25"))
       }, {
         val dfS = bm25Terms.zipWithIndex.map { case (t, i) =>
@@ -106,66 +115,17 @@ object CorpusQueries {
       }),
 
     // Per-document top-3 TF-IDF terms (tf × (N+1)/(df+1), the rational
-    // idf — module doc). Shuffle-the-vocabulary shape: per-doc term
-    // counts come from a NARROW typed kernel (one hash map per doc —
-    // the explode→groupBy form shuffled ~n_tokens (doc, word) pairs,
-    // the dominant cost at the sf1 tier: mostly-unique pairs get no
-    // map-side combine), df rides a vocabulary-bounded broadcast back
-    // over the narrow tf relation, and the per-doc top-3 is a hash
-    // AGGREGATE (sort_array ∘ collect_list ∘ slice): no per-partition
-    // sort, and partial aggregation folds each doc's terms into one
-    // list before the only corpus-keyed exchange. Scale routing: for
-    // an open-vocabulary corpus whose df relation outgrows a broadcast
-    // (100 TB web text), swap `broadcast(dfreq)` for the word-keyed
-    // shuffle join — the narrow-tf kernel and aggregate top-3 stand
-    // either way. Ties break on the word itself (struct sort:
-    // -tfidf, then word), so top-3 is deterministic in both engines.
+    // idf — module doc). Size-ROUTED between two shapes (see
+    // [[tfidfTopk]]): a closed-vocabulary route that broadcasts the
+    // (word → df) map and selects each document's top-3 INSIDE the
+    // byte/hash kernel — zero corpus-keyed shuffle — and an
+    // open-vocabulary route (100 TB web text, df relation outgrows a
+    // broadcast) that joins df back word-keyed and aggregates the
+    // top-3 per doc. Both produce identical rows
+    // (TfidfRouteSpec pins it); ties break on (−tfidf, word) in both
+    // engines and both routes, so top-3 is deterministic.
     "tfidf_topk" -> QDef(
-      (s, d) => {
-        import org.apache.spark.sql.types._
-        val d0 = docs(s, d).where(col("text").isNotNull)
-        val tfSchema = StructType(Seq(
-          StructField("doc_id", LongType, nullable = false),
-          StructField("word", StringType),
-          StructField("tf", LongType, nullable = false)))
-        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-          .encoderFor(tfSchema)
-        val tf = d0
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .mapPartitions { rows =>
-            rows.flatMap { r =>
-              val id = r.getLong(0)
-              val m = new java.util.HashMap[String, Long]()
-              r.getSeq[String](1).foreach(w => m.merge(w, 1L, _ + _))
-              import scala.jdk.CollectionConverters._
-              m.entrySet().iterator().asScala.map(e =>
-                org.apache.spark.sql.Row(id, e.getKey, e.getValue))
-            }
-          }(enc)
-          // materialized once: the broadcast(dfreq) build subtree and
-          // the probe side share no exchange, so without this the
-          // kernel + scan would execute twice per run (the old
-          // shuffle-join shape got the same effect from exchange
-          // reuse). Same lineage-truncation tool dedup_components
-          // uses; the tf relation is compact (distinct terms per doc).
-          .localCheckpoint()
-        val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-        val n = d0.agg(count(lit(1)).cast("double").as("n"))
-        val scored = tf.join(broadcast(dfreq), "word")
-          .crossJoin(broadcast(n))
-          .select(col("doc_id"), col("word"),
-            (col("tf").cast("double") * ((col("n") + lit(1.0)) /
-              (col("df").cast("double") + lit(1.0)))).as("tfidf"))
-        scored.groupBy("doc_id")
-          .agg(slice(sort_array(collect_list(struct(
-              (-col("tfidf")).as("o"), col("word"), col("tfidf")))),
-            1, 3).as("top"))
-          .select(col("doc_id"),
-            posexplode(col("top")).as(Seq("i", "t")))
-          .select(col("doc_id"), col("t.word").as("word"),
-            col("t.tfidf").as("tfidf"),
-            (col("i") + 1).cast("long").as("rnk"))
-      },
+      (s, d) => tfidfTopk(s, d),
       "WITH d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS " +
         "word FROM documents WHERE text IS NOT NULL), " +
         "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM d " +
@@ -356,4 +316,204 @@ object CorpusQueries {
         "MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc, " +
         "md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_md5 " +
         "FROM documents WHERE text IS NOT NULL GROUP BY 1"))
+
+  /** Per-doc-count sentinel emitted by the df kernel: a single space
+    * can NEVER be a token of a space-split text, so it is collision-
+    * free against any real word at any corpus. Its df = n_docs, which
+    * saves the closed route a separate count pass. */
+  private val DocSentinel = " "
+
+  /** Broadcast-vocabulary cap for the closed route: 2^20 (word, df)
+    * entries ≈ tens of MB on the driver and in the broadcast — the
+    * same bounded-collect doctrine as rangeBucketRank's cell cap. Web-
+    * scale open vocabularies blow past this and take the shuffle-join
+    * route instead. */
+  private[graft] val TfidfMaxBroadcastVocab = 1 << 20
+
+  /** Per-document top-3 TF-IDF, size-routed on the vocabulary.
+    *
+    * Both routes start from the same narrow df pass: a typed kernel
+    * emits each document's DISTINCT words once (plus the [[DocSentinel]]
+    * per doc), and `groupBy(word).count()` — map-side combined, so the
+    * exchange carries ≤ vocab × partitions rows — yields df (and
+    * n_docs via the sentinel). A bounded `limit(cap+2).collect()`
+    * probes whether the vocabulary fits a broadcast:
+    *
+    *  - CLOSED route (vocab ≤ cap): the (word → df) map is broadcast
+    *    and a second kernel pass computes each document's tf map AND
+    *    its top-3 by (−tfidf, word) IN PLACE — the per-(doc, term)
+    *    relation never leaves the mapper, so the query has ZERO
+    *    corpus-keyed shuffle: its only exchange is the vocab-bounded
+    *    df aggregate. (The r8 shape shuffled every (doc_id, word, tf)
+    *    struct into a per-doc collect_list aggregate — the dominant
+    *    sf1 cost at 3.2× the columnar baseline.)
+    *  - OPEN route (vocab > cap, the 100-TB-web-text case): df joins
+    *    back WORD-KEYED (shuffle join — both sides hash-partition on
+    *    the word, no broadcast of an unbounded relation), and the
+    *    per-doc top-3 is the hash-aggregate slice∘sort_array∘
+    *    collect_list. The route probe cost one extra df pass; at that
+    *    scale the probe's bounded collect is the only driver traffic.
+    *
+    * Tie doctrine: tfidf ties break on the word itself, compared by
+    * CODE POINT — identical to Spark's UTF8String binary order and
+    * DuckDB's byte order — so both routes and both engines select the
+    * same top-3 (TfidfRouteSpec pins closed ≡ open row-for-row).
+    * Determinism contract (rangeBucketRank doctrine): the scoring pass
+    * must see the words the df pass saw; a word missing from the
+    * broadcast map raises, it does not silently mis-score.
+    */
+  private[graft] def tfidfTopk(s: SparkSession, d: String,
+      maxBroadcastVocab: Int = TfidfMaxBroadcastVocab): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d0 = docs(s, d).where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val wordSchema = StructType(Seq(
+      StructField("word", StringType, nullable = false)))
+    val wordEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(wordSchema)
+    def distinctWords(df: DataFrame): DataFrame =
+      df.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val seen = new java.util.HashSet[String]()
+          r.getString(1).split(" ", -1).foreach(seen.add)
+          seen.add(DocSentinel)
+          import scala.jdk.CollectionConverters._
+          seen.iterator().asScala.map(org.apache.spark.sql.Row(_))
+        }
+      }(wordEnc)
+    val dfreq = distinctWords(d0)
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    // +2: the sentinel occupies one row; one more detects overflow
+    val probe = dfreq.limit(maxBroadcastVocab + 2).collect()
+    if (probe.length <= maxBroadcastVocab + 1) {
+      // ---- closed route: broadcast df, in-kernel top-3 ----
+      // java.lang.Long values, NOT scala.Long: get() must return a
+      // nullable reference so a missing word is detectable (a
+      // primitive-valued map would silently unbox null to 0)
+      val dfMap =
+        new java.util.HashMap[String, java.lang.Long](probe.length * 2)
+      probe.foreach(r =>
+        dfMap.put(r.getString(0), java.lang.Long.valueOf(r.getLong(1))))
+      val nDocs = dfMap.remove(DocSentinel)
+      val bc = s.sparkContext.broadcast(dfMap)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("word", StringType, nullable = false),
+        StructField("tfidf", DoubleType, nullable = false),
+        StructField("rnk", LongType, nullable = false)))
+      val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      val k = 3
+      // empty corpus: no sentinel row collected; the kernel emits
+      // nothing anyway, any nD value is unread
+      val nD = if (nDocs == null) 0.0 else nDocs.longValue().toDouble
+      d0.mapPartitions { rows =>
+        val dfm = bc.value
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val tf = new java.util.HashMap[String, Long]()
+          r.getString(1).split(" ", -1)
+            .foreach(w => tf.merge(w, 1L, _ + _))
+          // top-k by (tfidf desc, word asc): insertion sort over k=3
+          val topW = new Array[String](k)
+          val topS = new Array[Double](k)
+          var size = 0
+          val it = tf.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val w = e.getKey
+            val dfw = dfm.get(w)
+            if (dfw == null) throw new IllegalStateException(
+              s"tfidf_topk: word absent from the df pass ('$w') - " +
+                "is the input deterministic?")
+            // same textual op order as the open route's Column form:
+            // tf·((n+1)/(df+1)) — bit-exact across routes and engines
+            val score = e.getValue.toDouble *
+              ((nD + 1.0) / (dfw.longValue().toDouble + 1.0))
+            // rank of the new entry among the current top-k
+            var pos = size
+            while (pos > 0 && {
+              val cmpBetter = score > topS(pos - 1) ||
+                (score == topS(pos - 1) &&
+                  codePointCompare(w, topW(pos - 1)) < 0)
+              cmpBetter
+            }) pos -= 1
+            if (pos < k) {
+              val last = math.min(size, k - 1)
+              var m = last
+              while (m > pos) {
+                topW(m) = topW(m - 1); topS(m) = topS(m - 1); m -= 1
+              }
+              topW(pos) = w; topS(pos) = score
+              if (size < k) size += 1
+            }
+          }
+          (0 until size).iterator.map(i =>
+            org.apache.spark.sql.Row(id, topW(i), topS(i),
+              (i + 1).toLong))
+        }
+      }(outEnc)
+    } else {
+      // ---- open route: word-keyed shuffle join + aggregate top-3 ----
+      val tfSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("word", StringType),
+        StructField("tf", LongType, nullable = false)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(tfSchema)
+      val tf = d0.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val m = new java.util.HashMap[String, Long]()
+          r.getString(1).split(" ", -1).foreach(w => m.merge(w, 1L, _ + _))
+          import scala.jdk.CollectionConverters._
+          m.entrySet().iterator().asScala.map(e =>
+            org.apache.spark.sql.Row(id, e.getKey, e.getValue))
+        }
+      }(enc)
+        // lazy localCheckpoint: the df aggregate and the scoring join
+        // would otherwise each re-run the kernel+scan (no shared
+        // exchange). eager=false so merely CONSTRUCTING the query
+        // (plan census, DevPlans) runs no job — materialization
+        // happens at execution, once. Cluster caveat: checkpoint
+        // blocks are executor-local and unrecoverable on executor
+        // loss; at cluster scale trade a second kernel pass for
+        // fault tolerance by dropping the checkpoint.
+        .localCheckpoint(eager = false)
+      val dfreqOpen = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = d0.agg(count(lit(1)).cast("double").as("n"))
+      val scored = tf.join(dfreqOpen, "word")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          (col("tf").cast("double") * ((col("n") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0)))).as("tfidf"))
+      scored.groupBy("doc_id")
+        .agg(slice(sort_array(collect_list(struct(
+            (-col("tfidf")).as("o"), col("word"), col("tfidf")))),
+          1, 3).as("top"))
+        .select(col("doc_id"),
+          posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("doc_id"), col("t.word").as("word"),
+          col("t.tfidf").as("tfidf"),
+          (col("i") + 1).cast("long").as("rnk"))
+    }
+  }
+
+  /** Code-point string comparison == UTF-8 byte order == Spark
+    * UTF8String / DuckDB VARCHAR binary order. Java's String.compareTo
+    * is UTF-16 code-UNIT order, which sorts U+E000..U+FFFF AFTER
+    * supplementary characters — the opposite of byte order — so it
+    * cannot be used for the tie-break. */
+  private[graft] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 }

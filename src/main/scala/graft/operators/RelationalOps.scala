@@ -295,12 +295,14 @@ object RelationalOps {
     * failure mode; many small groups are the easy case.
     *
     * This form never holds more than one (group, bucket) cell's rows
-    * in any task: [[rangeBucketRank]] assigns every row its exact
-    * within-group rank (prefix-sum over approx-quantile buckets,
-    * parallel across groups×buckets), a broadcast of per-group counts
-    * turns each requested prob into two target ranks, a map-side
-    * filter keeps ONLY the rows at those ranks (≤ 2·|probs| rows per
-    * group), and a final tiny aggregation interpolates
+    * in any task, and (since r9) never exchanges more than the TARGET
+    * cells' rows: approx-quantile buckets + a per-(group, bucket)
+    * count collect put exact prefix sums on the driver, which then
+    * knows both each group's size AND which cells contain the
+    * interpolation ranks — the scan side broadcast-inner-joins those
+    * target cells (map-side filter), only their rows are window-ranked
+    * (≈ |probs|·bucketWidth rows per group, not the group), and a
+    * final tiny aggregation interpolates
     *
     *   h = (n−1)·p;  q = v(⌊h⌋+1) + (v(⌊h⌋+2) − v(⌊h⌋+1))·(h − ⌊h⌋)
     *
@@ -324,16 +326,101 @@ object RelationalOps {
     require(probs.nonEmpty, "groupQuantileValues needs >= 1 prob")
     probs.foreach { case (nm, p) =>
       require(p >= 0.0 && p <= 1.0, s"prob $nm=$p outside [0,1]") }
+    val spark = df.sparkSession
     val slim = df.select(col(groupCol),
       col(valueCol).cast("double").as(valueCol))
-    val (ranked, _) = rangeBucketRank(slim, Seq(groupCol), valueCol,
-      Nil, "__r", "groupQuantileValues")
-    val counts = slim.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    // r9 target-cell pruning (the sf1 12.7× fix): the quantile needs
+    // only the ≤ 2·|probs| rows per group at the interpolation ranks,
+    // and once the per-(group, bucket) cell counts are on the driver
+    // we KNOW which cells hold those ranks — so instead of ranking
+    // every row (rangeBucketRank's full-data window: a 100%-of-rows
+    // exchange) the scan keeps only the target cells (a broadcast
+    // inner join, map-side) and windows ~|probs|·(n/buckets) rows per
+    // group. The per-group counts ALSO fall out of the cells collect,
+    // deleting the separate count shuffle. Two full-data passes remain
+    // (approxQuantile + cells) plus one map-filtered pass — no
+    // full-data exchange at all.
+    val nBuckets = spark.sessionState.conf.numShufflePartitions * 4
+    val qprobs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bnds: Array[Double] =
+      if (qprobs.isEmpty) Array.empty[Double]
+      else slim.stat.approxQuantile(valueCol, qprobs, 0.01)
+        .distinct.sorted
+    val bucketOf = udf { v: Double =>
+      val i = java.util.Arrays.binarySearch(bnds, v)
+      if (i >= 0) i else -i - 1
+    }
+    val withG = slim.withColumn("__g",
+      bucketOf(col(valueCol).cast("double")))
+    val maxCells = 100000
+    val cells = withG.groupBy(col(groupCol), col("__g")).count()
+      .limit(maxCells + 1).collect()
+    require(cells.length <= maxCells,
+      "groupQuantileValues: more than " + maxCells + " (group, " +
+        "bucket) cells — the group domain is too large for the " +
+        "collect-and-broadcast prefix; use the plain window form or " +
+        "a coarser group key")
+    require(cells.forall(!_.isNullAt(0)),
+      "groupQuantileValues: null group key — the pruning join would " +
+        "silently drop those rows; filter or coalesce the group " +
+        "column first")
+    // driver-side per-group prefix sums → group sizes and the cells
+    // containing each target rank lo+1 / lo+2, lo = floor((n−1)·p)
+    // (same double expression the interpolation below uses)
+    val byGroup = cells.groupBy(_.get(0)).map { case (g, rows) =>
+      val sorted = rows.map(r => (r.getInt(1), r.getLong(2)))
+        .sortBy(_._1)
+      var acc = 0L
+      val cs = sorted.map { case (b, c) =>
+        val e = (b, acc, c); acc += c; e }
+      g -> (acc, cs)
+    }
+    val targetRows = byGroup.iterator.flatMap { case (g, (n, cs)) =>
+      val ranks = probs.flatMap { case (_, p) =>
+        val lo = math.floor((n - 1).toDouble * p).toLong
+        (lo + 1) +: (if (lo + 2 <= n) Seq(lo + 2) else Nil)
+      }.distinct
+      ranks.map { r =>
+        cs.find { case (_, off, c) => off < r && r <= off + c }.get
+      }.distinct.map { case (b, off, c) =>
+        org.apache.spark.sql.Row.fromSeq(Seq[Any](g, b, off, c)) }
+    }.toSeq
+    val it = org.apache.spark.sql.types.IntegerType
+    val lt = org.apache.spark.sql.types.LongType
+    val tSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(groupCol).copy(nullable = false),
+      org.apache.spark.sql.types.StructField("__g", it, false),
+      org.apache.spark.sql.types.StructField("__off", lt, false),
+      org.apache.spark.sql.types.StructField("__exp", lt, false)))
+    val targets = spark.createDataFrame(
+      spark.sparkContext.parallelize(targetRows, 1), tSchema)
+    val cSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(groupCol).copy(nullable = false),
+      org.apache.spark.sql.types.StructField("__n", lt, false)))
+    val counts = spark.createDataFrame(
+      spark.sparkContext.parallelize(byGroup.iterator.map {
+        case (g, (n, _)) =>
+          org.apache.spark.sql.Row.fromSeq(Seq[Any](g, n))
+      }.toSeq, 1), cSchema)
+    // inner broadcast join = the map-side cell filter. Guard residual
+    // (weaker than rangeBucketRank's left-join form, by design): a
+    // nondeterministic input whose rows move into a NON-target cell
+    // between the two jobs escapes detection — rows moving into a
+    // target cell still trip the count-drift raise below. Same
+    // deterministic-input contract as every rank consumer.
+    val kept = withG.join(broadcast(targets), Seq(groupCol, "__g"))
+    val w = Window.partitionBy(col(groupCol), col("__g"))
+      .orderBy(col(valueCol))
+    val sameCount = count(lit(1))
+      .over(Window.partitionBy(col(groupCol), col("__g")))
+    val ranked = kept.withColumn("__r",
+      when(sameCount =!= col("__exp"), raise_error(concat(
+        lit("groupQuantileValues: cell row count drifted between " +
+          "jobs (saw "), sameCount.cast("string"),
+        lit(", collected "), col("__exp").cast("string"),
+        lit(") — is the input deterministic?"))))
+        .otherwise(col("__off") + row_number().over(w)).cast("long"))
     val j = ranked.join(broadcast(counts), Seq(groupCol))
-    // target ranks per prob: lo = floor((n-1)·p) (long); rows at ranks
-    // lo+1 and lo+2 are the interpolation endpoints. The keep filter is
-    // map-only over the ranked relation — everything not at a target
-    // rank drops before the final (tiny) shuffle.
     def loRank(p: Double): Column =
       floor((col("__n").cast("double") - 1) * lit(p))
     val keep = probs.map { case (_, p) =>
@@ -450,7 +537,15 @@ object RelationalOps {
     * DOUBLE) / 1e6` */
   def exactSumQ(c: Column, scale: Int = 6): Column = {
     val f = math.pow(10, scale)
-    val q = (signum(c) * floor(abs(c) * lit(f) + lit(0.5))).cast("long")
+    // NaN → null, NOT Spark's non-ANSI NaN→0L cast: the decimal
+    // exactSum path nulls a NaN out (row skipped by SUM) and DuckDB
+    // errors on CAST('nan' AS BIGINT) — counting a NaN row as +0
+    // would silently diverge engine from oracle if a value column
+    // ever gains NaNs. ±Inf quantizes to ±Long.MaxValue-ish and
+    // trips the lane guard below, which is already loud.
+    val q = when(isnan(c), lit(null).cast("long"))
+      .otherwise((signum(c) * floor(abs(c) * lit(f) + lit(0.5)))
+        .cast("long"))
     val n = count(q)
     val mx = max(abs(q))
     when(n.cast("double") * mx.cast("double") > lit(4.6e18),

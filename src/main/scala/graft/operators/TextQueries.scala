@@ -701,20 +701,33 @@ object TextQueries {
     // Language-ID: stopword-marker scoring with deterministic argmax.
     // (The heuristic library version with char n-grams lives in
     // functions.TextFunctions; this is the SQL-checkable core.)
+    // Marker counting is the [[graft.functions.TokenCountKernel]]
+    // byte kernel — the old split + filter(x.isin(...)) HOF form
+    // evaluated ~n_tokens interpreted lambdas per doc per language
+    // (6× the sf1 columnar baseline); one byte pass counts all 12
+    // markers. A set score is the exact integer sum of its (distinct)
+    // members' token counts, so s_en..s_es and the argmax are
+    // value-identical to the filter form. Map-only, zero shuffle.
     "lang_id" -> QDef(
       (s, d) => {
-        val w = split(col("text"), " ")
-        def score(ms: Seq[String]) =
-          size(filter(w, x => x.isin(ms.map(_.asInstanceOf[Any]): _*)))
-        val sEn = score(Seq("the", "a", "of"))
-        val sFr = score(Seq("le", "la", "et"))
-        val sDe = score(Seq("der", "und", "die"))
-        val sEs = score(Seq("el", "y", "los"))
+        val sets = Seq(
+          Seq("the", "a", "of"), Seq("le", "la", "et"),
+          Seq("der", "und", "die"), Seq("el", "y", "los"))
+        val terms = sets.flatten
+        val counted = graft.functions.TokenCountKernel.tokenCounts(
+          docs(s, d).where(col("text").isNotNull)
+            .select(col("doc_id"), col("lang"), col("text")),
+          "text", terms, "__dl", terms.indices.map(i => s"__c$i"))
+        val offs = sets.scanLeft(0)(_ + _.length)
+        def score(k: Int) =
+          (offs(k) until offs(k + 1)).map(i => col(s"__c$i"))
+            .reduce(_ + _).cast("int")
+        val sEn = score(0); val sFr = score(1)
+        val sDe = score(2); val sEs = score(3)
         val m = greatest(sEn, sFr, sDe, sEs)
         val pred = when(sEn === m, "en").when(sFr === m, "fr")
           .when(sDe === m, "de").otherwise("es")
-        docs(s, d).where(col("text").isNotNull)
-          .select(col("doc_id"), sEn.as("s_en"), sFr.as("s_fr"),
+        counted.select(col("doc_id"), sEn.as("s_en"), sFr.as("s_fr"),
           sDe.as("s_de"), sEs.as("s_es"), pred.as("pred_lang"),
           (pred === col("lang")).cast("int").as("is_correct"))
       },

@@ -178,5 +178,69 @@ object StreamGateQueries {
       },
       "SELECT date_trunc('hour', ts) AS hour_start, event_type, " +
         "COUNT(*) AS n_events FROM events WHERE ts IS NOT NULL " +
-        "GROUP BY 1, 2"))
+        "GROUP BY 1, 2"),
+
+    // Exactly-once file sink under a mid-drain kill (r8 verdict item
+    // 3 — the last StreamingOps capability without a CORRECTNESS
+    // row): the events table is staged as FOUR mtime-ordered files
+    // (maxFilesPerTrigger=1 ⇒ four micro-batches), run 1 is STOPPED
+    // as soon as the sink's _spark_metadata records its first commit
+    // (a kill in the middle of the drain — an in-flight batch may
+    // leave orphan part files with no manifest entry), and run 2
+    // resumes from the same checkpoint with AvailableNow to finish.
+    // The gated surface is the FULL ROW SET of the sink read through
+    // its manifest: a lost batch breaks the row count, a re-emitted
+    // batch after restart breaks it the other way, and an orphan
+    // part file leaking into the read breaks the hash — so the gate
+    // pins both halves of exactly-once (offset-log replay AND
+    // manifest-filtered reads). Stateless map-only transform by
+    // design: this entry isolates the SINK's idempotence; the state
+    // store's is pinned by the three gates above.
+    "sink_exactly_once_state" -> QDef(
+      (s, d) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_streamgate").toString
+        val srcDir = s"$base/src"
+        val ev = Tables.load(s, d, "events").where(col("ts").isNotNull)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        for (k <- 0 to 3)
+          StreamStage.stageFile(ev.where(col("event_id") % 4 === k),
+            srcDir, s"part$k", 1000000000000L + k * 2000L)
+        val schema = ev.schema
+        def start() = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        // run 1: kill after the FIRST sink commit lands (mid-drain —
+        // batches 2-4 are still queued; on a fast drain the stop may
+        // land after completion, which only makes run 2 a no-op, the
+        // gate is unchanged)
+        val q1 = start()
+        val manifest = new java.io.File(s"$base/out/_spark_metadata")
+        val t0 = System.nanoTime()
+        while (q1.isActive &&
+            (!manifest.exists() || manifest.list().isEmpty) &&
+            System.nanoTime() - t0 < 600e9.toLong)
+          Thread.sleep(20)
+        if (q1.isActive) q1.stop()
+        q1.awaitTermination(600000)
+        // run 2: resume from the same checkpoint, drain to the end
+        val q2 = start()
+        if (!q2.awaitTermination(600000))
+          throw new IllegalStateException(
+            s"exactly-once gate hung past 600s (checkpoint $base/ckpt)")
+        // read THROUGH the manifest (spark.read on a dir with
+        // _spark_metadata uses the sink's file log, excluding any
+        // orphan from the killed batch)
+        s.read.parquet(s"$base/out")
+      },
+      "SELECT event_id, user_id, event_type, value FROM events " +
+        "WHERE ts IS NOT NULL"))
 }

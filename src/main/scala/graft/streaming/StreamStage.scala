@@ -20,12 +20,21 @@ private[graft] object StreamStage {
                 mtime: Long): Unit = {
     val tmp = s"${srcDir}_stage_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
+    val tmpDir = new java.io.File(tmp)
+    val part = tmpDir.listFiles()
       .filter(_.getName.endsWith(".parquet")).head
     val d = new java.io.File(srcDir)
     d.mkdirs()
     val dst = new java.io.File(d, s"$name.parquet")
     java.nio.file.Files.move(part.toPath, dst.toPath)
-    dst.setLastModified(mtime)
+    // the mtime IS the batch order — a filesystem that refuses the
+    // update would scramble the replay; fail loudly, not confusingly
+    require(dst.setLastModified(mtime),
+      s"stageFile: could not set mtime on $dst - file-source batch " +
+        "order would be undefined")
+    // the staging dir holds only commit markers + empty part shells
+    // after the move; leaving one per staged file litters tmp
+    tmpDir.listFiles().foreach(_.delete())
+    tmpDir.delete()
   }
 }

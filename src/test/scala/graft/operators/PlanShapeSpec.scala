@@ -84,12 +84,15 @@ class PlanShapeSpec extends SparkSpec {
     // cross-relation LSH decontamination: both sides sig+bucket (2×2
     // shuffles) + verify pair agg + final; small side broadcasts 5×
     ("contamination_minhash", 7, 5),
-    // TF-IDF top-k (shuffle-the-vocabulary rework): narrow per-doc tf
-    // kernel, so the only exchanges are the vocab df agg, the 1-row
-    // corpus count, and the per-doc top-3 aggregate (down from 5 —
-    // the 11M-pair (doc, word) exchange and the window sort are gone);
-    // df + N broadcast back over the narrow tf relation
-    ("tfidf_topk", 3, 2)
+    // TF-IDF top-k, closed-vocabulary route (the r9 size-routed
+    // rework): the df pass runs at CONSTRUCTION time into a broadcast
+    // map and the top-3 is selected inside the kernel, so the
+    // returned scoring plan is MAP-ONLY — zero exchanges (down from
+    // r8's 3: vocab df agg + corpus count + per-doc top-3 aggregate).
+    // The open route's word-keyed shuffle shape is covered by
+    // TfidfRouteSpec's equality test, not a pin (it is the >cap
+    // fallback, unreachable at fixture scale without forcing).
+    ("tfidf_topk", 0, 0)
   )
 
   private def shapeOf(name: String): (Int, Int) = {

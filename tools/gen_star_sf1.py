@@ -68,8 +68,22 @@ def shifted(tbl: pa.Table, name: str, k: int) -> pa.Table:
                                        for t in new], pa.int64()))
     if name == "embeddings" and k > 0:
         emb = tbl.column("embedding").combine_chunks()
+        # np.array on a ragged/None list would crash (or build an
+        # object array) — make the no-null, fixed-dim assumption loud
+        assert emb.null_count == 0, \
+            "embeddings.embedding has nulls; tiling assumes none"
         mat = np.array(emb.to_pylist(), dtype=np.float32)
-        rolled = np.roll(mat, k, axis=1)
+        dim = mat.shape[1]
+        # roll by k % dim ALONE would alias tiles k and k+dim onto the
+        # same directions (cross-tile cosine~1 twins this tool exists
+        # to avoid) — so each tile also gets a deterministic ±1 sign
+        # mask (seeded by the tile index): norms and the int8-
+        # quantization workload are preserved exactly, directions are
+        # distinct across tiles for any k (equal-roll tiles differ by
+        # independent sign patterns).
+        signs = np.random.RandomState(k).choice(
+            np.array([-1.0, 1.0], dtype=np.float32), size=dim)
+        rolled = np.roll(mat, k % dim, axis=1) * signs
         i = out.schema.get_field_index("embedding")
         out = out.set_column(
             i, out.schema.field(i),
@@ -80,8 +94,14 @@ def shifted(tbl: pa.Table, name: str, k: int) -> pa.Table:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
+    # the vector workloads (knn/ann/semantic-dedup) need far more rows
+    # than a 10x tile of the 2k-vector table to dominate fixed
+    # overhead — r8 verdict item 4 asks for ~200k vectors (=100x)
+    ap.add_argument("--emb-mult", type=int, default=None,
+                    help="tile count for embeddings (default: --mult)")
     ap.add_argument("--out", required=True)
     a = ap.parse_args()
+    emb_mult = a.emb_mult if a.emb_mult is not None else a.mult
     os.makedirs(a.out, exist_ok=True)
     for name in COPY_AS_IS:
         tbl = pq.read_table(f"{SRC}/{name}.parquet")
@@ -89,7 +109,8 @@ def main():
         print(f"{name}: {tbl.num_rows} rows (shared dim)")
     for name in SHIFT_COLS:
         tbl = pq.read_table(f"{SRC}/{name}.parquet")
-        tiles = [shifted(tbl, name, k) for k in range(a.mult)]
+        mult = emb_mult if name == "embeddings" else a.mult
+        tiles = [shifted(tbl, name, k) for k in range(mult)]
         big = pa.concat_tables(tiles)
         pq.write_table(big, f"{a.out}/{name}.parquet",
                        row_group_size=1_000_000)
