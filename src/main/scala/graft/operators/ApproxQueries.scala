@@ -172,23 +172,37 @@ object ApproxQueries {
       "SELECT -doc_id - 1 AS a_id, doc_id AS b_id, " +
         "CAST(0 AS INT) AS hamming FROM documents WHERE doc_id % 10 = 0"),
 
+    // Index parameters SCALE WITH THE CORPUS (r9): nlist ≈ √n and
+    // nBits ≈ log2(n/128) instead of the gate-tuned constants — a
+    // fixed nlist=8 / nBits=6 over 200k vectors makes every
+    // cell/bucket thousands of rows and candidate generation
+    // quadratic (the sf1 bench never finished). The floors reproduce
+    // the old constants at gate scale; the count() that sizes them is
+    // a no-column parquet scan (row-group counts only, ~ms) — the
+    // catalog-statistics lookup of a real deployment.
     "ann_ivf" -> QDef.noOracle(
       (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val n = e.count()
         val (centroids, indexed) = Similarity.ivfIndex(
-          Tables.load(s, d, "embeddings"), nlist = 8)
+          e, nlist = Similarity.adaptiveNlist(n), sizeHint = Some(n))
         val queries = indexed.where(col("id") % 50 === 0)
-        Similarity.ivfTopK(centroids, indexed, queries, k = 10, nprobe = 3)
+        Similarity.ivfTopK(centroids, indexed, queries, k = 10,
+          nprobe = 3, probeRowsHint = Some(3 * (n / 50 + 1)))
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       }),
 
     "ann_lsh" -> QDef.noOracle(
       (s, d) => {
-        val indexed = Similarity.index(
-          Tables.load(s, d, "embeddings"), nBits = 6, dim = 64,
+        val e = Tables.load(s, d, "embeddings")
+        val n = e.count()
+        val nBits = Similarity.adaptiveNBits(n)
+        val indexed = Similarity.index(e, nBits = nBits, dim = 64,
           tables = 4)
         val queries = indexed.where(col("id") % 50 === 0)
-        Similarity.annTopK(indexed, queries, k = 10, nBits = 6)
+        Similarity.annTopK(indexed, queries, k = 10, nBits = nBits,
+          probeRowsHint = Some(4L * (nBits + 1) * (n / 50 + 1)))
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       }),
@@ -207,14 +221,19 @@ object ApproxQueries {
     "ann_lsh_probe" -> QDef(
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
+        val n = e.count()
+        // ×2 scaling preserves every hyperplane sign at ANY nBits, so
+        // the closed-form oracle survives the adaptive parameterization
+        val nBits = Similarity.adaptiveNBits(n)
         val probes = e.where(col("vec_id") % 10 === 0)
           .select((-col("vec_id") - 1).as("vec_id"), col("label"),
             transform(col("embedding"), x => x * lit(2.0f))
               .as("embedding"))
         val indexed = Similarity.index(e.unionByName(probes),
-          nBits = 6, dim = 64, tables = 4)
+          nBits = nBits, dim = 64, tables = 4)
         val queries = indexed.where(col("id") < 0)
-        Similarity.annTopK(indexed, queries, k = 1, nBits = 6)
+        Similarity.annTopK(indexed, queries, k = 1, nBits = nBits,
+          probeRowsHint = Some(4L * (nBits + 1) * (n / 10 + 1)))
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       },
@@ -231,14 +250,18 @@ object ApproxQueries {
     "ann_ivf_probe" -> QDef(
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
+        val n = e.count()
         val probes = e.where(col("vec_id") % 10 === 0)
           .select((-col("vec_id") - 1).as("vec_id"), col("label"),
             col("embedding"))
+        // an identical copy quantizes to its original's cell under ANY
+        // nlist, so the closed-form top-1 oracle survives adaptivity
         val (centroids, indexed) = Similarity.ivfIndex(
-          e.unionByName(probes), nlist = 8)
+          e.unionByName(probes), nlist = Similarity.adaptiveNlist(n),
+          sizeHint = Some(n + n / 10))
         val queries = indexed.where(col("id") < 0)
         Similarity.ivfTopK(centroids, indexed, queries, k = 1,
-          nprobe = 3)
+          nprobe = 3, probeRowsHint = Some(3 * (n / 10 + 1)))
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       },
@@ -295,8 +318,10 @@ object ApproxQueries {
     "ann_ivf_pq" -> QDef.noOracle(
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
+        val n = e.count()
         val cbs = Similarity.pqTrain(e, dim = 64, m = 16, ksub = 16)
-        val (centroids, codes) = Similarity.ivfPqIndex(e, nlist = 8, cbs)
+        val (centroids, codes) = Similarity.ivfPqIndex(e,
+          nlist = Similarity.adaptiveNlist(n), cbs, sizeHint = Some(n))
         val queries = VectorQueries.withNorm(e)
           .where(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("id"), col("v"))

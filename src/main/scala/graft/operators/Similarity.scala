@@ -24,74 +24,147 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Re-split a compute-dense vector relation to the session's shuffle
+    * width before a heavy per-row kernel. Scan split counts are sized
+    * by BYTES (`maxPartitionBytes`) — right for I/O-bound relational
+    * scans, catastrophically coarse for CPU-dense kernels: a 31 MB
+    * embeddings file plans 2 splits, and the O(cells·dim)-per-row
+    * quantizer assignment that follows then runs on 2 of 32 cores
+    * (measured at the 200k-vector tier: one 770 s straggler task while
+    * 30 cores idled). One round-robin exchange of the narrow
+    * (id, vector) relation (~100 MB at 200k×64 doubles) buys
+    * full-width execution of the multi-B-FLOP map downstream. On a
+    * many-file cluster deployment the scan already yields enough
+    * splits and the exchange is a cheap rebalance — never wrong, just
+    * occasionally redundant; same doctrine as
+    * [[VectorQueries.streamedTopK]]'s corpus repartition. */
+  private[operators] def cpuRebalance(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val n = math.max(s.sessionState.conf.numShufflePartitions,
+      s.sparkContext.defaultParallelism)
+    df.repartition(n)
+  }
+
+  /** Hyperplane count for an LSH index over `n` vectors, targeting
+    * ~`targetBucket` rows per bucket: 2^nBits buckets per table track
+    * corpus size, keeping within-bucket candidate generation
+    * sub-quadratic. The r8 gates ran a fixed nBits=6 everywhere — fine
+    * at the 2k-vector gate, but 64 buckets over 220k vectors means
+    * ~3.4k-row buckets and ~3×10⁹ candidate pairs (observed: the sf1
+    * bench never finished). The floor pins gate-scale behavior (n ≤
+    * ~8k yields exactly the old 6), so sf0.01 oracle hashes are
+    * untouched; the cap bounds per-row projection cost at 100-TB
+    * corpus sizes where tables×nBits dots/row is the indexing cost. */
+  def adaptiveNBits(n: Long, targetBucket: Int = 128,
+                    floor: Int = 6, cap: Int = 20): Int = {
+    val want = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt
+    math.min(cap, math.max(floor, want))
+  }
+
+  /** Coarse-quantizer cell count for `n` vectors — the standard
+    * nlist ≈ √n (bounds assignment at n·√n·dim and per-probe scan at
+    * √n·dim, the balanced point). Floor pins the tiny-gate behavior. */
+  def adaptiveNlist(n: Long, floor: Int = 8, cap: Int = 65536): Int =
+    math.min(cap,
+      math.max(floor, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   private def planes(nBits: Int, dim: Int, seed: Long)
       : Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket of `v` (array<double>) under one hyperplane set,
-    * as a pure EXPRESSION: each plane is a literal array and each
-    * projection rides the codegen'd [[VectorQueries.dot]]
-    * (DoubleDotProduct) — no interpreted UDF in the indexing scan, so
-    * the whole row → L-buckets pass stays inside whole-stage codegen.
-    * Same left-to-right fold as the previous UDF loop: identical
-    * doubles, identical buckets. */
-  private def bucketExpr(v: Column, nBits: Int, dim: Int,
-                         seed: Long): Column = {
-    val ps = planes(nBits, dim, seed)
-    (0 until nBits).map { b =>
-      when(VectorQueries.dot(v, typedlit(ps(b).toSeq)) > 0.0,
-        lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-  }
-
-  /** The multi-probe (p=2) probe target: [[bucketExpr]]'s bucket with
-    * its least-|margin| bit flipped — the bit whose hyperplane
-    * projection is smallest in magnitude is the one most likely to have
-    * landed on the wrong side for a true near-duplicate, so probing
-    * exactly that flip recovers most boundary pairs without the
-    * (nBits+1)× fan-out of probing every 1-bit flip.
+  /** The row → L-buckets indexing pass as a TYPED mapPartitions
+    * kernel: one up-front cast of the vector, then tight primitive
+    * loops over the closure-held hyperplanes — tables·nBits
+    * projections per row, each the same left-to-right
+    * min(len)-bounded fold as [[graftx.DoubleDotProduct]], so buckets
+    * (and the flip targets below) are bit-identical to the previous
+    * expression form.
     *
-    * Deliberately built from scalar `when`/`least` chains, NOT
-    * array/transform/array_position: higher-order collection functions
-    * are CodegenFallback, and their first cut of this expression pushed
-    * the whole indexing projection out of whole-stage codegen —
-    * interpreted evaluation of all nBits·tables dot products per row,
-    * measured ~2× the entire query. Scalar form stays inside codegen
-    * and the repeated projection references collapse via
-    * subexpression elimination. Argmin ties resolve to the lowest bit
-    * (first match in the when-chain), deterministically. */
-  private def flipBucketExpr(v: Column, nBits: Int, dim: Int,
-                             seed: Long): Column = {
-    val ps = planes(nBits, dim, seed)
-    val projs = (0 until nBits).map(b =>
-      VectorQueries.dot(v, typedlit(ps(b).toSeq)))
-    val bucket = (0 until nBits).map { b =>
-      when(projs(b) > 0.0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val minAbs = projs.map(abs).reduce(least(_, _))
-    val flipMask = projs.indices.tail
-      .foldLeft(when(abs(projs(0)) === minAbs, lit(1))) { (acc, b) =>
-        acc.when(abs(projs(b)) === minAbs, lit(1 << b))
-      }.otherwise(lit(0))
-    bucket.bitwiseXOR(flipMask)
+    * History of this shape (each step measured): v1 was per-bit UDF
+    * columns (interpreted, slow); v2 scalar when/least expression
+    * chains over the codegen'd dot — fine at the gate's nBits=6
+    * (24 dots/row), but at the adaptive nBits=11 the 44-instance
+    * expression tree blows whole-stage codegen's method budget and
+    * the ENTIRE stage falls back to interpreted eval: ~25 µs per
+    * 64-dim dot, 216 executor-seconds to index 200k vectors (the
+    * sf1 tier found it; sf0.1's 2k vectors hid it). v3 (this): the
+    * [[ivfPqIndex]] lesson — an object-boundary kernel evaluates
+    * exactly once per row at ~2 ns/multiply regardless of how many
+    * planes the corpus size demands, and rides [[cpuRebalance]] so
+    * the dense pass gets cluster width, not scan-byte width.
+    *
+    * `withFlip` additionally emits each (row, table)'s multi-probe
+    * target — the home bucket with its least-|margin| bit flipped
+    * (the bit a true near-duplicate most plausibly disagrees on) —
+    * as a second row with kind=1; argmin ties resolve to the lowest
+    * bit (first strict minimum), deterministically. */
+  private def lshIndexKernel(emb: DataFrame, nBits: Int, dim: Int,
+                             tables: Int, seed: Long,
+                             withFlip: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val allPlanes = Array.tabulate(tables)(t => planes(nBits, dim, seed + t))
+    val baseFields = Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType), nullable = true),
+      StructField("nrm", DoubleType, nullable = false),
+      StructField("tbl", IntegerType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false))
+    val outSchema = StructType(
+      if (withFlip)
+        baseFields :+ StructField("kind", IntegerType, nullable = false)
+      else baseFields)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val base = cpuRebalance(emb.select(
+      col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<double>").as("v")))
+    base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val seq = r.getSeq[Double](1)
+        val v = seq.toArray
+        var sq = 0.0
+        var i = 0
+        while (i < v.length) { sq += v(i) * v(i); i += 1 }
+        val nrm = math.sqrt(sq)
+        (0 until tables).iterator.flatMap { t =>
+          val ps = allPlanes(t)
+          var bucket = 0
+          var minAbs = Double.MaxValue
+          var minBit = 0
+          var b = 0
+          while (b < nBits) {
+            val p = ps(b)
+            val n = math.min(v.length, p.length)
+            var d = 0.0
+            var j = 0
+            while (j < n) { d += v(j) * p(j); j += 1 }
+            if (d > 0.0) bucket |= 1 << b
+            val a = math.abs(d)
+            if (a < minAbs) { minAbs = a; minBit = b }
+            b += 1
+          }
+          if (withFlip)
+            Iterator(
+              org.apache.spark.sql.Row(id, seq, nrm, t, bucket, 0),
+              org.apache.spark.sql.Row(id, seq, nrm, t,
+                bucket ^ (1 << minBit), 1))
+          else
+            Iterator(org.apache.spark.sql.Row(id, seq, nrm, t, bucket))
+        }
+      }
+    }(enc)
   }
 
   /** Corpus prepared for bucketed search: one row per (vector, table)
     * with columns id, v, nrm, tbl, bucket. */
   def index(emb: DataFrame, nBits: Int, dim: Int, tables: Int = 4,
-            seed: Long = 42L): DataFrame = {
-    val base = VectorQueries.withNorm(emb)
-      .withColumnRenamed("vec_id", "id")
-    val buckets = array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"),
-        bucketExpr(col("v"), nBits, dim, seed + t).as("bucket"))
-    }: _*)
-    base.withColumn("tb", explode(buckets))
-      .select(col("id"), col("v"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-  }
+            seed: Long = 42L): DataFrame =
+    lshIndexKernel(emb, nBits, dim, tables, seed, withFlip = false)
 
   /** Hot-bucket guard for the HOME/PROBE (kind 0/1) bucket layout —
     * same single-shuffle window shape as [[Dedup.pruneOversized]] (the
@@ -159,22 +232,12 @@ object Similarity {
     require(probes == 1 || probes == 2,
       s"probes must be 1 (home bucket only) or 2 (+least-margin flip), " +
         s"got $probes")
-    val base = VectorQueries.withNorm(emb)
-      .withColumnRenamed("vec_id", "id")
-    val tb = array((0 until tables).flatMap { t =>
-      val home = struct(lit(t).as("tbl"),
-        bucketExpr(col("v"), nBits, dim, seed + t).as("bucket"),
-        lit(0).as("kind"))
+    val indexed =
       if (probes == 2)
-        Seq(home, struct(lit(t).as("tbl"),
-          flipBucketExpr(col("v"), nBits, dim, seed + t).as("bucket"),
-          lit(1).as("kind")))
-      else Seq(home)
-    }: _*)
-    val indexed = base.withColumn("tb", explode(tb))
-      .select(col("id"), col("v"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
-        col("tb.kind").as("kind"))
+        lshIndexKernel(emb, nBits, dim, tables, seed, withFlip = true)
+      else
+        lshIndexKernel(emb, nBits, dim, tables, seed, withFlip = false)
+          .withColumn("kind", lit(0))
     val pruned = pruneHomeProbe(indexed, Seq("tbl", "bucket"), maxBucket)
     pruned.as("a").join(pruned.where(col("kind") === 0).as("b"),
         col("a.tbl") === col("b.tbl") &&
@@ -222,15 +285,19 @@ object Similarity {
       .withColumnRenamed("vec_id", "id")
     val centroids = trainQuantizer(base, nlist, seed, trainPoints,
       sizeHint)
-    val assign = udf((v: Seq[Double]) => nearestCell(centroids, v))
-    (centroids, base.withColumn("cell", assign(col("v"))))
+    // train on `base` (the sample TakeOrdered must not pay a corpus
+    // shuffle); assign on the rebalanced relation — n·nlist·dim FLOPs,
+    // with one up-front unbox so the inner loop runs on primitives
+    val assign = udf((v: Seq[Double]) =>
+      nearestCell(centroids, v.toArray))
+    (centroids, cpuRebalance(base).withColumn("cell", assign(col("v"))))
   }
 
   /** Index of the closest centroid to `v` by squared L2 — the coarse
     * quantizer's assignment function, shared by [[ivfIndex]]'s UDF
     * and [[ivfPqIndex]]'s typed pass. */
   private def nearestCell(centroids: Array[Array[Double]],
-                          v: Seq[Double]): Int = {
+                          v: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
@@ -340,17 +407,37 @@ object Similarity {
       }.sortBy(_._2).take(nprobe).map(_._1)
     }
 
+  /** Probe-side join routing for the vector-carrying searches: a probe
+    * set that fits comfortably in a broadcast (each row carries a
+    * dim-double vector, ~0.5 KB at dim 64) stays on the exact-knn
+    * "broadcast the queries" shape — the corpus never shuffles. Past
+    * the threshold (50k probe rows ≈ 25 MB of vectors before
+    * task-deserialization amplification) the routing flips to a plain
+    * shuffle join on the bucket/cell key: both sides exchange once,
+    * bounded by their own size, instead of every executor holding the
+    * full probe relation. Callers pass the probe-row count they
+    * already know from their own query-set construction (n/50 · fanout
+    * etc.) — no extra counting job; None keeps the broadcast shape. */
+  private val BroadcastProbeRows = 50000L
+
+  private def routeProbes(probes: DataFrame,
+                          probeRowsHint: Option[Long]): DataFrame =
+    if (probeRowsHint.forall(_ <= BroadcastProbeRows)) broadcast(probes)
+    else probes
+
   /** IVF search: each query row ranks the `nprobe` closest cells by
     * centroid distance (tiny centroid table, broadcast in the closure)
     * and exact-cosine-ranks only those cells' vectors. */
   def ivfTopK(centroids: Array[Array[Double]], indexed: DataFrame,
-              queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+              queries: DataFrame, k: Int, nprobe: Int,
+              probeRowsHint: Option[Long] = None): DataFrame = {
     val probeCells = probeCellsUdf(centroids, nprobe)
     val probes = queries
       .withColumn("probe", explode(probeCells(col("v"))))
       .select(col("probe"), col("id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val pairs = indexed.alias("i").join(broadcast(probes.alias("p")),
+    val pairs = indexed.alias("i")
+      .join(routeProbes(probes.alias("p"), probeRowsHint),
         col("i.cell") === col("p.probe") && col("i.id") =!= col("p.q_id"))
       .select(col("p.q_id").as("q_id"), col("i.id").as("neighbor_id"),
         (VectorQueries.dot(col("p.qv"), col("i.v")) /
@@ -365,7 +452,8 @@ object Similarity {
     * each query probes its bucket and all 1-bit neighbors in every
     * table, exact cosine ranks the probed union. */
   def annTopK(indexed: DataFrame, queries: DataFrame, k: Int,
-              nBits: Int): DataFrame = {
+              nBits: Int,
+              probeRowsHint: Option[Long] = None): DataFrame = {
     val probes = queries.withColumn("probe", explode(array(
         col("bucket") +:
           (0 until nBits).map(b =>
@@ -377,7 +465,8 @@ object Similarity {
     // 24-byte (q, neighbor, cos) rows instead of full vector pairs —
     // duplicate pairs across tables produce identical cos, so dedupe
     // placement doesn't change results.
-    val pairs = indexed.alias("i").join(broadcast(probes.alias("p")),
+    val pairs = indexed.alias("i")
+      .join(routeProbes(probes.alias("p"), probeRowsHint),
         col("i.tbl") === col("p.tbl") &&
           col("i.bucket") === col("p.probe") &&
           col("i.id") =!= col("p.q_id"))
@@ -439,7 +528,7 @@ object Similarity {
     // noise — r7, LshProbeBench methodology). Rule of thumb from that
     // measurement: native casts for codegen consumers, transform for
     // Scala-UDF inputs.
-    emb.select(col("vec_id").as("id"),
+    cpuRebalance(emb).select(col("vec_id").as("id"),
       encodeUdf(codebooks)(
         transform(col("embedding"), x => x.cast("double")))
         .as("code"))
@@ -449,7 +538,7 @@ object Similarity {
     * [[ivfPqIndex]]'s typed pass. Ties take the FIRST minimal code
     * (strict `<`), matching the oracle's argmin convention. */
   private def encodeVec(codebooks: Array[Array[Array[Double]]],
-                        v: Seq[Double]): Array[Int] = {
+                        v: Array[Double]): Array[Int] = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     require(v != null && v.length >= m * subDim,
@@ -478,7 +567,7 @@ object Similarity {
 
   private def encodeUdf(codebooks: Array[Array[Array[Double]]])
       : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((v: Seq[Double]) => encodeVec(codebooks, v))
+    udf((v: Seq[Double]) => encodeVec(codebooks, v.toArray))
 
   /** Decode codes back to their centroid vectors (the reconstruction;
     * feeding a decoded query to [[pqTopK]] gives symmetric-distance
@@ -496,53 +585,141 @@ object Similarity {
     * shared by [[pqTopK]] and [[ivfPqTopK]]. Per-subspace partials
     * sum in the same order as the direct form — bit-identical on the
     * exactly-representable grid codebooks the probe gates use. */
-  private def lutUdf(codebooks: Array[Array[Array[Double]]])
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+  private def lutFor(codebooks: Array[Array[Array[Double]]],
+                     qv: Array[Double]): Array[Double] = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     val ksub = codebooks(0).length
-    udf { (qv: Seq[Double]) =>
-      require(qv != null && qv.length >= m * subDim,
-        s"pqTopK: query null or shorter than m*subDim = ${m * subDim}")
-      val lut = new Array[Double](m * ksub)
-      var i = 0
-      while (i < m) {
-        val cb = codebooks(i)
-        var c = 0
-        while (c < ksub) {
-          var d = 0.0
-          var j = 0
-          while (j < subDim) {
-            val t = qv(i * subDim + j) - cb(c)(j); d += t * t; j += 1
-          }
-          lut(i * ksub + c) = d
-          c += 1
+    require(qv != null && qv.length >= m * subDim,
+      s"pqTopK: query null or shorter than m*subDim = ${m * subDim}")
+    val lut = new Array[Double](m * ksub)
+    var i = 0
+    while (i < m) {
+      val cb = codebooks(i)
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val t = qv(i * subDim + j) - cb(c)(j); d += t * t; j += 1
         }
-        i += 1
+        lut(i * ksub + c) = d
+        c += 1
       }
-      lut
+      i += 1
     }
+    lut
+  }
+
+  /** The `nprobe` closest cells by centroid L2 — scalar twin of
+    * [[probeCellsUdf]] for the driver-side query prep below; same
+    * arithmetic, same stable-sort tie order (ascending index). */
+  private def probeCellsFor(centroids: Array[Array[Double]],
+                            nprobe: Int, v: Array[Double]): Array[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length && j < v.length) {
+        val t = v(j) - c(j); d += t * t; j += 1
+      }
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+
+  /** Streamed ADC top-k: the code table flows once through
+    * per-partition bounded insertion heaps (one k-slot heap per query,
+    * ordered by (adc asc, id asc)) and only local winners reach the
+    * final ranking window — the [[VectorQueries.streamedTopK]] shape
+    * applied to PQ search. The r8 form materialized the full
+    * (query × code) pair relation into a ranking window: correct, and
+    * fine at the 2k-vector gate, but the relation is |Q|·|corpus| rows
+    * (≈2·10⁹ at the 200k-vector tier's probe gate) and the map-side
+    * rank sort became the whole query. Here nothing quadratic is ever
+    * materialized: per pair the kernel does m array adds (the same
+    * ascending-subspace sum as the AdcLookup expression — bit-identical
+    * distances) plus an O(1) reject against the current k-th best.
+    *
+    * `queries` is driver-prepared (id, lut, cellMask) — bounded by the
+    * same contract as every broadcast-queries search here; mask null
+    * means scan all codes (dense PQ), else only rows whose `cell` the
+    * mask admits (IVF-PQ). */
+  private def adcStreamedTopK(codes: DataFrame,
+      queries: Array[(Long, Array[Double], Array[Boolean])],
+      k: Int, ksub: Int, hasCell: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val s = codes.sparkSession
+    val bc = s.sparkContext.broadcast(queries)
+    val outSchema = StructType(Seq(
+      StructField("q_id", LongType, nullable = false),
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("adc", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val cols =
+      if (hasCell) Seq(col("id"), col("code"), col("cell"))
+      else Seq(col("id"), col("code"))
+    val local = cpuRebalance(codes.select(cols: _*)).mapPartitions { rows =>
+      val qs = bc.value
+      val nq = qs.length
+      val ids = Array.ofDim[Long](nq, k)
+      val adcs = Array.ofDim[Double](nq, k)
+      val sizes = new Array[Int](nq)
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val code = r.getSeq[Int](1)
+        val cell = if (hasCell) r.getInt(2) else -1
+        val m = code.length
+        var qi = 0
+        while (qi < nq) {
+          val (qid, lut, mask) = qs(qi)
+          if (id != qid && (mask == null || mask(cell))) {
+            var d = 0.0
+            var i = 0
+            while (i < m) { d += lut(i * ksub + code(i)); i += 1 }
+            val sz = sizes(qi)
+            var pos = sz
+            while (pos > 0 && (d < adcs(qi)(pos - 1) ||
+                (d == adcs(qi)(pos - 1) && id < ids(qi)(pos - 1))))
+              pos -= 1
+            if (pos < k) {
+              var mv = math.min(sz, k - 1)
+              while (mv > pos) {
+                ids(qi)(mv) = ids(qi)(mv - 1)
+                adcs(qi)(mv) = adcs(qi)(mv - 1)
+                mv -= 1
+              }
+              ids(qi)(pos) = id
+              adcs(qi)(pos) = d
+              if (sz < k) sizes(qi) = sz + 1
+            }
+          }
+          qi += 1
+        }
+      }
+      (0 until nq).iterator.flatMap { qi =>
+        (0 until sizes(qi)).iterator.map(p =>
+          org.apache.spark.sql.Row(qs(qi)._1, ids(qi)(p), adcs(qi)(p)))
+      }
+    }(enc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc"), col("neighbor_id"))
+    local.withColumn("nn_rank", row_number().over(w))
+      .where(col("nn_rank") <= k)
   }
 
   /** Asymmetric-distance top-k over the code table: queries stay raw,
     * every corpus vector is represented by its code's centroids, and
     * the scan touches ONLY (id, code) rows — the corpus vectors never
-    * load. Queries broadcast (the exact-knn shape); squared-L2
-    * distance; ties rank by neighbor id. */
+    * load. Queries collect to the driver (bounded probe-set contract)
+    * and broadcast as precomputed LUTs; squared-L2 distance; ties rank
+    * by neighbor id. Search itself is [[adcStreamedTopK]]. */
   def pqTopK(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
              queries: DataFrame, k: Int): DataFrame = {
     val ksub = codebooks(0).length
-    val q = queries.select(col("id").as("q_id"),
-      lutUdf(codebooks)(col("v")).as("lut"))
-    val pairs = codes.alias("c").join(broadcast(q),
-        col("c.id") =!= col("q_id"))
-      .select(col("q_id"), col("c.id").as("neighbor_id"),
-        graft.functions.VectorExpressions
-          .adcLookup(col("lut"), col("c.code"), ksub).as("adc"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("adc"), col("neighbor_id"))
-    pairs.withColumn("nn_rank", row_number().over(w))
-      .where(col("nn_rank") <= k)
+    val qs = queries.select(col("id"), col("v")).collect().map { r =>
+      (r.getLong(0), lutFor(codebooks, r.getSeq[Double](1).toArray),
+        null: Array[Boolean])
+    }
+    adcStreamedTopK(codes, qs, k, ksub, hasCell = false)
   }
 
   // ---- IVF-PQ: the composed index a 100-TB corpus actually runs ------
@@ -579,7 +756,8 @@ object Similarity {
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         it.map { case (id, v) =>
-          (id, encodeVec(codebooks, v), nearestCell(centroids, v))
+          val arr = v.toArray
+          (id, encodeVec(codebooks, arr), nearestCell(centroids, arr))
         }
       }.toDF("id", "code", "cell")
     (centroids, codes)
@@ -589,32 +767,25 @@ object Similarity {
     * `nprobe` closest cells by centroid distance, then ADC-ranks ONLY
     * those cells' codes via its precomputed lookup table — the
     * candidate set shrinks by ~nlist/nprobe AND each candidate costs
-    * O(m) codegen'd lookups instead of O(dim) float ops. The scan
-    * side is the narrow (id, code, cell) table; queries (with their
-    * LUTs) broadcast. A (query, neighbor) pair appears in at most one
-    * cell, so no post-join dedup is needed (unlike the L-table LSH
-    * union). `codes` is [[ivfPqIndex]]'s table; `queries` carries
-    * (id, v). */
+    * O(m) adds instead of O(dim) float ops. The scan side is the
+    * narrow (id, code, cell) table streamed through
+    * [[adcStreamedTopK]] with a per-query probed-cell mask; queries
+    * (with their LUTs) ride the broadcast. A (query, neighbor) pair
+    * appears in at most one cell, so the mask admits it once (no
+    * post-dedup, unlike the L-table LSH union). `codes` is
+    * [[ivfPqIndex]]'s table; `queries` carries (id, v). */
   def ivfPqTopK(centroids: Array[Array[Double]], codes: DataFrame,
                 codebooks: Array[Array[Array[Double]]],
                 queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val ksub = codebooks(0).length
-    val probes = queries
-      .select(col("id").as("q_id"),
-        lutUdf(codebooks)(col("v")).as("lut"),
-        probeCellsUdf(centroids, nprobe)(col("v")).as("cells"))
-      .withColumn("probe", explode(col("cells")))
-      .drop("cells")
-    val pairs = codes.alias("c").join(broadcast(probes.alias("p")),
-        col("c.cell") === col("p.probe") &&
-          col("c.id") =!= col("p.q_id"))
-      .select(col("p.q_id").as("q_id"), col("c.id").as("neighbor_id"),
-        graft.functions.VectorExpressions
-          .adcLookup(col("p.lut"), col("c.code"), ksub).as("adc"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("adc"), col("neighbor_id"))
-    pairs.withColumn("nn_rank", row_number().over(w))
-      .where(col("nn_rank") <= k)
+    val nlist = centroids.length
+    val qs = queries.select(col("id"), col("v")).collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val mask = new Array[Boolean](nlist)
+      probeCellsFor(centroids, nprobe, v).foreach(c => mask(c) = true)
+      (r.getLong(0), lutFor(codebooks, v), mask)
+    }
+    adcStreamedTopK(codes, qs, k, ksub, hasCell = true)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
@@ -674,7 +845,7 @@ object Similarity {
     val sorted = centroids.sortBy(_._1)
     val cellIds = sorted.map(_._1)
     val cts = sorted.map(_._2)
-    val base = VectorQueries.withNorm(emb)
+    val base = cpuRebalance(VectorQueries.withNorm(emb))
       .select(col("vec_id").as("id"), col("v"), col("nrm"))
     // The assignment UDF column is a join key below; the shuffle
     // exchange materializes it per row on each side, so the per-match
@@ -686,7 +857,8 @@ object Similarity {
       if (probes == 1) {
         // ascending-cellId scan + strict < keeps first-min ties on the
         // LOWEST cell id — mirrored by the oracle's (dist, c_id) order
-        val assign = udf((v: Seq[Double]) => cellIds(nearestCell(cts, v)))
+        val assign = udf((v: Seq[Double]) =>
+          cellIds(nearestCell(cts, v.toArray)))
         val c = base.withColumn("cell", assign(col("v")))
         (c, c)
       } else {
@@ -694,12 +866,13 @@ object Similarity {
         // equals the strict-< first-min primary cell
         val p = probes
         val assignP = udf { (v: Seq[Double]) =>
+          val arr = v.toArray
           val ds = new Array[Double](cts.length)
           var c = 0
           while (c < cts.length) {
             val ct = cts(c); var d = 0.0; var j = 0
-            while (j < ct.length && j < v.length) {
-              val t = v(j) - ct(j); d += t * t; j += 1
+            while (j < ct.length && j < arr.length) {
+              val t = arr(j) - ct(j); d += t * t; j += 1
             }
             ds(c) = d; c += 1
           }

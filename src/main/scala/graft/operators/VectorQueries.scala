@@ -384,8 +384,15 @@ object VectorQueries {
           .select((-col("vec_id") - 1).as("vec_id"), col("label"),
             transform(col("embedding"), x => x * lit(2.0f))
               .as("embedding"))
+        // adaptive nBits (floor 6 = the old constant at gate scale):
+        // buckets track corpus size so within-bucket pair generation
+        // stays sub-quadratic at the 200k-vector tier and beyond. The
+        // ×2-scaled planted probes sit at cosine exactly 1.0 — they
+        // collide with their originals in EVERY table at any nBits, so
+        // the oracle's planted-pair rows are parameter-independent.
         Similarity.lshDedupPairs(e.unionByName(probes),
-            threshold = 0.95, probes = 2)
+            threshold = 0.95,
+            nBits = Similarity.adaptiveNBits(e.count()), probes = 2)
           .select(col("a_id"), col("b_id"),
             round(col("cos"), 6).as("cosine"))
       },
