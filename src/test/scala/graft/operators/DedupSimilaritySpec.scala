@@ -124,6 +124,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.keySet === approx.keySet)
   }
 
+  test("annTopK/ivfTopK probe-route equality: shuffle join (large " +
+    "probeRowsHint) returns exactly the broadcast route's rows") {
+    // the sf0.01 gate only ever takes the broadcast route (its probe
+    // hints sit under the 50k threshold), so the shuffle route —
+    // the one a 100-TB probe set actually uses — needs its own
+    // equality pin on the same inputs
+    val indexed = Similarity.index(emb, 6, 64, tables = 4).cache()
+    val queries = indexed.where(col("id") % 50 === 0)
+    // collect-and-compare, not exceptAll: Spark 4.1's exceptAll
+    // rewrite trips an INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on these
+    // window-limit plans; the result sets are tiny by construction
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select(col("q_id"), col("neighbor_id"), col("nn_rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    val bcast = rows(Similarity.annTopK(indexed, queries, 10, 6,
+      probeRowsHint = None))
+    val shuf = rows(Similarity.annTopK(indexed, queries, 10, 6,
+      probeRowsHint = Some(Long.MaxValue)))
+    assert(bcast === shuf && bcast.nonEmpty)
+    val (cents, ivfIdx) = Similarity.ivfIndex(emb, nlist = 8)
+    val q2 = ivfIdx.where(col("id") % 50 === 0)
+    val b2 = rows(Similarity.ivfTopK(cents, ivfIdx, q2, 10, 3,
+      probeRowsHint = None))
+    val s2 = rows(Similarity.ivfTopK(cents, ivfIdx, q2, 10, 3,
+      probeRowsHint = Some(Long.MaxValue)))
+    assert(b2 === s2 && b2.nonEmpty)
+  }
+
   test("PQ: encode is partition-stable; ADC recall vs exact L2; " +
     "decoded query ranks an identical-code vector first at adc 0") {
     val cbs = Similarity.pqTrain(emb, dim = 64, m = 16, ksub = 16)
