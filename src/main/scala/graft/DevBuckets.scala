@@ -41,7 +41,9 @@ object DevBuckets {
       println(f"ann_lsh full: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     if (args.contains("ann")) {
-      // bisect the annTopK chain: join+dot, +dedup, +rank
+      // bisect the r8 join+dedup+window chain (annTopK's SUPERSEDED
+      // shape, kept here for A/B against the streamed-heap route):
+      // join+dot, +dedup, +rank
       val queries = idx.where(col("id") % 50 === 0)
       val probes = queries.withColumn("probe", explode(array(
           col("bucket") +:

@@ -186,9 +186,16 @@ object ApproxQueries {
         val n = e.count()
         val (centroids, indexed) = Similarity.ivfIndex(
           e, nlist = Similarity.adaptiveNlist(n), sizeHint = Some(n))
-        val queries = indexed.where(col("id") % 50 === 0)
+        // query descriptors from the UN-assigned relation: the kernel
+        // route only needs (id, v, nrm), and collecting them off
+        // `indexed` would pay the full assignment kernel a second time
+        // (mapPartitions blocks column pruning) — same values either
+        // way, the norm expression and the kernel share the dot order
+        val queries = VectorQueries.withNorm(e)
+          .withColumnRenamed("vec_id", "id")
+          .where(col("id") % 50 === 0)
         Similarity.ivfTopK(centroids, indexed, queries, k = 10,
-          nprobe = 3, probeRowsHint = Some(3 * (n / 50 + 1)))
+          nprobe = 3, queryRowsHint = Some(n / 50 + 1))
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       }),
@@ -202,7 +209,7 @@ object ApproxQueries {
           tables = 4)
         val queries = indexed.where(col("id") % 50 === 0)
         Similarity.annTopK(indexed, queries, k = 10, nBits = nBits,
-          probeRowsHint = Some(4L * (nBits + 1) * (n / 50 + 1)))
+          queryRowsHint = Some(n / 50 + 1))
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       }),
@@ -233,7 +240,7 @@ object ApproxQueries {
           nBits = nBits, dim = 64, tables = 4)
         val queries = indexed.where(col("id") < 0)
         Similarity.annTopK(indexed, queries, k = 1, nBits = nBits,
-          probeRowsHint = Some(4L * (nBits + 1) * (n / 10 + 1)))
+          queryRowsHint = Some(n / 10 + 1))
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       },
@@ -259,9 +266,12 @@ object ApproxQueries {
         val (centroids, indexed) = Similarity.ivfIndex(
           e.unionByName(probes), nlist = Similarity.adaptiveNlist(n),
           sizeHint = Some(n + n / 10))
-        val queries = indexed.where(col("id") < 0)
+        // un-assigned query descriptors — see ann_ivf
+        val queries = VectorQueries.withNorm(e.unionByName(probes))
+          .withColumnRenamed("vec_id", "id")
+          .where(col("id") < 0)
         Similarity.ivfTopK(centroids, indexed, queries, k = 1,
-          nprobe = 3, probeRowsHint = Some(3 * (n / 10 + 1)))
+          nprobe = 3, queryRowsHint = Some(n / 10 + 1))
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("cos"), 6).as("cosine"))
       },

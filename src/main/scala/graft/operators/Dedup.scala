@@ -474,73 +474,102 @@ object Dedup {
     * output alone under-deletes: {(a,b), (b,c)} must collapse to ONE
     * survivor, not two independent drops.
     *
-    * Algorithm: iterative min-label propagation with pointer jumping —
-    * each round every node takes the min component label over itself
-    * and its neighbors, then jumps to its label's label. Pure
-    * join+groupBy rounds (no driver-side graph), converging in
-    * O(log diameter) rounds; dup clusters are near-cliques from banding,
-    * so 2-3 rounds typical. The edge relation is |pairs|, orders of
-    * magnitude smaller than the corpus — at 100 TB this runs on the
-    * dedup OUTPUT, never the documents.
+    * Algorithm: alternating large-star / small-star edge contraction
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — the GraphFrames CC shape). Each round, large-star
+    * connects every strictly-larger neighbor of a node to the node's
+    * neighborhood minimum, small-star does the same for the
+    * smaller-or-equal neighbors keyed from the larger endpoint; the
+    * fixpoint is a forest of stars rooted at component minima. Pure
+    * join+groupBy rounds (no driver-side graph), provably
+    * O(log²) rounds with the edge set SHRINKING as stars collapse —
+    * the r9 replacement for min-label propagation + label jumping,
+    * whose "jump" is the identity at every local minimum, degrading
+    * to ONE HOP PER ROUND on chain-shaped dup graphs (observed at
+    * the 200k-vector sf1 tier: √n-sized semantic-dedup cells produced
+    * chains that blew the 20-round cap; a C4-style doc chain at
+    * 100 TB would do the same at any cap). Dup clusters from banding
+    * are near-cliques, so 2-3 rounds typical. The edge relation is
+    * |pairs|, orders of magnitude smaller than the corpus — at
+    * 100 TB this runs on the dedup OUTPUT, never the documents.
     *
     * @param pairs (a_id, b_id) dup pairs (undirected)
     * @return (id, canonical_id) for every id in a pair; docs to drop
     *         are the rows with id != canonical_id
     */
-  def dupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Materialize the pair relation ONCE before the symmetric union:
-    // union branches don't share subplans, so building edges straight
-    // off an expensive candidate pipeline would execute it twice.
-    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
-    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-    // Iterative DataFrames grow their logical plan each round; the
-    // eager localCheckpoint TRUNCATES lineage (and materializes the
-    // round), keeping plan size constant — without it the optimizer
-    // re-analyzes an exponentially nested plan and the driver OOMs on
-    // chains of a few dozen rounds' depth.
-    //
-    // Init folds the first propagation round into one aggregation:
-    // comp₀ = min(self, neighbors). Dup clusters from banding are
-    // near-cliques, so most nodes are already at their component min
-    // and the loop typically runs ONE verification round.
-    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("id"),
-        least(col("src"), col("mn")).as("comp"))
+  def dupComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    // Canonical (hi > lo) undirected edge set, self-loops dropped.
+    // localCheckpoint: materialize the (possibly expensive) candidate
+    // pipeline once, and per round below, TRUNCATE lineage so the
+    // optimizer never re-analyzes a nested iterative plan (the driver
+    // OOMs on a few dozen rounds' depth otherwise).
+    var e = pairs
+      .select(greatest(col("a_id"), col("b_id")).as("hi"),
+        least(col("a_id"), col("b_id")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .dropDuplicates("hi", "lo")
       .localCheckpoint(true)
+    // Every node ever seen must get a label even after its star
+    // collapses away, so remember the full node set once.
+    val nodes = e.select(col("hi").as("id"))
+      .union(e.select(col("lo").as("id")))
+      .distinct().localCheckpoint(true)
     var it = 0
-    var converged = false
+    var curCnt = e.count()
+    var converged = curCnt == 0
     while (!converged && it < maxIter) {
-      // fresh aliases on BOTH union children: they share lineage, and
-      // Union's constraint propagation rejects duplicate attribute ids
-      val own = labels
-        .select(col("id").as("uid"), col("comp").as("ucomp"))
-      val nbr = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("uid"), col("comp").as("ucomp"))
-      val mins = own.union(nbr)
-        .groupBy("uid").agg(min("ucomp").as("comp"))
-        .withColumnRenamed("uid", "id")
-      // pointer jump: follow comp -> comp's comp (halves chain lengths,
-      // turning O(diameter) propagation into O(log diameter))
-      val jumped = mins.as("m")
-        .join(mins.select(col("id").as("comp"), col("comp").as("cc"))
-          .as("p"), Seq("comp"), "left")
-        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
+      // large-star: from the symmetric view of each node u, connect
+      // every neighbor v > u to m(u) = min(Γ(u) ∪ {u}). Emitted edges
+      // keep hi=v, lo=m (v > u ≥ m).
+      val sym = e.select(col("hi").as("s"), col("lo").as("d"))
+        .union(e.select(col("lo").as("s"), col("hi").as("d")))
+      val mins = sym.groupBy("s").agg(min("d").as("mn"))
+        .select(col("s"), least(col("s"), col("mn")).as("m"))
+      val ls = sym.join(mins, "s")
+        .where(col("d") > col("s"))
+        .select(col("d").as("hi"), col("m").as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .dropDuplicates("hi", "lo")
+      // small-star: key each edge by its LARGER endpoint u; with
+      // Γ⁻(u) its smaller neighbors and m = min(Γ⁻(u)), connect u and
+      // every v ∈ Γ⁻(u)\{m} to m. Both emissions keep hi > lo.
+      val sm = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(sm, "hi")
+        .select(col("lo").as("hi2"), col("m").as("lo2"))
+        .where(col("hi2") =!= col("lo2"))
+        .union(sm.select(col("hi").as("hi2"), col("m").as("lo2")))
+        .select(col("hi2").as("hi"), col("lo2").as("lo"))
+        .dropDuplicates("hi", "lo")
         .localCheckpoint(true)
-      val changed = jumped.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .where(col("n.comp") =!= col("o.comp")).count()
-      labels = jumped
-      converged = changed == 0
+      // fixpoint: stars are invariant under both ops, so one
+      // unchanged alternation means done (counts first — carried from
+      // the previous round, so one count job per round — then an
+      // anti-join only when counts agree)
+      val after = ss.count()
+      converged = curCnt == after &&
+        ss.join(e, Seq("hi", "lo"), "left_anti").isEmpty
+      if (sys.env.contains("GRAFT_DEBUG_COMPONENTS"))
+        System.err.println(
+          s"[components] round $it edges $curCnt -> $after" +
+            (if (converged) " (fixpoint)" else ""))
+      e = ss
+      curCnt = after
       it += 1
     }
     // Loud, not silent: returning unconverged labels would split real
-    // clusters. Pointer jumping needs ~log2(diameter) rounds, so the
-    // default cap covers any realistic graph; hitting it means the
-    // input isn't a dedup pair set — fail rather than under-delete.
+    // clusters. Alternating stars need O(log²) rounds, so the default
+    // cap covers any realistic graph; hitting it means the input
+    // isn't a dedup pair set — fail rather than under-delete.
     require(converged,
       s"dupComponents did not converge in $maxIter rounds — " +
         "raise maxIter for graphs of this diameter")
-    labels.select(col("id"), col("comp").as("canonical_id"))
+    // Final e is a union of stars rooted at component minima: every
+    // non-root node has exactly one (id, root) edge. Roots and any
+    // node whose star fully collapsed label themselves.
+    nodes.join(e.select(col("hi").as("id"), col("lo").as("root")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("root"), col("id")).as("canonical_id"))
   }
 }

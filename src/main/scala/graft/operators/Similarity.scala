@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * loss without more tables.
   *
   * Scale shape: the index is one narrow pass (row → L bucket ids); search
-  * is a join keyed by (table, bucket) with the exploded query side
-  * broadcast. The corpus never replicates and never shuffles.
+  * broadcasts the query DESCRIPTORS (vector + probed keys, ~1 KB per
+  * query) and STREAMS the keyed corpus through per-partition bounded
+  * heaps — zero corpus exchange, zero candidate materialization. Past
+  * ~50k queries the route flips to a bucket-keyed shuffle join whose
+  * candidate stream pipelines into the same heap reduction.
   */
 object Similarity {
 
@@ -286,11 +289,50 @@ object Similarity {
     val centroids = trainQuantizer(base, nlist, seed, trainPoints,
       sizeHint)
     // train on `base` (the sample TakeOrdered must not pay a corpus
-    // shuffle); assign on the rebalanced relation — n·nlist·dim FLOPs,
-    // with one up-front unbox so the inner loop runs on primitives
-    val assign = udf((v: Seq[Double]) =>
-      nearestCell(centroids, v.toArray))
-    (centroids, cpuRebalance(base).withColumn("cell", assign(col("v"))))
+    // shuffle); assign via the typed kernel below — the previous
+    // `udf(v => nearestCell(...))` consumed the NATIVE-cast array,
+    // the exact native-cast-into-Scala-UDF path [[pqEncode]]'s
+    // scaladoc measured ~10× slow (observed again here: 2.2 s for a
+    // 200k×448-cell pass that the kernel does in ~0.3 s)
+    (centroids, assignCells(emb, centroids))
+  }
+
+  /** The norm + cell-assignment pass of [[ivfIndex]] as one typed
+    * mapPartitions kernel over the rebalanced corpus (the
+    * [[lshIndexKernel]] shape): a single unbox per row, then
+    * primitive loops for the norm (left-to-right, same order as
+    * [[VectorQueries.withNorm]]'s dot expression) and
+    * [[nearestCell]] — output columns/values identical to the old
+    * withNorm + UDF form. */
+  private def assignCells(emb: DataFrame,
+                          centroids: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val labelType = emb.schema("label").dataType
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("label", labelType, nullable = true),
+      StructField("v", ArrayType(DoubleType), nullable = true),
+      StructField("nrm", DoubleType, nullable = false),
+      StructField("cell", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val s = emb.sparkSession
+    val bc = s.sparkContext.broadcast(centroids)
+    cpuRebalance(emb.select(col("vec_id").cast("long").as("id"),
+        col("label"),
+        col("embedding").cast("array<double>").as("v")))
+      .mapPartitions { rows =>
+        val cents = bc.value
+        rows.map { r =>
+          val seq = r.getSeq[Double](2)
+          val v = seq.toArray
+          var sq = 0.0
+          var i = 0
+          while (i < v.length) { sq += v(i) * v(i); i += 1 }
+          org.apache.spark.sql.Row(r.getLong(0), r.get(1), seq,
+            math.sqrt(sq), nearestCell(cents, v))
+        }
+      }(enc)
   }
 
   /** Index of the closest centroid to `v` by squared L2 — the coarse
@@ -362,20 +404,38 @@ object Similarity {
     val dim = points(0).length
     var it = 0
     while (it < iters) {
+      // phase 1 (parallel, order-free): the nearest centroid of each
+      // point is pure per-point math, so thread scheduling cannot
+      // affect values — at nlist≈√200k this phase is ~2 G mult-adds
+      // per iteration and was 2.5 s of every ivf query single-threaded
+      val assign = new Array[Int](points.length)
+      java.util.stream.IntStream.range(0, points.length).parallel()
+        .forEach { p =>
+          val pt = points(p)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var d = 0.0; var j = 0
+            while (j < dim) {
+              val t = pt(j) - cents(c)(j); d += t * t; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assign(p) = best
+        }
+      // phase 2 (sequential, point order): accumulate exactly as the
+      // old fused loop did — bit-identical centroids
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Int](kk)
-      points.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < kk) {
-          var d = 0.0; var j = 0
-          while (j < dim) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
+      var pi = 0
+      while (pi < points.length) {
+        val p = points(pi)
+        val best = assign(pi)
         var j = 0
         while (j < dim) { sums(best)(j) += p(j); j += 1 }
         counts(best) += 1
+        pi += 1
       }
       var c = 0
       while (c < kk) {
@@ -390,94 +450,333 @@ object Similarity {
     cents
   }
 
-  /** The `nprobe` closest cells to a query vector by centroid L2 —
-    * the probe selector shared by [[ivfTopK]] and [[ivfPqTopK]]
-    * (centroid table rides the closure: nlist·dim doubles). */
+  /** The `nprobe` closest cells to `v` by squared centroid L2 — ties
+    * keep centroid-index order, identically on the UDF and driver
+    * paths since both call THIS. Allocation-free selection (strict `<`
+    * insertion over ascending indices = the stable sortBy-by-distance
+    * it replaces: equal distances keep the earlier index first) — the
+    * tuple-array + sortBy form cost the driver 5.4 s for 20k queries
+    * × 448 centroids at the sf1 tier, ~4× the distance math itself. */
+  private def closestCells(centroids: Array[Array[Double]],
+                           v: Array[Double], nprobe: Int): Array[Int] = {
+    val np = math.min(nprobe, centroids.length)
+    val ds = new Array[Double](np)
+    val cs = new Array[Int](np)
+    var size = 0
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < ct.length && j < v.length) {
+        val t = v(j) - ct(j); d += t * t; j += 1
+      }
+      var pos = size
+      while (pos > 0 && d < ds(pos - 1)) pos -= 1
+      if (pos < np) {
+        var m = math.min(size, np - 1)
+        while (m > pos) { ds(m) = ds(m - 1); cs(m) = cs(m - 1); m -= 1 }
+        ds(pos) = d
+        cs(pos) = c
+        if (size < np) size += 1
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOfRange(cs, 0, size)
+  }
+
+  /** [[closestCells]] as a UDF — the probe selector for the
+    * shuffle-route joins here and in [[ivfPqTopK]] (centroid table
+    * rides the closure: nlist·dim doubles). */
   private def probeCellsUdf(centroids: Array[Array[Double]],
                             nprobe: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Double]) =>
-      centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < c.length && j < v.length) {
-          val t = v(j) - c(j); d += t * t; j += 1
-        }
-        (i, d)
-      }.sortBy(_._2).take(nprobe).map(_._1)
+    udf { (v: Seq[Double]) => closestCells(centroids, v.toArray, nprobe) }
+
+  // ---- streamed keyed-probe search (the r9 search path) --------------
+  //
+  // The r8 searches ranked their candidate pairs with
+  // dropDuplicates + a row_number window: at the 200k-vector tier that
+  // meant exchanging the ~10^8-row candidate relation TWICE (once
+  // hash-partitioned for the dedupe, once sorted for the window) — 25
+  // of ann_lsh_probe's 30.7 s. Candidates now reduce through
+  // per-partition bounded heaps in the SAME stage that produces them
+  // (the [[VectorQueries.streamedTopK]] shape), and only the
+  // ≤ partitions·k-per-query winners are exchanged.
+
+  /** k-slot insertion heap under the (cos desc, id asc) total order —
+    * the per-query state of the streamed search kernels. Same
+    * insertion loop as [[VectorQueries.streamedTopK]], plus duplicate
+    * suppression in O(1): the only duplicates the bucket routes
+    * produce are exact (id, cos) copies (the dot is a pure function of
+    * the pair, reached via different tables/cells), and under the
+    * total order a live copy sits exactly at the duplicate's insertion
+    * point, so one equality check detects it; a copy that was evicted
+    * ranks below the full heap's floor, so its duplicate fails
+    * `pos < k` and is dropped too. Assumes non-NaN cos (nonzero norms
+    * — same contract as the window form, whose NaN ordering differed
+    * from IEEE comparisons anyway). */
+  private final class TopKHeap(k: Int) {
+    val ids = new Array[Long](k)
+    val cs = new Array[Double](k)
+    var size = 0
+    def insert(id: Long, cz: Double): Unit = {
+      var pos = size
+      while (pos > 0 && (cz > cs(pos - 1) ||
+          (cz == cs(pos - 1) && id < ids(pos - 1)))) pos -= 1
+      val dup = pos > 0 && ids(pos - 1) == id && cs(pos - 1) == cz
+      if (!dup && pos < k) {
+        var m = math.min(size, k - 1)
+        while (m > pos) { ids(m) = ids(m - 1); cs(m) = cs(m - 1); m -= 1 }
+        ids(pos) = id
+        cs(pos) = cz
+        if (size < k) size += 1
+      }
     }
+  }
 
-  /** Probe-side join routing for the vector-carrying searches: a probe
-    * set that fits comfortably in a broadcast (each row carries a
-    * dim-double vector, ~0.5 KB at dim 64) stays on the exact-knn
-    * "broadcast the queries" shape — the corpus never shuffles. Past
-    * the threshold (50k probe rows ≈ 25 MB of vectors before
-    * task-deserialization amplification) the routing flips to a plain
-    * shuffle join on the bucket/cell key: both sides exchange once,
-    * bounded by their own size, instead of every executor holding the
-    * full probe relation. Callers pass the probe-row count they
-    * already know from their own query-set construction (n/50 · fanout
-    * etc.) — no extra counting job; None keeps the broadcast shape. */
-  private val BroadcastProbeRows = 50000L
+  private def pairEncoder
+      : org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      StructType(Seq(
+        StructField("q_id", LongType, nullable = false),
+        StructField("neighbor_id", LongType, nullable = false),
+        StructField("cos", DoubleType, nullable = false))))
+  }
 
-  private def routeProbes(probes: DataFrame,
-                          probeRowsHint: Option[Long]): DataFrame =
-    if (probeRowsHint.forall(_ <= BroadcastProbeRows)) broadcast(probes)
-    else probes
-
-  /** IVF search: each query row ranks the `nprobe` closest cells by
-    * centroid distance (tiny centroid table, broadcast in the closure)
-    * and exact-cosine-ranks only those cells' vectors. */
-  def ivfTopK(centroids: Array[Array[Double]], indexed: DataFrame,
-              queries: DataFrame, k: Int, nprobe: Int,
-              probeRowsHint: Option[Long] = None): DataFrame = {
-    val probeCells = probeCellsUdf(centroids, nprobe)
-    val probes = queries
-      .withColumn("probe", explode(probeCells(col("v"))))
-      .select(col("probe"), col("id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val pairs = indexed.alias("i")
-      .join(routeProbes(probes.alias("p"), probeRowsHint),
-        col("i.cell") === col("p.probe") && col("i.id") =!= col("p.q_id"))
-      .select(col("p.q_id").as("q_id"), col("i.id").as("neighbor_id"),
-        (VectorQueries.dot(col("p.qv"), col("i.v")) /
-          (col("p.qn") * col("i.nrm"))).as("cos"))
+  /** Shared finisher: global top-k over the union of per-partition
+    * winners. dropDuplicates first — the same (q, neighbor) pair can
+    * surface from SEVERAL partitions (its corpus row appears once per
+    * table / probed cell, and those rows land wherever the rebalance
+    * put them) with identical cos, and duplicate rows would shift
+    * row_number ranks. Per-partition top-k under a total order with
+    * in-partition dup suppression is a lossless pre-filter of global
+    * distinct top-k, so output equals the r8 dedupe-then-window form
+    * row for row. Both exchanges here move only the bounded survivor
+    * set, never candidates. */
+  private def rankPairs(local: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
-    pairs.withColumn("nn_rank", row_number().over(w))
+    local.dropDuplicates("q_id", "neighbor_id")
+      .withColumn("nn_rank", row_number().over(w))
       .where(col("nn_rank") <= k)
   }
 
+  /** Per-partition top-k reduction of a (q_id, neighbor_id, cos)
+    * candidate stream — pipelines onto the producing join in the same
+    * stage, so the candidate relation is never exchanged. */
+  private def pairsTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.mapPartitions { rows =>
+      val heaps = new java.util.HashMap[java.lang.Long, TopKHeap]()
+      rows.foreach { r =>
+        val q = java.lang.Long.valueOf(r.getLong(0))
+        var h = heaps.get(q)
+        if (h == null) { h = new TopKHeap(k); heaps.put(q, h) }
+        h.insert(r.getLong(1), r.getDouble(2))
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.entrySet().iterator().asScala.flatMap { e =>
+        val q = e.getKey.longValue()
+        val h = e.getValue
+        (0 until h.size).iterator.map(p =>
+          org.apache.spark.sql.Row(q, h.ids(p), h.cs(p)))
+      }
+    }(pairEncoder)
+
+  /** The zero-exchange search route: query descriptors (vector, norm)
+    * plus a key→queries probe map broadcast; the keyed corpus STREAMS
+    * in place. Each partition consults the probe map once per corpus
+    * row and dots only against the queries that probed that row's key
+    * — the same candidate set the shuffle join builds, with no corpus
+    * exchange and no candidate materialization. The dot replays
+    * [[graft.functions.VectorExpressions.dot]]'s exact IEEE order
+    * (left-to-right, min-length) and cos = dot/(qn·nrm) in the same
+    * association, so results are bit-identical to the join route
+    * (DedupSimilaritySpec pins route equality).
+    *
+    * @param corpus (id: long, v: array<double>, nrm: double, key: long)
+    */
+  private def kernelProbeTopK(corpus: DataFrame,
+      qVecs: Array[(Long, Array[Double], Double)],
+      probeMap: java.util.HashMap[java.lang.Long, Array[Int]],
+      k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val bcQ = s.sparkContext.broadcast(qVecs)
+    val bcM = s.sparkContext.broadcast(probeMap)
+    corpus.mapPartitions { rows =>
+      val qs = bcQ.value
+      val pm = bcM.value
+      val heaps = new Array[TopKHeap](qs.length)
+      rows.foreach { r =>
+        val cands = pm.get(java.lang.Long.valueOf(r.getLong(3)))
+        if (cands != null) {
+          val id = r.getLong(0)
+          val seq = r.getSeq[Double](1)
+          val v = new Array[Double](seq.length)
+          var c = 0
+          while (c < v.length) { v(c) = seq(c); c += 1 }
+          val dn = r.getDouble(2)
+          var ci = 0
+          while (ci < cands.length) {
+            val qi = cands(ci)
+            val (qid, qv, qn) = qs(qi)
+            if (qid != id) {
+              val n = math.min(qv.length, v.length)
+              var d = 0.0
+              var j = 0
+              while (j < n) { d += qv(j) * v(j); j += 1 }
+              var h = heaps(qi)
+              if (h == null) { h = new TopKHeap(k); heaps(qi) = h }
+              h.insert(id, d / (qn * dn))
+            }
+            ci += 1
+          }
+        }
+      }
+      qs.indices.iterator.filter(heaps(_) != null).flatMap { qi =>
+        val h = heaps(qi)
+        (0 until h.size).iterator.map(p =>
+          org.apache.spark.sql.Row(qs(qi)._1, h.ids(p), h.cs(p)))
+      }
+    }(pairEncoder)
+  }
+
+  /** Query-set ceiling for the kernel route: ~50k queries × (dim
+    * doubles + probe keys) ≈ 30 MB of broadcast descriptors and one
+    * bounded driver collect. Beyond it, the shuffle-join route bounds
+    * driver/executor memory at the cost of exchanging both sides once.
+    * Callers pass the query-row count they already know from their own
+    * query-set construction (n/50, n/10, …) — no extra counting job;
+    * None keeps the kernel route. */
+  private val KernelQueryRows = 50000L
+
+  /** IVF search: each query ranks the `nprobe` closest cells by
+    * centroid distance and exact-cosine-ranks only those cells'
+    * vectors — kernel route for bounded query sets (zero corpus
+    * exchange), cell-keyed shuffle join + the same heap reduction past
+    * [[KernelQueryRows]]. */
+  def ivfTopK(centroids: Array[Array[Double]], indexed: DataFrame,
+              queries: DataFrame, k: Int, nprobe: Int,
+              queryRowsHint: Option[Long] = None): DataFrame =
+    if (queryRowsHint.forall(_ <= KernelQueryRows)) {
+      val qRows = queries.select(col("id"), col("v"), col("nrm"))
+        .collect()
+      val vecs = qRows.map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getDouble(2)))
+      // probe-cell selection in parallel (pure per-query math — thread
+      // scheduling cannot affect values); map assembly sequential in
+      // query order, though kernel results are insertion-order-free
+      // anyway (total-order heaps, exact-duplicate suppression)
+      val perQ = new Array[Array[Int]](vecs.length)
+      java.util.stream.IntStream.range(0, vecs.length).parallel()
+        .forEach(qi => perQ(qi) = closestCells(centroids, vecs(qi)._2,
+          nprobe))
+      val pm = new java.util.HashMap[java.lang.Long, Array[Int]]()
+      val tmp = new java.util.HashMap[java.lang.Long,
+        scala.collection.mutable.ArrayBuffer[Int]]()
+      var qi = 0
+      while (qi < perQ.length) {
+        perQ(qi).foreach { cell =>
+          val key = java.lang.Long.valueOf(cell.toLong)
+          var lst = tmp.get(key)
+          if (lst == null) {
+            lst = scala.collection.mutable.ArrayBuffer.empty[Int]
+            tmp.put(key, lst)
+          }
+          lst += qi
+        }
+        qi += 1
+      }
+      tmp.forEach((key, lst) => pm.put(key, lst.toArray))
+      val corpus = indexed.select(col("id"), col("v"), col("nrm"),
+        col("cell").cast("long").as("key"))
+      rankPairs(kernelProbeTopK(corpus, vecs, pm, k), k)
+    } else {
+      val probeCells = probeCellsUdf(centroids, nprobe)
+      val probes = queries
+        .withColumn("probe", explode(probeCells(col("v"))))
+        .select(col("probe"), col("id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val pairs = indexed.alias("i")
+        .join(probes.alias("p"),
+          col("i.cell") === col("p.probe") &&
+            col("i.id") =!= col("p.q_id"))
+        .select(col("p.q_id").as("q_id"), col("i.id").as("neighbor_id"),
+          (VectorQueries.dot(col("p.qv"), col("i.v")) /
+            (col("p.qn") * col("i.nrm"))).as("cos"))
+      rankPairs(pairsTopK(pairs, k), k)
+    }
+
   /** Approximate top-k for `queries` (rows of the same indexed shape):
     * each query probes its bucket and all 1-bit neighbors in every
-    * table, exact cosine ranks the probed union. */
+    * table, exact cosine ranks the probed union — kernel route for
+    * bounded query sets, (tbl, bucket)-keyed shuffle join + the same
+    * heap reduction past [[KernelQueryRows]]. */
   def annTopK(indexed: DataFrame, queries: DataFrame, k: Int,
               nBits: Int,
-              probeRowsHint: Option[Long] = None): DataFrame = {
-    val probes = queries.withColumn("probe", explode(array(
-        col("bucket") +:
-          (0 until nBits).map(b =>
-            col("bucket").bitwiseXOR(lit(1 << b))): _*)))
-      .select(col("tbl"), col("probe"), col("id").as("q_id"),
-        col("v").as("qv"), col("nrm").as("qn"))
-    // cosine is computed BEFORE the multi-table dedupe: the dot product
-    // is narrow (map-side), and the dropDuplicates shuffle then carries
-    // 24-byte (q, neighbor, cos) rows instead of full vector pairs —
-    // duplicate pairs across tables produce identical cos, so dedupe
-    // placement doesn't change results.
-    val pairs = indexed.alias("i")
-      .join(routeProbes(probes.alias("p"), probeRowsHint),
-        col("i.tbl") === col("p.tbl") &&
-          col("i.bucket") === col("p.probe") &&
-          col("i.id") =!= col("p.q_id"))
-      .select(col("p.q_id").as("q_id"), col("i.id").as("neighbor_id"),
-        (VectorQueries.dot(col("p.qv"), col("i.v")) /
-          (col("p.qn") * col("i.nrm"))).as("cos"))
-      .dropDuplicates("q_id", "neighbor_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
-    pairs.withColumn("nn_rank", row_number().over(w))
-      .where(col("nn_rank") <= k)
+              queryRowsHint: Option[Long] = None): DataFrame = {
+    require(nBits < 31, s"annTopK: nBits $nBits overflows bucket ints")
+    if (queryRowsHint.forall(_ <= KernelQueryRows)) {
+      // ONE collect job for both the vectors and the bucket layout:
+      // queries carry `tables` rows per id (vector duplicated per
+      // table) — bounded by the route ceiling
+      val qRows = queries.select(col("id"), col("tbl"), col("bucket"),
+        col("v"), col("nrm")).collect()
+      val qIdx = new java.util.HashMap[java.lang.Long, Integer]()
+      val vecs = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Array[Double], Double)]
+      val tmp = new java.util.HashMap[java.lang.Long,
+        scala.collection.mutable.ArrayBuffer[Int]]()
+      qRows.foreach { r =>
+        val id = r.getLong(0)
+        var qi = qIdx.get(java.lang.Long.valueOf(id))
+        if (qi == null) {
+          qi = Integer.valueOf(vecs.length)
+          qIdx.put(id, qi)
+          vecs += ((id, r.getSeq[Double](3).toArray, r.getDouble(4)))
+        }
+        val tbl = r.getInt(1)
+        val bucket = r.getInt(2)
+        var b = -1 // -1 = the home bucket, then each 1-bit flip
+        while (b < nBits) {
+          val probe = if (b < 0) bucket else bucket ^ (1 << b)
+          // buckets are built from bits 0..nBits-1, so non-negative
+          // and the packed key needs no masking (matches the column
+          // form below)
+          val key = java.lang.Long.valueOf((tbl.toLong << 32) + probe)
+          var lst = tmp.get(key)
+          if (lst == null) {
+            lst = scala.collection.mutable.ArrayBuffer.empty[Int]
+            tmp.put(key, lst)
+          }
+          lst += qi.intValue()
+          b += 1
+        }
+      }
+      val pm = new java.util.HashMap[java.lang.Long, Array[Int]]()
+      tmp.forEach((key, lst) => pm.put(key, lst.toArray))
+      val corpus = indexed.select(col("id"), col("v"), col("nrm"),
+        (shiftleft(col("tbl").cast("long"), 32) +
+          col("bucket").cast("long")).as("key"))
+      rankPairs(kernelProbeTopK(corpus, vecs.toArray, pm, k), k)
+    } else {
+      val probes = queries.withColumn("probe", explode(array(
+          col("bucket") +:
+            (0 until nBits).map(b =>
+              col("bucket").bitwiseXOR(lit(1 << b))): _*)))
+        .select(col("tbl"), col("probe"), col("id").as("q_id"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val pairs = indexed.alias("i")
+        .join(probes.alias("p"),
+          col("i.tbl") === col("p.tbl") &&
+            col("i.bucket") === col("p.probe") &&
+            col("i.id") =!= col("p.q_id"))
+        .select(col("p.q_id").as("q_id"), col("i.id").as("neighbor_id"),
+          (VectorQueries.dot(col("p.qv"), col("i.v")) /
+            (col("p.qn") * col("i.nrm"))).as("cos"))
+      rankPairs(pairsTopK(pairs, k), k)
+    }
   }
 
   // ---- product quantization (the third standard ANN family) ----------
@@ -614,17 +913,6 @@ object Similarity {
   /** The `nprobe` closest cells by centroid L2 — scalar twin of
     * [[probeCellsUdf]] for the driver-side query prep below; same
     * arithmetic, same stable-sort tie order (ascending index). */
-  private def probeCellsFor(centroids: Array[Array[Double]],
-                            nprobe: Int, v: Array[Double]): Array[Int] =
-    centroids.zipWithIndex.map { case (c, i) =>
-      var d = 0.0
-      var j = 0
-      while (j < c.length && j < v.length) {
-        val t = v(j) - c(j); d += t * t; j += 1
-      }
-      (i, d)
-    }.sortBy(_._2).take(nprobe).map(_._1)
-
   /** Streamed ADC top-k: the code table flows once through
     * per-partition bounded insertion heaps (one k-slot heap per query,
     * ordered by (adc asc, id asc)) and only local winners reach the
@@ -752,7 +1040,11 @@ object Similarity {
       .withColumnRenamed("vec_id", "id")
     val centroids = trainQuantizer(base, nlist, seed, trainPoints,
       sizeHint)
-    val codes = base.select(col("id"), col("v"))
+    // cpuRebalance before the dense encode+assign pass: the cell
+    // assignment alone is n·nlist·dim mult-adds (5.7 G at the
+    // 200k-vector tier) and a byte-split scan of the compact vector
+    // file would run it on 2 of 32 cores
+    val codes = cpuRebalance(base.select(col("id"), col("v")))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         it.map { case (id, v) =>
@@ -782,7 +1074,7 @@ object Similarity {
     val qs = queries.select(col("id"), col("v")).collect().map { r =>
       val v = r.getSeq[Double](1).toArray
       val mask = new Array[Boolean](nlist)
-      probeCellsFor(centroids, nprobe, v).foreach(c => mask(c) = true)
+      closestCells(centroids, v, nprobe).foreach(c => mask(c) = true)
       (r.getLong(0), lutFor(codebooks, v), mask)
     }
     adcStreamedTopK(codes, qs, k, ksub, hasCell = true)
@@ -856,10 +1148,31 @@ object Similarity {
     val (celled, pairSource) =
       if (probes == 1) {
         // ascending-cellId scan + strict < keeps first-min ties on the
-        // LOWEST cell id — mirrored by the oracle's (dist, c_id) order
-        val assign = udf((v: Seq[Double]) =>
-          cellIds(nearestCell(cts, v.toArray)))
-        val c = base.withColumn("cell", assign(col("v")))
+        // LOWEST cell id — mirrored by the oracle's (dist, c_id) order.
+        // Typed kernel, not a UDF: the assignment is the dominant
+        // dense pass (n·ncells·dim mult-adds), and the old
+        // `udf(v => ...)` consumed the NATIVE-cast array — the
+        // ~10×-slow path [[pqEncode]]'s scaladoc measured (re-observed
+        // here: 15.8 s → ~5 s at the 200k-vector tier)
+        import org.apache.spark.sql.types._
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+          .encoderFor(StructType(Seq(
+            StructField("id", LongType, nullable = false),
+            StructField("v", ArrayType(DoubleType), nullable = true),
+            StructField("nrm", DoubleType, nullable = true),
+            StructField("cell", LongType, nullable = false))))
+        val s = base.sparkSession
+        val bcCts = s.sparkContext.broadcast(cts)
+        val bcIds = s.sparkContext.broadcast(cellIds)
+        val c = base.mapPartitions { rows =>
+          val cc = bcCts.value
+          val ids = bcIds.value
+          rows.map { r =>
+            val v = r.getSeq[Double](1)
+            org.apache.spark.sql.Row(r.getLong(0), v, r.get(2),
+              ids(nearestCell(cc, v.toArray)))
+          }
+        }(enc)
         (c, c)
       } else {
         // p nearest cells, ascending (distance, cellId) — element 0

@@ -210,26 +210,38 @@ object VectorQueries {
     // SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
     // cluster-block → within-cell cosine pairs → connected components
     // → per-row keep verdict. The gate uses a DETERMINISTIC centroid
-    // probe set (every 101st row's own embedding) instead of the
+    // probe set (every step-th row's own embedding) instead of the
     // trained quantizer so DuckDB can replay the assignment exactly:
     // first-min squared-L2, distances accumulated ascending-j on both
     // engines (list_dot_product of the difference vector), ties to the
-    // lowest centroid id. Planted exact copies (negative-id pattern,
-    // every 100th row) guarantee same-cell cos=1 dup clusters so the
-    // components path is never vacuously empty; natural near-dup pairs
-    // exercise the threshold boundary. The oracle recomputes cells,
-    // pairs, AND the transitive closure (recursive CTE), so the hash
-    // gate checks blocking, pairing, and clustering at once.
+    // lowest centroid id. The step is scale-adaptive —
+    // max(101, ceil(√n)) — because a FIXED step makes the centroid
+    // count (and so the n·ncells·dim assignment pass) grow linearly
+    // with the corpus while cell size stays constant: quadratic total
+    // work. √n centroids of ~√n rows balance assignment and
+    // within-cell pair generation at n^1.5 (the same sizing as
+    // adaptiveNlist); at the sf0.01 gate √2020 < 101 so the floor
+    // pins the old behavior and oracle hashes are untouched, and the
+    // oracle SQL computes the SAME step from its own COUNT(*).
+    // Planted exact copies (negative-id pattern, every 100th row)
+    // guarantee same-cell cos=1 dup clusters so the components path is
+    // never vacuously empty; natural near-dup pairs exercise the
+    // threshold boundary. The oracle recomputes cells, pairs, AND the
+    // transitive closure (recursive CTE), so the hash gate checks
+    // blocking, pairing, and clustering at once.
     "semantic_dedup" -> QDef(
       (s, d) => {
         val e = Tables.load(s, d, "embeddings")
+        val n = e.count()
+        val step = math.max(101L,
+          math.ceil(math.sqrt(n.toDouble)).toLong)
         val plants = e.where(col("vec_id") % 100 === 0)
           .select((-col("vec_id") - 1).as("vec_id"), col("label"),
             col("embedding"))
-        // bounded collect: centroid probe set, ~N/101 rows (5 at the
+        // bounded collect: centroid probe set, ~√n rows (5 at the
         // sf0.01 gate) — the production path passes ivfIndex's trained
         // quantizer here instead
-        val cents = e.where(col("vec_id") % 101 === 0)
+        val cents = e.where(col("vec_id") % step === 0)
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
           .collect()
@@ -245,7 +257,8 @@ object VectorQueries {
         "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm " +
         "FROM e), " +
         "c AS (SELECT vec_id AS c_id, v AS cv FROM base " +
-        "WHERE vec_id % 101 = 0), " +
+        "WHERE vec_id % (SELECT GREATEST(101, " +
+        "CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM base) = 0), " +
         "d AS (SELECT n.vec_id, c.c_id, list_dot_product(" +
         "[n.v[i] - c.cv[i] FOR i IN range(1, len(n.v) + 1)], " +
         "[n.v[i] - c.cv[i] FOR i IN range(1, len(n.v) + 1)]) AS dist " +

@@ -125,8 +125,8 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("annTopK/ivfTopK probe-route equality: shuffle join (large " +
-    "probeRowsHint) returns exactly the broadcast route's rows") {
-    // the sf0.01 gate only ever takes the broadcast route (its probe
+    "queryRowsHint) returns exactly the kernel route's rows") {
+    // the sf0.01 gate only ever takes the kernel route (its query
     // hints sit under the 50k threshold), so the shuffle route —
     // the one a 100-TB probe set actually uses — needs its own
     // equality pin on the same inputs
@@ -139,16 +139,16 @@ class DedupSimilaritySpec extends SparkSpec {
       df.select(col("q_id"), col("neighbor_id"), col("nn_rank"))
         .as[(Long, Long, Int)].collect().toSet
     val bcast = rows(Similarity.annTopK(indexed, queries, 10, 6,
-      probeRowsHint = None))
+      queryRowsHint = None))
     val shuf = rows(Similarity.annTopK(indexed, queries, 10, 6,
-      probeRowsHint = Some(Long.MaxValue)))
+      queryRowsHint = Some(Long.MaxValue)))
     assert(bcast === shuf && bcast.nonEmpty)
     val (cents, ivfIdx) = Similarity.ivfIndex(emb, nlist = 8)
     val q2 = ivfIdx.where(col("id") % 50 === 0)
     val b2 = rows(Similarity.ivfTopK(cents, ivfIdx, q2, 10, 3,
-      probeRowsHint = None))
+      queryRowsHint = None))
     val s2 = rows(Similarity.ivfTopK(cents, ivfIdx, q2, 10, 3,
-      probeRowsHint = Some(Long.MaxValue)))
+      queryRowsHint = Some(Long.MaxValue)))
     assert(b2 === s2 && b2.nonEmpty)
   }
 
@@ -350,12 +350,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(drops === Set(2L, 3L, 4L, 8L))
   }
 
-  test("dupComponents converges on a long chain (pointer jumping)") {
+  test("dupComponents converges on a long chain (alternating stars)") {
     val n = 64
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val comp = Dedup.dupComponents(pairs).as[(Long, Long)].collect()
     assert(comp.length === n)
     assert(comp.forall(_._2 === 1L), "all chain nodes label to the min")
+  }
+
+  test("dupComponents converges fast on a DESCENDING-id chain — the " +
+    "shape that degraded min-propagation + label-jump to 1 hop/round") {
+    // ids fall along the chain (min at the far end), so every interior
+    // node is a local min of its suffix: the old label-jump was the
+    // identity there and the 512-link chain needed >500 rounds; the
+    // alternating-star contraction halves chains per round
+    val n = 512L
+    val pairs = (1L until n).map(i => (n - i + 1, n - i))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.dupComponents(pairs, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(comp.length === n)
+    assert(comp.forall(_._2 === 1L), "all chain nodes label to the min")
+  }
+
+  test("dupComponents equals brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val nNodes = 200
+      // sparse random ids (not 1..n) so component minima are arbitrary
+      val ids = Array.fill(nNodes)(rnd.nextLong(1000000L)).distinct
+      val es = (1 to 260).map { _ =>
+        val a = ids(rnd.nextInt(ids.length))
+        val b = ids(rnd.nextInt(ids.length))
+        (a, b)
+      }.filter(p => p._1 != p._2)
+      val got = Dedup.dupComponents(es.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      // reference: driver-side union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = es.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(got === want, s"trial $trial")
+    }
   }
 
   test("lshDedupPairs: full recall on planted scaled duplicates, " +
