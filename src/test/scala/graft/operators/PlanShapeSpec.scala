@@ -73,17 +73,31 @@ class PlanShapeSpec extends SparkSpec {
     // banded MinHash: shingle-sig shuffle → bucket self-join pair →
     // component agg; candidate pairs are bucket-joined, not crossed
     ("dedup_minhash_lsh", 4, 4),
-    // hyperplane-LSH embedding dedup: L-table multi-probe bucket join
-    // (the home/probe guard folds both counts into the self-join's own
-    // exchange — the pruneHomeProbe rework dropped this from 3 to 2);
-    // the one broadcast is the exact-verify rejoin's small side
-    ("dedup_embed_lsh", 2, 1),
-    // cluster-blocked SemDeDup: centroid assign + in-cluster pairing,
-    // no broadcast required (pairs co-locate on the cluster key)
-    ("semantic_dedup", 2, 0),
+    // hyperplane-LSH embedding dedup: the index kernel's round-robin
+    // rebalance + the L-table multi-probe bucket join (the home/probe
+    // guard folds both counts into the self-join's own exchange); the
+    // one broadcast is the exact-verify rejoin's small side
+    ("dedup_embed_lsh", 3, 1),
+    // cluster-blocked SemDeDup: the assignment kernel's rebalance +
+    // centroid assign + in-cluster pairing, no broadcast required
+    // (pairs co-locate on the cluster key)
+    ("semantic_dedup", 3, 0),
     // cross-relation LSH decontamination: both sides sig+bucket (2×2
     // shuffles) + verify pair agg + final; small side broadcasts 5×
     ("contamination_minhash", 7, 5),
+    // streamed keyed-probe ANN searches (r9): scan → ONE rebalance
+    // exchange → fused index+search kernels → two bounded-survivor
+    // finisher exchanges (dedup + rank). Candidates NEVER exchange —
+    // a 4th exchange here means the 10^8-row candidate relation
+    // started shuffling again (the r8 dedupe-then-window shape this
+    // replaced); a BroadcastExchange would mean the probe map moved
+    // out of the task closure into a plan-side join.
+    ("ann_lsh", 3, 0),
+    ("ann_ivf", 3, 0),
+    ("ann_lsh_probe", 3, 0),
+    ("ann_ivf_probe", 3, 0),
+    // exact KNN via streamedTopK: rebalance + the final rank window
+    ("knn_cosine", 2, 0),
     // TF-IDF top-k, closed-vocabulary route (the r9 size-routed
     // rework): the df pass runs at CONSTRUCTION time into a broadcast
     // map and the top-3 is selected inside the kernel, so the
@@ -109,7 +123,11 @@ class PlanShapeSpec extends SparkSpec {
       val lines = plan.linesIterator
         .filterNot(_.contains("ReusedExchange")).toSeq
       val shuffleRe = ("\\bExchange hashpartitioning|\\bExchange " +
-        "rangepartitioning|\\bExchange SinglePartition").r
+        "rangepartitioning|\\bExchange SinglePartition|" +
+        // cpuRebalance's round-robin re-splits ARE exchanges — the
+        // vector-kernel shapes budget for exactly one (prints as
+        // RoundRobinPartitioning, unlike the lowercase hash/range)
+        "(?i)\\bExchange roundrobinpartitioning").r
       val shuffles = lines.count(l => shuffleRe.findFirstIn(l).nonEmpty)
       val bcasts = lines.count(_.contains("BroadcastExchange"))
       (shuffles, bcasts)
