@@ -953,7 +953,15 @@ object Similarity {
       val sizes = new Array[Int](nq)
       rows.foreach { r =>
         val id = r.getLong(0)
-        val code = r.getSeq[Int](1)
+        // unbox the code ONCE per row: Seq[Int].apply inside the
+        // per-query LUT walk is a boxed dispatch — at the 200k-code /
+        // 4k-query tier that is ~13G boxed reads and was most of
+        // ann_pq's 6.3 s (same per-row-unbox doctrine as
+        // [[VectorQueries.streamedTopK]])
+        val seqCode = r.getSeq[Int](1)
+        val code = new Array[Int](seqCode.length)
+        var ci = 0
+        while (ci < code.length) { code(ci) = seqCode(ci); ci += 1 }
         val cell = if (hasCell) r.getInt(2) else -1
         val m = code.length
         var qi = 0
