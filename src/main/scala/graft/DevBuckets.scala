@@ -23,7 +23,9 @@ object DevBuckets {
     spark.sparkContext.setLogLevel("WARN")
     val e = Tables.load(spark, sfDir, "embeddings")
     val n = e.count()
-    val nBits = args.lift(1).map(_.toInt)
+    // position 1 may be a flag ("ann"/"annfull") rather than a number
+    val nBits = args.lift(1)
+      .flatMap(a => scala.util.Try(a.toInt).toOption)
       .getOrElse(Similarity.adaptiveNBits(n))
     println(s"n=$n nBits=$nBits nlist=${Similarity.adaptiveNlist(n)}")
     val idx = Similarity.index(e, nBits = nBits, dim = 64, tables = 4)

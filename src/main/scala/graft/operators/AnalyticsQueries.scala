@@ -653,7 +653,10 @@ object AnalyticsQueries {
     // grouped agg, spine agg + explode, grid join, ffill window — a
     // ClusteredDistribution a user_id partitioning already satisfies,
     // so Catalyst inserts no further exchange and only local sorts
-    // (PlanShapeSpec pins 1). The trade: the raw events shuffle loses
+    // (the plan census can't see it — the lazy localCheckpoint hides
+    // the exchange inside RDD lineage — so the one-exchange claim is
+    // auditable only by .explain on the pre-checkpoint frame). The
+    // trade: the raw events shuffle loses
     // the (user, hour) agg's map-side combine — a wash here and at
     // any realistic event stream (hourly dedup removes little), and
     // the 7x-larger filled GRID never shuffles at all, which is the

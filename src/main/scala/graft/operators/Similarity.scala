@@ -642,13 +642,21 @@ object Similarity {
     }(pairEncoder)
   }
 
-  /** Query-set ceiling for the kernel route: ~50k queries × (dim
-    * doubles + probe keys) ≈ 30 MB of broadcast descriptors and one
-    * bounded driver collect. Beyond it, the shuffle-join route bounds
-    * driver/executor memory at the cost of exchanging both sides once.
-    * Callers pass the query-row count they already know from their own
-    * query-set construction (n/50, n/10, …) — no extra counting job;
-    * None keeps the kernel route. */
+  /** Query-set ceiling for the kernel route: ~50k query IDS. The
+    * driver collect is ~nq rows for [[ivfTopK]] and `tables`·nq rows
+    * for [[annTopK]] (the bucket layout rides one row per table,
+    * vector duplicated — ~120 MB worst-case at the ceiling with 4
+    * tables, deliberately one job instead of a narrow-buckets +
+    * distinct-vectors pair); the broadcast after dedup is ~nq
+    * descriptors (~30 MB). Beyond the ceiling, the shuffle-join route
+    * bounds driver/executor memory at the cost of exchanging both
+    * sides once. Callers pass the query-ID count they already know
+    * from their own query-set construction (n/50, n/10, …) — no extra
+    * counting job. None keeps the kernel route: it is the caller's
+    * assertion that the query set is bounded (the same contract as
+    * r8's broadcast-join default, which also materialized the probe
+    * relation driver-side) — pass a real hint for any query relation
+    * whose size is data-dependent. */
   private val KernelQueryRows = 50000L
 
   /** IVF search: each query ranks the `nprobe` closest cells by
@@ -910,9 +918,6 @@ object Similarity {
     lut
   }
 
-  /** The `nprobe` closest cells by centroid L2 — scalar twin of
-    * [[probeCellsUdf]] for the driver-side query prep below; same
-    * arithmetic, same stable-sort tie order (ascending index). */
   /** Streamed ADC top-k: the code table flows once through
     * per-partition bounded insertion heaps (one k-slot heap per query,
     * ordered by (adc asc, id asc)) and only local winners reach the
@@ -945,7 +950,12 @@ object Similarity {
     val cols =
       if (hasCell) Seq(col("id"), col("code"), col("cell"))
       else Seq(col("id"), col("code"))
-    val local = cpuRebalance(codes.select(cols: _*)).mapPartitions { rows =>
+    // no cpuRebalance here: both code producers (pqEncode, ivfPqIndex)
+    // already rebalance before their encode kernels, and
+    // CollapseRepartition cannot fuse across the typed mapPartitions —
+    // a second round-robin would re-exchange the whole code table per
+    // search (review finding; it cost ann_pq an exchange)
+    val local = codes.select(cols: _*).mapPartitions { rows =>
       val qs = bc.value
       val nq = qs.length
       val ids = Array.ofDim[Long](nq, k)

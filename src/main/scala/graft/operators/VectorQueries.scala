@@ -100,9 +100,12 @@ object VectorQueries {
         while (qi < nq) {
           val (qid, qv, qn) = qs(qi)
           if (id != qid) {
+            // min-length bound, matching DoubleDotProduct exactly (a
+            // ragged corpus row must truncate, not throw)
+            val n = math.min(qv.length, v.length)
             var d = 0.0
             var j = 0
-            while (j < qv.length) { d += qv(j) * v(j); j += 1 }
+            while (j < n) { d += qv(j) * v(j); j += 1 }
             val cz = d / (qn * dn)
             val sz = sizes(qi)
             var pos = sz
