@@ -515,15 +515,14 @@ object Dedup {
     val nodes = e.select(col("hi").as("id"))
       .union(e.select(col("lo").as("id")))
       .distinct().localCheckpoint(true)
-    var it = 0
-    var curCnt = e.count()
-    var converged = curCnt == 0
-    while (!converged && it < maxIter) {
+    // One large-star + small-star alternation, built LAZILY (no
+    // checkpoint) so the driver can chain two per materialization.
+    def alternate(cur: DataFrame): DataFrame = {
       // large-star: from the symmetric view of each node u, connect
       // every neighbor v > u to m(u) = min(Γ(u) ∪ {u}). Emitted edges
       // keep hi=v, lo=m (v > u ≥ m).
-      val sym = e.select(col("hi").as("s"), col("lo").as("d"))
-        .union(e.select(col("lo").as("s"), col("hi").as("d")))
+      val sym = cur.select(col("hi").as("s"), col("lo").as("d"))
+        .union(cur.select(col("lo").as("s"), col("hi").as("d")))
       val mins = sym.groupBy("s").agg(min("d").as("mn"))
         .select(col("s"), least(col("s"), col("mn")).as("m"))
       // no dedup here: small-star's groupBy-min is duplicate-
@@ -538,17 +537,29 @@ object Dedup {
       // Γ⁻(u) its smaller neighbors and m = min(Γ⁻(u)), connect u and
       // every v ∈ Γ⁻(u)\{m} to m. Both emissions keep hi > lo.
       val sm = ls.groupBy("hi").agg(min("lo").as("m"))
-      val ss = ls.join(sm, "hi")
+      ls.join(sm, "hi")
         .select(col("lo").as("hi2"), col("m").as("lo2"))
         .where(col("hi2") =!= col("lo2"))
         .union(sm.select(col("hi").as("hi2"), col("m").as("lo2")))
         .select(col("hi2").as("hi"), col("lo2").as("lo"))
         .dropDuplicates("hi", "lo")
-        .localCheckpoint(true)
-      // fixpoint: stars are invariant under both ops, so one
-      // unchanged alternation means done (counts first — carried from
-      // the previous round, so one count job per round — then an
-      // anti-join only when counts agree)
+    }
+    var it = 0
+    var curCnt = e.count()
+    var converged = curCnt == 0
+    while (!converged && it < maxIter) {
+      // TWO alternations per materialization: each checkpoint + count
+      // + anti-join cycle is ~3 serial driver round-trips — half the
+      // wall cost of a round at the 118k-edge sf1 graph — and star
+      // sets are fixpoints of BOTH ops, so equality after a double
+      // alternation detects exactly the true fixpoint (an e → x → e
+      // 2-cycle would make the alternating sequence non-terminating,
+      // contradicting its published convergence; one extra idempotent
+      // alternation past an odd-step fixpoint is harmless).
+      val ss = alternate(alternate(e)).localCheckpoint(true)
+      // fixpoint check: counts first — carried from the previous
+      // round, so one count job per round — then an anti-join only
+      // when counts agree
       val after = ss.count()
       converged = curCnt == after &&
         ss.join(e, Seq("hi", "lo"), "left_anti").isEmpty

@@ -327,18 +327,17 @@ object RelationalOps {
     probs.foreach { case (nm, p) =>
       require(p >= 0.0 && p <= 1.0, s"prob $nm=$p outside [0,1]") }
     val spark = df.sparkSession
-    // Measured floor (sf1 tier, 1.5M-row orders⋈customer): the three
-    // passes below cost ~2.9 s vs DuckDB's 0.25 s single-node
-    // holistic quantile. The gap is structural, not waste: an EXACT
-    // bounded-memory distributed quantile needs >= 2 full passes
-    // (boundaries cannot be known without a sketch/sample, target
-    // ranks cannot be known without counts) plus one pruned selection
-    // pass, and each pass pays the ~0.3 s scan floor + ~1 s join. A
-    // localCheckpoint of this slim relation was tried and REVERTED:
-    // materializing 1.5M rows cost as much as the re-scans it saved
-    // (2.9 -> 3.3 s). DuckDB wins this shape at single-node scale by
-    // sorting in memory; this form is the one that still answers when
-    // the group doesn't fit.
+    // Measured floor (sf1 tier, 1.5M-row orders⋈customer): an EXACT
+    // bounded-memory distributed quantile needs one full counting
+    // pass (target ranks cannot be known without counts) plus one
+    // pruned selection pass, and each pass pays the ~0.3 s scan floor
+    // + ~1 s join — the r9.2 boundary-free bucketing below removed
+    // the third (approxQuantile boundary) pass. A localCheckpoint of
+    // this slim relation was tried and REVERTED: materializing 1.5M
+    // rows cost as much as the re-scans it saved (2.9 -> 3.3 s).
+    // DuckDB wins this shape at single-node scale by sorting in
+    // memory; this form is the one that still answers when the group
+    // doesn't fit.
     val slim = df.select(col(groupCol),
       col(valueCol).cast("double").as(valueCol))
     // r9 target-cell pruning (the sf1 12.7× fix): the quantile needs
@@ -349,24 +348,29 @@ object RelationalOps {
     // exchange) the scan keeps only the target cells (a broadcast
     // inner join, map-side) and windows ~|probs|·(n/buckets) rows per
     // group. The per-group counts ALSO fall out of the cells collect,
-    // deleting the separate count shuffle. Two full-data passes remain
-    // (approxQuantile + cells) plus one map-filtered pass — no
-    // full-data exchange at all.
-    // capped: buckets here only set PRUNING granularity (target-cell
-    // width ≈ n/nBuckets; exactness comes from the exact cell counts),
-    // so unlike rangeBucketRank's rank-parallelism buckets they must
-    // not track a 2000-partition cluster's shuffle width into a
-    // multi-thousand-point quantile query
-    val nBuckets = math.min(256,
-      spark.sessionState.conf.numShufflePartitions * 4)
-    val qprobs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bnds: Array[Double] =
-      if (qprobs.isEmpty) Array.empty[Double]
-      else slim.stat.approxQuantile(valueCol, qprobs, 0.01)
-        .distinct.sorted
+    // deleting the separate count shuffle. ONE full-data pass remains
+    // (cells) plus one map-filtered pass — no full-data exchange at
+    // all.
+    // r9.2: boundary-FREE bucketing — the top 20 bits of the value's
+    // IEEE-754 total-order key (sign+exponent+8 mantissa bits). The
+    // previous approxQuantile boundary pass existed only to place
+    // bucket edges, but exactness never depended on edge placement
+    // (the exact per-cell counts carry it; buckets only set PRUNING
+    // granularity) — and a monotone function of the value needs no
+    // edges at all, so the sketch pass and its full scan+join are
+    // deleted outright: 3 full-data passes -> 2. Granularity: 256
+    // cells per octave (~n/256 rows per target cell for
+    // exponent-concentrated data, finer when values span octaves);
+    // ties of equal values can split across the -0.0/0.0 cell
+    // boundary, which concatenates equal values in a valid sorted
+    // order, exactly like ties inside one cell.
     val bucketOf = udf { v: Double =>
-      val i = java.util.Arrays.binarySearch(bnds, v)
-      if (i >= 0) i else -i - 1
+      val bits = java.lang.Double.doubleToLongBits(v)
+      // flip negatives entirely, set the sign bit on positives: the
+      // standard total-order key whose UNSIGNED order is value order;
+      // >>> keeps the top 20 bits as a monotone non-negative Int
+      val key = if (bits < 0) ~bits else bits | Long.MinValue
+      (key >>> 44).toInt
     }
     val withG = slim.withColumn("__g",
       bucketOf(col(valueCol).cast("double")))
