@@ -516,7 +516,7 @@ object Similarity {
     * `pos < k` and is dropped too. Assumes non-NaN cos (nonzero norms
     * — same contract as the window form, whose NaN ordering differed
     * from IEEE comparisons anyway). */
-  private final class TopKHeap(k: Int) {
+  private[operators] final class TopKHeap(k: Int) {
     val ids = new Array[Long](k)
     val cs = new Array[Double](k)
     var size = 0

@@ -191,4 +191,31 @@ class PropertySpec extends SparkSpec {
       msgs.contains("lane-sum domain"),
       s"guard must name corr_agg and the domain, got: $msgs")
   }
+
+  test("TopKHeap equals sort-based distinct top-k under any insertion " +
+    "order, with exact-duplicate streams and evictions (property)") {
+    // the r9 search kernels' per-query state: insertion under
+    // (cos desc, id asc), O(1) suppression of exact (id, cos)
+    // duplicates — the only duplicate shape the bucket routes produce.
+    // Reference: sort the DISTINCT candidate set and take k.
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 50) {
+      val k = 1 + rnd.nextInt(10)
+      val nIds = 1 + rnd.nextInt(40)
+      // small id/value domains force cos ties between DIFFERENT ids
+      // (legal) while each id keeps ONE cos (the kernel invariant)
+      val cosOf = (0 until nIds).map(i =>
+        i.toLong -> (rnd.nextInt(8) / 7.0)).toMap
+      // stream with duplicates, shuffled
+      val stream = rnd.shuffle(
+        (0 until nIds).flatMap(i =>
+          Seq.fill(1 + rnd.nextInt(3))(i.toLong)).toList)
+      val h = new Similarity.TopKHeap(k)
+      stream.foreach(id => h.insert(id, cosOf(id)))
+      val got = (0 until h.size).map(p => (h.ids(p), h.cs(p)))
+      val want = cosOf.toSeq.map { case (id, c) => (id, c) }
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+      assert(got === want, s"trial $trial k=$k stream=$stream")
+    }
+  }
 }
