@@ -548,15 +548,13 @@ object Dedup {
     var curCnt = e.count()
     var converged = curCnt == 0
     while (!converged && it < maxIter) {
-      // TWO alternations per materialization: each checkpoint + count
-      // + anti-join cycle is ~3 serial driver round-trips — half the
-      // wall cost of a round at the 118k-edge sf1 graph — and star
-      // sets are fixpoints of BOTH ops, so equality after a double
-      // alternation detects exactly the true fixpoint (an e → x → e
-      // 2-cycle would make the alternating sequence non-terminating,
-      // contradicting its published convergence; one extra idempotent
-      // alternation past an odd-step fixpoint is harmless).
-      val ss = alternate(alternate(e)).localCheckpoint(true)
+      // ONE alternation per materialization. Chaining two lazily was
+      // tried and REVERTED: an unmaterialized alternation is
+      // self-referenced several times by the next one (sym twice, sym
+      // again under mins and ls), and exchange reuse does not catch
+      // every copy — the sf0.1 component queries slowed 2x
+      // (dedup_components 1.95 -> 4.29 s) for a 7 -> 4 round count.
+      val ss = alternate(e).localCheckpoint(true)
       // fixpoint check: counts first — carried from the previous
       // round, so one count job per round — then an anti-join only
       // when counts agree
