@@ -192,6 +192,55 @@ class PropertySpec extends SparkSpec {
       s"guard must name corr_agg and the domain, got: $msgs")
   }
 
+  test("groupQuantileValues equals the in-memory interpolated quantile " +
+    "on generated data with negatives, -0.0, and heavy ties (property)") {
+    // the r9.2 IEEE-total-order bucketing's negative branch
+    // (bits < 0 → ~bits) and the -0.0/0.0 cell boundary are invisible
+    // to the price-valued oracle gates — generate values on both
+    // sides of zero with dense ties and compare against a driver-side
+    // replay of the exact lo/hi interpolation
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val groups = 1 + rnd.nextInt(3)
+      val rows = (0 until 300 + rnd.nextInt(200)).map { i =>
+        val g = s"g${rnd.nextInt(groups)}"
+        // mixed magnitudes and signs; ~1/8 exact zeros split between
+        // -0.0 and 0.0, plus tie-heavy small-int values
+        val v = rnd.nextInt(8) match {
+          case 0 => if (rnd.nextBoolean()) 0.0 else -0.0
+          case 1 | 2 => (rnd.nextInt(7) - 3).toDouble
+          case 3 => -math.exp(rnd.nextInt(20) - 10) * rnd.nextDouble()
+          case _ => math.exp(rnd.nextInt(20) - 10) * rnd.nextDouble()
+        }
+        (g, v, i)
+      }
+      val df = rows.toDF("g", "v", "i")
+      val probs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+      // output columns: (g, __n, p25, p50, p90)
+      val got = RelationalOps.groupQuantileValues(df, "g", "v", probs)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), probs.indices.map(k => r.getDouble(k + 2))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val vs = rs.map(_._2).sorted
+        val n = vs.length
+        val want = probs.map { case (_, p) =>
+          val h = (n - 1).toDouble * p
+          val lo = math.floor(h).toInt
+          val frac = h - lo
+          if (frac == 0.0) vs(lo)
+          else vs(lo) + (vs(lo + 1) - vs(lo)) * frac
+        }
+        val (_, gotVals) = got(g)
+        assert(gotVals.size === want.size)
+        gotVals.zip(want).zipWithIndex.foreach { case ((a, b), k) =>
+          assert(a === b,
+            s"trial $trial group $g prob ${probs(k)._1}: $a != $b")
+        }
+      }
+    }
+  }
+
   test("TopKHeap equals sort-based distinct top-k under any insertion " +
     "order, with exact-duplicate streams and evictions (property)") {
     // the r9 search kernels' per-query state: insertion under
