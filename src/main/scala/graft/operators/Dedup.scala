@@ -510,13 +510,8 @@ object Dedup {
       .where(col("hi") =!= col("lo"))
       .dropDuplicates("hi", "lo")
       .localCheckpoint(true)
-    // Every node ever seen must get a label even after its star
-    // collapses away, so remember the full node set once.
-    val nodes = e.select(col("hi").as("id"))
-      .union(e.select(col("lo").as("id")))
-      .distinct().localCheckpoint(true)
-    // One large-star + small-star alternation, built LAZILY (no
-    // checkpoint) so the driver can chain two per materialization.
+    // One large-star + small-star alternation, built LAZILY (the
+    // round loop checkpoints its output).
     def alternate(cur: DataFrame): DataFrame = {
       // large-star: from the symmetric view of each node u, connect
       // every neighbor v > u to m(u) = min(Γ(u) ∪ {u}). Emitted edges
@@ -576,12 +571,16 @@ object Dedup {
     require(converged,
       s"dupComponents did not converge in $maxIter rounds — " +
         "raise maxIter for graphs of this diameter")
-    // Final e is a union of stars rooted at component minima: every
-    // non-root node has exactly one (id, root) edge. Roots and any
-    // node whose star fully collapsed label themselves.
-    nodes.join(e.select(col("hi").as("id"), col("lo").as("root")),
-        Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("root"), col("id")).as("canonical_id"))
+    // Final e is a union of flat stars rooted at component minima, and
+    // EVERY input node is in it: both star ops re-emit each node they
+    // touch (a neighbor v > u survives as hi of (v, m(u)); a
+    // neighborhood minimum survives as its emissions' lo), so nothing
+    // ever collapses away — no separate node-set snapshot needed (the
+    // union-find property test pins this on random graphs). At the
+    // fixpoint hi's and lo's are disjoint and each hi appears once,
+    // so members label to their root and roots to themselves.
+    e.select(col("hi").as("id"), col("lo").as("canonical_id"))
+      .union(e.select(col("lo").as("id"), col("lo").as("canonical_id"))
+        .distinct())
   }
 }
