@@ -80,8 +80,11 @@ class PlanShapeSpec extends SparkSpec {
     ("dedup_embed_lsh", 3, 1),
     // cluster-blocked SemDeDup: the assignment kernel's rebalance +
     // centroid assign + in-cluster pairing, no broadcast required
-    // (pairs co-locate on the cluster key)
-    ("semantic_dedup", 3, 0),
+    // (pairs co-locate on the cluster key); the 4th exchange is the
+    // roots-distinct of the final component labeling — over the
+    // checkpointed star set (≤ one row per component), never the
+    // corpus
+    ("semantic_dedup", 4, 0),
     // cross-relation LSH decontamination: both sides sig+bucket (2×2
     // shuffles) + verify pair agg + final; small side broadcasts 5×
     ("contamination_minhash", 7, 5),
