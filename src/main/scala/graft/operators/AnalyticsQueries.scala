@@ -468,15 +468,20 @@ object AnalyticsQueries {
         val ev = Tables.load(s, d, "events")
         val purchases = ev.where(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"))
-        // Pre-aggregate ties AWAY: two clicks sharing (user, ts) have
-        // no defined "latest", and DuckDB's native ASOF JOIN offers no
-        // tie-break (it returns whichever duplicate its scan yields,
-        // where asofJoin picks the payload-hash max) — so both engines
-        // resolve (user, ts) to max(value) first and the compare is
-        // deterministic on ANY data, not just tie-free fixtures.
+        // Ties ((user, ts) shared by two clicks) have no defined
+        // "latest", and DuckDB's native ASOF JOIN offers no tie-break
+        // (it returns whichever duplicate its scan yields) — so the
+        // oracle resolves (user, ts) to max(value) BEFORE its ASOF
+        // join. The engine side needs no such pre-aggregation pass:
+        // asofJoin's payload-struct window ordering already hands
+        // last() the max value among equal-ts clicks (see the ordering
+        // comment in RelationalOps.asofJoin), so the click side flows
+        // straight into the one keyed window exchange — the r8 form's
+        // (user, ts) pre-agg shuffle is gone (2 exchanges → 1,
+        // PlanShapeSpec re-pinned) and the compare stays deterministic
+        // on ANY data, not just tie-free fixtures.
         val clicks = ev.where(col("event_type") === "click")
-          .groupBy(col("user_id"), col("ts"))
-          .agg(max(col("value")).as("value"))
+          .select(col("user_id"), col("ts"), col("value"))
         RelationalOps.asofJoin(purchases, clicks, "user_id", "ts",
           Seq("value"))
           .select(col("event_id"), col("user_id"),

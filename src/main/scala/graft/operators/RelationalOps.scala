@@ -733,12 +733,18 @@ object RelationalOps {
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     // right rows order before left rows at equal ts → `<=` semantics.
-    // The payload hash breaks ties among right rows sharing (key, ts):
-    // without it, last() would pick whichever duplicate the partition
-    // sort placed later — nondeterministic across layouts/retries (the
-    // same data-derived-ordering doctrine as mixKey/saltedAgg).
+    // The payload STRUCT breaks ties among right rows sharing (key,
+    // ts): last() then picks the lexicographically greatest payload —
+    // deterministic across layouts/retries (the data-derived-ordering
+    // doctrine of mixKey/saltedAgg), and for a single-column payload
+    // it IS "max value at the winning ts", i.e. exactly what a
+    // (key, ts) → max(value) pre-aggregation before the join would
+    // produce — so callers need no tie-collapsing shuffle of the right
+    // side (the r9 asof_join rework: 2 exchanges → 1). The previous
+    // xxhash64(__pay) tie-break was equally deterministic but picked
+    // the hash-max payload, which no SQL oracle can restate.
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"), xxhash64(col("__pay")))
+      .orderBy(col(tsCol), col("__side"), col("__pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__last", last(col("__pay"), ignoreNulls = true).over(w))

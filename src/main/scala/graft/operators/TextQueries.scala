@@ -226,22 +226,41 @@ object TextQueries {
   def filterReason(textCol: Column, minWords: Int, minStopRatio: Double,
                    maxDupFrac: Double): Column = {
     val w = split(textCol, " ")
-    val nW = size(w)
-    val stopRatio = size(filter(w, x =>
-      x.isin(stopwords.map(_.asInstanceOf[Any]): _*))) / nW
-    val dupFrac = lit(1) - size(array_distinct(w)) / nW
-    when(nW < minWords, "too_short")
-      .when(stopRatio < minStopRatio, "low_stopword")
-      .when(dupFrac > maxDupFrac, "repetitive")
-      .otherwise("kept")
+    reasonFromCounts(size(w),
+      size(filter(w, x =>
+        x.isin(stopwords.map(_.asInstanceOf[Any]): _*))),
+      size(array_distinct(w)), minWords, minStopRatio, maxDupFrac)
   }
+
+  /** The rule chain of [[filterReason]] over PRE-COMPUTED counts — the
+    * single source of the thresholds for both the expression route
+    * ([[filterReason]], pushdown-friendly) and the kernel route
+    * ([[graft.functions.TokenCountKernel.tokenStats]] feeds this in
+    * `corpus_filter`/`corpus_report`). Ratio divisions go through
+    * Spark's `/` (always double, int or long inputs alike), matching
+    * the oracle's BIGINT/BIGINT → double. */
+  def reasonFromCounts(nW: Column, stopCnt: Column, nDistinct: Column,
+                       minWords: Int, minStopRatio: Double,
+                       maxDupFrac: Double): Column =
+    when(nW < minWords, "too_short")
+      .when(stopCnt / nW < minStopRatio, "low_stopword")
+      .when(lit(1) - nDistinct / nW > maxDupFrac, "repetitive")
+      .otherwise("kept")
 
   def corpusFilter(df: DataFrame, idCol: String, textCol: String,
                    minWords: Int, minStopRatio: Double,
                    maxDupFrac: Double): DataFrame = {
-    val reason = filterReason(col(textCol), minWords, minStopRatio,
-      maxDupFrac)
-    df.select(col(idCol), size(split(col(textCol), " ")).as("n_words"),
+    // kernel route: one char scan per doc for all three counts (the
+    // expression route re-walked the token array three times — split +
+    // interpreted filter + array_distinct); thresholds still live only
+    // in reasonFromCounts. Stays map-only (PlanShapeSpec pin: 0
+    // shuffles).
+    val st = graft.functions.TokenCountKernel.tokenStats(
+      df.select(col(idCol), col(textCol)), textCol, stopwords,
+      "__nw", "__sc", "__nd")
+    val reason = reasonFromCounts(col("__nw"), col("__sc"), col("__nd"),
+      minWords, minStopRatio, maxDupFrac)
+    st.select(col(idCol), col("__nw").cast("int").as("n_words"),
       reason.as("reason"),
       (reason === "kept").cast("int").as("keep"))
   }
@@ -339,14 +358,63 @@ object TextQueries {
           .select(col("doc_id"), col("text"))
         val probes = base.where(col("doc_id") % 10 === 0)
           .select((-col("doc_id") - 1).as("doc_id"), col("text"))
-        base.unionByName(probes)
-          .select(col("doc_id"),
-            explode(split(col("text"), "\\. ")).as("line"))
-          .where(length(col("line")) >= 20)
-          // both exchanges carry only (16-byte hash, doc_id) pairs
-          // with map-side partial distinct — a distinct-then-group
-          // form would shuffle the full sentence text first
-          .groupBy(md5(col("line")).as("line_hash"))
+        // Line hashing as a typed byte kernel (the dedup_spans
+        // recipe): one getBytes + one boundary scan + one reused MD5
+        // digest per doc replaces regexp split + explode + per-line
+        // md5 expression evaluation, each of which allocated the line
+        // as a row value before hashing it. Boundary semantics are
+        // split("\\. ")'s leftmost-first non-overlapping matches —
+        // a byte scan that cuts at each '.'+' ' pair and resumes
+        // AFTER the separator reproduces them exactly (both separator
+        // bytes are ASCII, so they never alias a UTF-8 continuation
+        // byte). The ≥20 filter counts CODE POINTS like length()
+        // (Spark numChars / DuckDB length agree) = non-continuation
+        // bytes of the slice. Lines themselves never leave the
+        // kernel: only (16-byte hash, doc_id) pairs reach the
+        // distinct-agg exchange, with map-side partial distinct.
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("line_hash",
+            org.apache.spark.sql.types.StringType)))
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+          .encoderFor(outSchema)
+        val hashes = base.unionByName(probes).mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = java.util.HexFormat.of() // lowercase by default
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.Row]
+            var start = 0
+            var i = 0
+            while (i <= bytes.length) {
+              val atSep = i < bytes.length - 1 &&
+                bytes(i) == '.' && bytes(i + 1) == ' '
+              if (i == bytes.length || atSep) {
+                // code points = bytes that are not 10xxxxxx
+                var cp = 0
+                var j = start
+                while (j < i) {
+                  if ((bytes(j) & 0xC0) != 0x80) cp += 1
+                  j += 1
+                }
+                if (cp >= 20) {
+                  md.reset()
+                  md.update(bytes, start, i - start)
+                  out += org.apache.spark.sql.Row(id,
+                    hex.formatHex(md.digest()))
+                }
+                if (atSep) { start = i + 2; i += 2 } else i += 1
+              } else i += 1
+            }
+            out.iterator
+          }
+        }(enc)
+        hashes
+          .groupBy(col("line_hash"))
           .agg(count_distinct(col("doc_id")).as("n_docs"),
             min(col("doc_id")).as("first_doc"))
           .where(col("n_docs") >= 2)
@@ -911,15 +979,22 @@ object TextQueries {
     // the post-filter survival rate — the reporting step that drives
     // mixture-rate decisions ([[sourceMixSample]]). One scan, one
     // partial-aggregated shuffle of (source, lang) rows; thresholds
-    // shared with corpus_filter via [[filterReason]].
+    // shared with corpus_filter via [[reasonFromCounts]], counts from
+    // the one-pass [[graft.functions.TokenCountKernel.tokenStats]]
+    // kernel (the HOF form re-walked each doc's token array three
+    // times — 2.3× the sf1 columnar baseline; the kernel also folds
+    // the separate n_tokens split into the same scan).
     "corpus_report" -> QDef(
       (s, d) => {
-        val keep = (filterReason(col("text"), 20, 0.03, 0.65) === "kept")
-          .cast("int")
-        docs(s, d).where(col("text").isNotNull)
-          .groupBy(col("source"), col("lang"))
+        val st = graft.functions.TokenCountKernel.tokenStats(
+          docs(s, d).where(col("text").isNotNull)
+            .select(col("source"), col("lang"), col("text")),
+          "text", stopwords, "__nw", "__sc", "__nd")
+        val keep = (reasonFromCounts(col("__nw"), col("__sc"),
+          col("__nd"), 20, 0.03, 0.65) === "kept").cast("int")
+        st.groupBy(col("source"), col("lang"))
           .agg(count("*").as("n_docs"),
-            sum(size(split(col("text"), " "))).as("n_tokens"),
+            sum(col("__nw")).as("n_tokens"),
             sum(keep).as("n_kept"),
             round(sum(keep) / count("*"), 6).as("kept_frac"))
       },

@@ -57,9 +57,11 @@ class PlanShapeSpec extends SparkSpec {
     // grain-bucketed range join: interval side explodes + broadcasts,
     // points shuffle once at most
     ("range_join", 1, 1),
-    // as-of: two keyed shuffles (events + quotes to the same key), not
-    // a cross product
-    ("asof_join", 2, 0),
+    // as-of: ONE keyed shuffle — both sides union into a single
+    // key-partitioned window; the r8 form's click-side (user, ts)
+    // pre-agg exchange is folded into the window's payload-struct
+    // tie-break (a 2nd exchange means the pre-agg came back)
+    ("asof_join", 1, 0),
     // two-phase skew-salted agg: exactly the partial + final pair
     ("salted_agg", 2, 0),
     // aggregate-then-join full outer: two count shuffles; the join
