@@ -52,6 +52,53 @@ object DevSemTime {
       Similarity.semanticDedup(all, cents, threshold = 0.44))
     t("verdict write 2nd")(
       df2.write.format("noop").mode("overwrite").save())
+    // phase split: materialize the pair pipeline alone, then run
+    // components on the checkpointed pairs
+    val sorted = cents.sortBy(_._1)
+    val base = VectorQueries.withNorm(all)
+      .select(col("vec_id").as("id"), col("v"), col("nrm"))
+      .repartition(64)
+    val bcCts = spark.sparkContext.broadcast(sorted.map(_._2))
+    val bcIds = spark.sparkContext.broadcast(sorted.map(_._1))
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", ArrayType(DoubleType), nullable = true),
+        StructField("nrm", DoubleType, nullable = true),
+        StructField("cell", LongType, nullable = false))))
+    val celled = base.mapPartitions { rows =>
+      val cc = bcCts.value; val ids = bcIds.value
+      rows.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cc.length) {
+          val ct = cc(c); var d = 0.0; var j = 0
+          while (j < ct.length && j < v.length) {
+            val t2 = v(j) - ct(j); d += t2 * t2; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        org.apache.spark.sql.Row(r.getLong(0), v.toSeq, r.get(2),
+          ids(best))
+      }
+    }(enc)
+    val assigned = t("phase: assignment checkpoint")(
+      celled.localCheckpoint(true))
+    val pruned = Dedup.pruneOversized(assigned, Seq("cell"), 100000)
+    val pairs = t("phase: pair gen checkpoint")(
+      pruned.as("a").join(pruned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          (VectorQueries.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .where(col("cos") >= 0.44)
+        .select("a_id", "b_id")
+        .localCheckpoint(true))
+    val comp = t("phase: components")(
+      Dedup.dupComponents(pairs).localCheckpoint(true))
+    println(s"[semtime] pairs=${pairs.count()} comp=${comp.count()}")
     // keep the UI alive for REST inspection when asked
     sys.env.get("GRAFT_DEV_HOLD").foreach(s2 =>
       Thread.sleep(s2.toLong * 1000))

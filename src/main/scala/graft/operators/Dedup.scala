@@ -493,6 +493,22 @@ object Dedup {
     * |pairs|, orders of magnitude smaller than the corpus — at
     * 100 TB this runs on the dedup OUTPUT, never the documents.
     *
+    * Size-gated routing (the broadcast-threshold idea applied to an
+    * iterative algorithm): after the canonical edge dedup, the edge
+    * COUNT — already needed as the fixpoint baseline — picks the
+    * route. At or under [[driverComponentsEdgeLimit]] edges the graph
+    * is union-found on the driver in one pass (≤4M (long, long) rows
+    * — a bounded collect of a few hundred MB transient on the driver,
+    * the same order as a broadcast-join build side) because the
+    * distributed rounds cost
+    * ~1 s of serial exchange/job latency EACH regardless of data
+    * size: the sf1 semantic-dedup graph (118k edges, 7 rounds) spent
+    * 7.2 of its 11 s in the loop. Above the limit — any real 100-TB
+    * dedup run, where pair sets are billions — the alternating-star
+    * rounds run exactly as before. Both routes emit identical rows
+    * (min-id canonical, every paired node exactly once;
+    * DedupSimilaritySpec pins route equality on random graphs).
+    *
     * @param pairs (a_id, b_id) dup pairs (undirected)
     * @return (id, canonical_id) for every id in a pair; docs to drop
     *         are the rows with id != canonical_id
@@ -510,6 +526,11 @@ object Dedup {
       .where(col("hi") =!= col("lo"))
       .dropDuplicates("hi", "lo")
       .localCheckpoint(true)
+    val nEdges = e.count()
+    val longIds = e.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (nEdges > 0 && nEdges <= driverComponentsEdgeLimit && longIds)
+      return driverComponents(e)
     // One large-star + small-star alternation, built LAZILY (the
     // round loop checkpoints its output).
     def alternate(cur: DataFrame): DataFrame = {
@@ -540,7 +561,7 @@ object Dedup {
         .dropDuplicates("hi", "lo")
     }
     var it = 0
-    var curCnt = e.count()
+    var curCnt = nEdges
     var converged = curCnt == 0
     while (!converged && it < maxIter) {
       // ONE alternation per materialization. Chaining two lazily was
@@ -582,5 +603,60 @@ object Dedup {
     e.select(col("hi").as("id"), col("lo").as("canonical_id"))
       .union(e.select(col("lo").as("id"), col("lo").as("canonical_id"))
         .distinct())
+  }
+
+  /** Edge-count bound for [[dupComponents]]' driver union-find route.
+    * Default 4M edges (two longs each — a collect on the order of a
+    * broadcast build side). Overridable per-JVM via the
+    * `graft.components.driverEdgeLimit` system property; tests set it
+    * to 0 to force the distributed rounds, and a 100-TB deployment
+    * whose driver is memory-tight can do the same. */
+  private[graft] def driverComponentsEdgeLimit: Long =
+    sys.props.get("graft.components.driverEdgeLimit").map(_.toLong)
+      .getOrElse(4L << 20)
+
+  /** Driver union-find over a canonical (hi > lo) deduped edge set
+    * that fits [[driverComponentsEdgeLimit]] — same output contract as
+    * the distributed fixpoint: (id, component-min canonical_id), one
+    * row per node that appears in an edge. Union by id order (greater
+    * root attaches under smaller) makes every root its component's
+    * minimum; iterative find with path-halving keeps the walk
+    * stack-free at the 4M-edge bound. */
+  private def driverComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val edges = e.select(col("hi"), col("lo")).collect()
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val ra = find(r.getLong(0))
+      val rb = find(r.getLong(1))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // every endpoint exactly once; roots label to themselves
+    val seen = new java.util.HashSet[Long](edges.length * 2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    edges.foreach { r =>
+      var i = 0
+      while (i < 2) {
+        val id = r.getLong(i)
+        if (seen.add(id)) out += ((id, find(id)))
+        i += 1
+      }
+    }
+    import spark.implicits._
+    val slices = math.max(1, out.length / 500000)
+    spark.createDataset(
+      spark.sparkContext.parallelize(out.toSeq, slices))
+      .toDF("id", "canonical_id")
   }
 }

@@ -335,16 +335,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r2 > 0.2 && r2 <= r8, s"recall@nprobe=2 $r2")
   }
 
+  /** Force dupComponents' distributed alternating-star route (the
+    * size gate would send every fixture-scale graph to the driver
+    * union-find otherwise, silently un-covering the scale path). */
+  private def withDistributedComponents[A](f: => A): A = {
+    val key = "graft.components.driverEdgeLimit"
+    val prev = sys.props.get(key)
+    sys.props(key) = "0"
+    try f
+    finally prev match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props -= key
+    }
+  }
+
   test("dupComponents collapses transitive chains to one canonical id " +
-    "and leaves unrelated clusters apart") {
+    "and leaves unrelated clusters apart — on BOTH routes") {
     // 1-2-3-4 is a CHAIN (pairwise dedup alone would under-delete);
     // 7-8 is separate; 9 appears in no pair and must not appear.
     val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (7L, 8L))
       .toDF("a_id", "b_id")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L)
+    // default route: 4 edges → driver union-find
     val comp = Dedup.dupComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      7L -> 7L, 8L -> 7L))
+    assert(comp === want)
+    // forced distributed route: identical rows
+    val compD = withDistributedComponents(
+      Dedup.dupComponents(pairs).as[(Long, Long)].collect().toMap)
+    assert(compD === want)
     // survivors = canonical ids; everything else drops
     val drops = comp.filter { case (id, c) => id != c }.keySet
     assert(drops === Set(2L, 3L, 4L, 8L))
@@ -353,7 +373,8 @@ class DedupSimilaritySpec extends SparkSpec {
   test("dupComponents converges on a long chain (alternating stars)") {
     val n = 64
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val comp = Dedup.dupComponents(pairs).as[(Long, Long)].collect()
+    val comp = withDistributedComponents(
+      Dedup.dupComponents(pairs).as[(Long, Long)].collect())
     assert(comp.length === n)
     assert(comp.forall(_._2 === 1L), "all chain nodes label to the min")
   }
@@ -367,13 +388,15 @@ class DedupSimilaritySpec extends SparkSpec {
     val n = 512L
     val pairs = (1L until n).map(i => (n - i + 1, n - i))
       .toDF("a_id", "b_id")
-    val comp = Dedup.dupComponents(pairs, maxIter = 15)
-      .as[(Long, Long)].collect()
+    val comp = withDistributedComponents(
+      Dedup.dupComponents(pairs, maxIter = 15)
+        .as[(Long, Long)].collect())
     assert(comp.length === n)
     assert(comp.forall(_._2 === 1L), "all chain nodes label to the min")
   }
 
-  test("dupComponents equals brute-force union-find on random graphs") {
+  test("dupComponents equals brute-force union-find on random graphs " +
+    "— BOTH routes") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 3) {
       val nNodes = 200
@@ -384,8 +407,13 @@ class DedupSimilaritySpec extends SparkSpec {
         val b = ids(rnd.nextInt(ids.length))
         (a, b)
       }.filter(p => p._1 != p._2)
+      // default route (driver union-find at this size)
       val got = Dedup.dupComponents(es.toDF("a_id", "b_id"))
         .as[(Long, Long)].collect().toMap
+      // forced distributed alternating-star route
+      val gotD = withDistributedComponents(
+        Dedup.dupComponents(es.toDF("a_id", "b_id"))
+          .as[(Long, Long)].collect().toMap)
       // reference: driver-side union-find
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -398,7 +426,8 @@ class DedupSimilaritySpec extends SparkSpec {
       }
       val want = es.flatMap(p => Seq(p._1, p._2)).distinct
         .map(x => x -> find(x)).toMap
-      assert(got === want, s"trial $trial")
+      assert(got === want, s"trial $trial (driver route)")
+      assert(gotD === want, s"trial $trial (distributed route)")
     }
   }
 

@@ -82,11 +82,12 @@ class PlanShapeSpec extends SparkSpec {
     ("dedup_embed_lsh", 3, 1),
     // cluster-blocked SemDeDup: the assignment kernel's rebalance +
     // centroid assign + in-cluster pairing, no broadcast required
-    // (pairs co-locate on the cluster key); the 4th exchange is the
-    // roots-distinct of the final component labeling — over the
-    // checkpointed star set (≤ one row per component), never the
-    // corpus
-    ("semantic_dedup", 4, 0),
+    // (pairs co-locate on the cluster key). At fixture scale the
+    // component labels come from dupComponents' size-gated driver
+    // union-find (a parallelized local relation — no exchange); the
+    // distributed route's 4-exchange shape (the roots-distinct of the
+    // final star set) is pinned separately below.
+    ("semantic_dedup", 3, 0),
     // cross-relation LSH decontamination: both sides sig+bucket (2×2
     // shuffles) + verify pair agg + final; small side broadcasts 5×
     ("contamination_minhash", 7, 5),
@@ -150,6 +151,25 @@ class PlanShapeSpec extends SparkSpec {
       assert(bcasts >= minBcast,
         s"$name lost its broadcast: the small side now reaches the " +
           "join through a shuffle, which at scale moves the fact table")
+    }
+  }
+
+  test("plan shape: semantic_dedup on the FORCED-distributed " +
+    "components route has exactly 4 shuffles (the scale shape the " +
+    "size gate hides at fixture scale)") {
+    val key = "graft.components.driverEdgeLimit"
+    val prev = sys.props.get(key)
+    sys.props(key) = "0"
+    try {
+      val (shuffles, _) = shapeOf("semantic_dedup")
+      // rebalance + assign + pairing + the roots-distinct of the final
+      // checkpointed star set (≤ one row per component, never the
+      // corpus) — a 5th exchange means components started shuffling
+      // payloads
+      assert(shuffles === 4)
+    } finally prev match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props -= key
     }
   }
 }
