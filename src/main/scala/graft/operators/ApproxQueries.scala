@@ -19,6 +19,29 @@ object ApproxQueries {
     * `ann_pq_probe` and `ann_ivf_pq_probe` — the latter probes every
     * cell, which provably collapses the composed IVF-PQ result to
     * this same dense ADC scan. */
+  /** Exact minhash-pair recompute + recursive-CTE transitive closure
+    * (min over reachable ids) — the clustering oracle shared by
+    * `dedup_components` (size-gated driver route at fixture scale)
+    * and `dedup_components_dist` (forced distributed rounds). */
+  private val componentsOracleSql: String =
+    "WITH RECURSIVE " +
+      "docs AS (SELECT doc_id, string_split(text, ' ') AS w " +
+      "FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+      "sh AS (SELECT doc_id, " +
+      "list_distinct([array_to_string(w[x:x+2], ' ') " +
+      "FOR x IN range(1, len(w) - 1)]) AS s FROM docs), " +
+      "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+      "len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, " +
+      "len(b.s) AS nb FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+      "pairs AS (SELECT a_id, b_id FROM p " +
+      "WHERE i / (na + nb - i) >= 0.6), " +
+      "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+      "UNION ALL SELECT b_id, a_id FROM pairs), " +
+      "reach AS (SELECT src AS id, dst AS r FROM edges " +
+      "UNION SELECT reach.id, e.dst FROM reach " +
+      "JOIN edges e ON reach.r = e.src) " +
+      "SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id"
+
   private val pqProbeReplaySql: String =
     "WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
       "AS x, generate_subscripts(embedding, 1) AS pos " +
@@ -80,23 +103,29 @@ object ApproxQueries {
         Dedup.minhashDedup(Tables.load(s, d, "documents"), "doc_id",
           "text", threshold = 0.6)
           .select(col("a_id"), col("b_id"))),
-      "WITH RECURSIVE " +
-        "docs AS (SELECT doc_id, string_split(text, ' ') AS w " +
-        "FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
-        "sh AS (SELECT doc_id, " +
-        "list_distinct([array_to_string(w[x:x+2], ' ') " +
-        "FOR x IN range(1, len(w) - 1)]) AS s FROM docs), " +
-        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
-        "len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, " +
-        "len(b.s) AS nb FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
-        "pairs AS (SELECT a_id, b_id FROM p " +
-        "WHERE i / (na + nb - i) >= 0.6), " +
-        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
-        "UNION ALL SELECT b_id, a_id FROM pairs), " +
-        "reach AS (SELECT src AS id, dst AS r FROM edges " +
-        "UNION SELECT reach.id, e.dst FROM reach " +
-        "JOIN edges e ON reach.r = e.src) " +
-        "SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id"),
+      componentsOracleSql),
+
+    // The SAME clustering with the components size gate disabled, so
+    // the driver's oracle gate covers the DISTRIBUTED alternating-star
+    // rounds — the route every over-4M-edge (i.e. every real 100-TB)
+    // run takes, which at fixture scale would otherwise be exercised
+    // only by specs. dupComponents runs its rounds eagerly inside the
+    // construction call, so scoping the property around it is exact.
+    "dedup_components_dist" -> QDef(
+      (s, d) => {
+        val key = "graft.components.driverEdgeLimit"
+        val prev = sys.props.get(key)
+        sys.props(key) = "0"
+        try Dedup.dupComponents(
+          Dedup.minhashDedup(Tables.load(s, d, "documents"), "doc_id",
+            "text", threshold = 0.6)
+            .select(col("a_id"), col("b_id")))
+        finally prev match {
+          case Some(v) => sys.props(key) = v
+          case None => sys.props -= key
+        }
+      },
+      componentsOracleSql),
 
     // The end of the dedup story: pairs → clusters → PRUNED CORPUS.
     // Non-canonical cluster members anti-join out of the documents
