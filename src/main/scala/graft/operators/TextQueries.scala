@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Training-data text-pipeline operators over the `documents` table:
   * dedup, token counting, quality scoring, language-ID heuristics,
@@ -265,6 +266,70 @@ object TextQueries {
       (reason === "kept").cast("int").as("keep"))
   }
 
+  /** (id, line_hash) pairs for C4-style line dedup, as a typed byte
+    * kernel (the dedup_spans recipe): one getBytes + one boundary scan
+    * + one reused MD5 digest per doc replaces regexp split + explode +
+    * per-line md5 expression evaluation, each of which allocated the
+    * line as a row value before hashing it. Semantics are EXACTLY
+    * `md5(explode(split(textCol, "\\. ")))` filtered to lines of
+    * ≥ `minCp` code points: the byte scan cuts at each '.'+' ' pair
+    * and resumes AFTER the separator, reproducing split's
+    * leftmost-first non-overlapping matches (both separator bytes are
+    * ASCII, so they never alias a UTF-8 continuation byte), and the
+    * code-point count — non-continuation bytes of the slice — equals
+    * Spark `length()` (numChars) and DuckDB `length`. Lines never
+    * leave the kernel: only (16-byte hash, id) pairs flow downstream
+    * (PropertySpec pins byte-kernel ≡ expression route on generated
+    * unicode corpora). Null text rows must be filtered upstream.
+    *
+    * @return (idCol long, "line_hash" string) — map-only, no shuffle
+    */
+  private[operators] def lineHashPairs(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       minCp: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val textIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("line_hash", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = java.util.HexFormat.of() // lowercase by default
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getString(textIdx)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        var start = 0
+        var i = 0
+        while (i <= bytes.length) {
+          val atSep = i < bytes.length - 1 &&
+            bytes(i) == '.' && bytes(i + 1) == ' '
+          if (i == bytes.length || atSep) {
+            // code points = bytes that are not 10xxxxxx
+            var cp = 0
+            var j = start
+            while (j < i) {
+              if ((bytes(j) & 0xC0) != 0x80) cp += 1
+              j += 1
+            }
+            if (cp >= minCp) {
+              md.reset()
+              md.update(bytes, start, i - start)
+              out += org.apache.spark.sql.Row(id,
+                hex.formatHex(md.digest()))
+            }
+            if (atSep) { start = i + 2; i += 2 } else i += 1
+          } else i += 1
+        }
+        out.iterator
+      }
+    }(enc)
+  }
+
   /** Deterministic per-source downsampling — the mixture-reweighting
     * step of a pre-training pipeline (hold back over-represented web
     * sources, keep books/reference at full rate). Keep decision is
@@ -358,62 +423,7 @@ object TextQueries {
           .select(col("doc_id"), col("text"))
         val probes = base.where(col("doc_id") % 10 === 0)
           .select((-col("doc_id") - 1).as("doc_id"), col("text"))
-        // Line hashing as a typed byte kernel (the dedup_spans
-        // recipe): one getBytes + one boundary scan + one reused MD5
-        // digest per doc replaces regexp split + explode + per-line
-        // md5 expression evaluation, each of which allocated the line
-        // as a row value before hashing it. Boundary semantics are
-        // split("\\. ")'s leftmost-first non-overlapping matches —
-        // a byte scan that cuts at each '.'+' ' pair and resumes
-        // AFTER the separator reproduces them exactly (both separator
-        // bytes are ASCII, so they never alias a UTF-8 continuation
-        // byte). The ≥20 filter counts CODE POINTS like length()
-        // (Spark numChars / DuckDB length agree) = non-continuation
-        // bytes of the slice. Lines themselves never leave the
-        // kernel: only (16-byte hash, doc_id) pairs reach the
-        // distinct-agg exchange, with map-side partial distinct.
-        val outSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("line_hash",
-            org.apache.spark.sql.types.StringType)))
-        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-          .encoderFor(outSchema)
-        val hashes = base.unionByName(probes).mapPartitions { rows =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = java.util.HexFormat.of() // lowercase by default
-          rows.flatMap { r =>
-            val id = r.getLong(0)
-            val bytes = r.getString(1)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[org.apache.spark.sql.Row]
-            var start = 0
-            var i = 0
-            while (i <= bytes.length) {
-              val atSep = i < bytes.length - 1 &&
-                bytes(i) == '.' && bytes(i + 1) == ' '
-              if (i == bytes.length || atSep) {
-                // code points = bytes that are not 10xxxxxx
-                var cp = 0
-                var j = start
-                while (j < i) {
-                  if ((bytes(j) & 0xC0) != 0x80) cp += 1
-                  j += 1
-                }
-                if (cp >= 20) {
-                  md.reset()
-                  md.update(bytes, start, i - start)
-                  out += org.apache.spark.sql.Row(id,
-                    hex.formatHex(md.digest()))
-                }
-                if (atSep) { start = i + 2; i += 2 } else i += 1
-              } else i += 1
-            }
-            out.iterator
-          }
-        }(enc)
-        hashes
+        lineHashPairs(base.unionByName(probes), "doc_id", "text", 20)
           .groupBy(col("line_hash"))
           .agg(count_distinct(col("doc_id")).as("n_docs"),
             min(col("doc_id")).as("first_doc"))

@@ -267,4 +267,53 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"trial $trial k=$k stream=$stream")
     }
   }
+
+  // generated corpus for the r9.3 byte/char kernels: stopwords, ascii
+  // and multi-byte tokens (2-, 3-, and 4-byte UTF-8 incl. a surrogate
+  // pair), '.'-bearing tokens, and raw space runs (empty tokens,
+  // leading/trailing separators) — the shapes where a hand-rolled
+  // boundary scan diverges from split() if it is off by one anywhere
+  private def genDocs(n: Int): Seq[(Long, String)] = {
+    val toks = Seq("the", "a", "of", "and", "to", "in", "x", "deux",
+      "héllo", "héllo", "世界", "👍ok", "dot.", ".", "a.b", "..",
+      "end. start", "", " ", "  ")
+    val gen = for {
+      k <- Gen.chooseNum(0, 30)
+      ws <- Gen.listOfN(k, Gen.oneOf(toks))
+    } yield ws.mkString(" ")
+    samples(gen, n).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  test("tokenStats kernel equals the split/filter/array_distinct " +
+    "expression route on generated unicode corpora (property)") {
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val df = genDocs(300).toDF("id", "text")
+    val kernel = graft.functions.TokenCountKernel.tokenStats(
+      df, "text", stops, "nw", "sc", "nd")
+      .select(col("id"), col("nw"), col("sc"), col("nd"))
+    val w = split(col("text"), " ")
+    val expr = df.select(col("id"),
+      size(w).cast("long").as("nw"),
+      size(filter(w, x => x.isin(stops.map(_.asInstanceOf[Any]): _*)))
+        .cast("long").as("sc"),
+      size(array_distinct(w)).cast("long").as("nd"))
+    val diff = kernel.exceptAll(expr).count() +
+      expr.exceptAll(kernel).count()
+    assert(diff === 0L, "kernel/expression token stats diverged")
+  }
+
+  test("lineHashPairs byte kernel equals md5(explode(split)) with the " +
+    "length filter on generated unicode corpora (property)") {
+    for (minCp <- Seq(0, 1, 3, 20)) {
+      val df = genDocs(300).toDF("id", "text")
+      val kernel = TextQueries.lineHashPairs(df, "id", "text", minCp)
+      val expr = df.select(col("id"),
+          explode(split(col("text"), "\\. ")).as("line"))
+        .where(length(col("line")) >= minCp)
+        .select(col("id"), md5(col("line")).as("line_hash"))
+      val diff = kernel.exceptAll(expr).count() +
+        expr.exceptAll(kernel).count()
+      assert(diff === 0L, s"minCp=$minCp kernel/expression diverged")
+    }
+  }
 }
