@@ -71,17 +71,8 @@ object DevSemTime {
       val cc = bcCts.value; val ids = bcIds.value
       rows.map { r =>
         val v = r.getSeq[Double](1).toArray
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < cc.length) {
-          val ct = cc(c); var d = 0.0; var j = 0
-          while (j < ct.length && j < v.length) {
-            val t2 = v(j) - ct(j); d += t2 * t2; j += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
         org.apache.spark.sql.Row(r.getLong(0), v.toSeq, r.get(2),
-          ids(best))
+          ids(Similarity.nearestCell(cc, v)))
       }
     }(enc)
     val assigned = t("phase: assignment checkpoint")(

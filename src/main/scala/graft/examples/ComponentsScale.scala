@@ -71,35 +71,30 @@ object ComponentsScale {
     val edges = spark.read.parquet(s"$tmp/edges")
     val nEdges = edges.count()
 
-    val key = "graft.components.driverEdgeLimit"
-    def route[A](limit: String)(f: => A): A = {
-      val prev = sys.props.get(key)
-      sys.props(key) = limit
-      try f
-      finally prev match {
-        case Some(v) => sys.props(key) = v
-        case None => sys.props -= key
-      }
-    }
-    def timeMin2(f: => Long): (Double, Long) = {
+    // Both routes are FORCED via the parameter (0 = distributed
+    // rounds, MaxValue = driver union-find) — routing by the default
+    // limit would silently turn this into distributed-vs-distributed
+    // whenever the CLI edge count exceeds the gate, vacuating the
+    // equality check. Each route is timed twice (min published); the
+    // second run's result is kept checkpointed for the correctness
+    // checks, so each route computes exactly twice.
+    def timeMin2(mk: => org.apache.spark.sql.DataFrame)
+        : (Double, Long, org.apache.spark.sql.DataFrame) = {
       var best = Double.MaxValue; var rows = 0L
+      var last: org.apache.spark.sql.DataFrame = null
       for (_ <- 1 to 2) {
         val t0 = System.nanoTime()
-        rows = f
+        last = mk.localCheckpoint(true)
+        rows = last.count()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
-      (best, rows)
+      (best, rows, last)
     }
 
-    // distributed route (forced), timed through a full materialization
-    val (tDist, nDist) = timeMin2(
-      route("0")(Dedup.dupComponents(edges)).count())
-    // driver union-find route (default limit covers this size)
-    val (tDrv, nDrv) = timeMin2(Dedup.dupComponents(edges).count())
-
-    val dist = route("0")(Dedup.dupComponents(edges))
-      .localCheckpoint(true)
-    val drv = Dedup.dupComponents(edges).localCheckpoint(true)
+    val (tDist, nDist, dist) = timeMin2(
+      Dedup.dupComponents(edges, driverEdgeLimit = 0L))
+    val (tDrv, nDrv, drv) = timeMin2(
+      Dedup.dupComponents(edges, driverEdgeLimit = Long.MaxValue))
     val diff = dist.exceptAll(drv).count() + drv.exceptAll(dist).count()
     val vEq = check(diff == 0, s"route labels differ ($diff rows)")
 
@@ -137,7 +132,8 @@ object ComponentsScale {
       s"want $nodes | $vTotal |\n\n"
     md ++= "## Wall time\n\n| route | s |\n|---|---|\n"
     md ++= f"| distributed alternating-star (forced) | $tDist%.1f |\n"
-    md ++= f"| driver union-find (default at this size) | $tDrv%.1f |\n\n"
+    md ++= f"| driver union-find (forced; the default route ≤4M " +
+      f"edges) | $tDrv%.1f |\n\n"
     md ++= f"Driver route speedup ${tDist / tDrv}%.1f× at $nEdges " +
       "edges — the serial per-round exchange latency the size gate " +
       "deletes; above the 4M-edge bound the distributed rounds are " +

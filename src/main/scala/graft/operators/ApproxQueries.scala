@@ -12,13 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object ApproxQueries {
 
-  /** Full DuckDB replay of symmetric-distance PQ search on the
-    * quarter-spaced grid codebooks (snap each coordinate to its
-    * nearest grid point via bracketing indices, tie to the lower =
-    * the encoder's first-min; exact doubles throughout). Shared by
-    * `ann_pq_probe` and `ann_ivf_pq_probe` — the latter probes every
-    * cell, which provably collapses the composed IVF-PQ result to
-    * this same dense ADC scan. */
   /** Exact minhash-pair recompute + recursive-CTE transitive closure
     * (min over reachable ids) — the clustering oracle shared by
     * `dedup_components` (size-gated driver route at fixture scale)
@@ -42,6 +35,13 @@ object ApproxQueries {
       "JOIN edges e ON reach.r = e.src) " +
       "SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id"
 
+  /** Full DuckDB replay of symmetric-distance PQ search on the
+    * quarter-spaced grid codebooks (snap each coordinate to its
+    * nearest grid point via bracketing indices, tie to the lower =
+    * the encoder's first-min; exact doubles throughout). Shared by
+    * `ann_pq_probe` and `ann_ivf_pq_probe` — the latter probes every
+    * cell, which provably collapses the composed IVF-PQ result to
+    * this same dense ADC scan. */
   private val pqProbeReplaySql: String =
     "WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
       "AS x, generate_subscripts(embedding, 1) AS pos " +
@@ -105,26 +105,17 @@ object ApproxQueries {
           .select(col("a_id"), col("b_id"))),
       componentsOracleSql),
 
-    // The SAME clustering with the components size gate disabled, so
-    // the driver's oracle gate covers the DISTRIBUTED alternating-star
-    // rounds — the route every over-4M-edge (i.e. every real 100-TB)
-    // run takes, which at fixture scale would otherwise be exercised
-    // only by specs. dupComponents runs its rounds eagerly inside the
-    // construction call, so scoping the property around it is exact.
+    // The SAME clustering with the components size gate disabled
+    // (driverEdgeLimit = 0), so the driver's oracle gate covers the
+    // DISTRIBUTED alternating-star rounds — the route every
+    // over-4M-edge (i.e. every real 100-TB) run takes, which at
+    // fixture scale would otherwise be exercised only by specs.
     "dedup_components_dist" -> QDef(
-      (s, d) => {
-        val key = "graft.components.driverEdgeLimit"
-        val prev = sys.props.get(key)
-        sys.props(key) = "0"
-        try Dedup.dupComponents(
-          Dedup.minhashDedup(Tables.load(s, d, "documents"), "doc_id",
-            "text", threshold = 0.6)
-            .select(col("a_id"), col("b_id")))
-        finally prev match {
-          case Some(v) => sys.props(key) = v
-          case None => sys.props -= key
-        }
-      },
+      (s, d) => Dedup.dupComponents(
+        Dedup.minhashDedup(Tables.load(s, d, "documents"), "doc_id",
+          "text", threshold = 0.6)
+          .select(col("a_id"), col("b_id")),
+        driverEdgeLimit = 0L),
       componentsOracleSql),
 
     // The end of the dedup story: pairs → clusters → PRUNED CORPUS.

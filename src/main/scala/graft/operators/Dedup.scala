@@ -510,10 +510,15 @@ object Dedup {
     * DedupSimilaritySpec pins route equality on random graphs).
     *
     * @param pairs (a_id, b_id) dup pairs (undirected)
+    * @param driverEdgeLimit route bound override; defaults to
+    *        [[driverComponentsEdgeLimit]] (negative = use the
+    *        default). Pass 0 to force the distributed rounds,
+    *        Long.MaxValue to force the driver union-find.
     * @return (id, canonical_id) for every id in a pair; docs to drop
     *         are the rows with id != canonical_id
     */
-  def dupComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def dupComponents(pairs: DataFrame, maxIter: Int = 30,
+                    driverEdgeLimit: Long = -1L): DataFrame = {
     val spark = pairs.sparkSession
     // Canonical (hi > lo) undirected edge set, self-loops dropped.
     // localCheckpoint: materialize the (possibly expensive) candidate
@@ -527,9 +532,11 @@ object Dedup {
       .dropDuplicates("hi", "lo")
       .localCheckpoint(true)
     val nEdges = e.count()
+    val limit = if (driverEdgeLimit >= 0L) driverEdgeLimit
+                else driverComponentsEdgeLimit
     val longIds = e.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (nEdges > 0 && nEdges <= driverComponentsEdgeLimit && longIds)
+    if (nEdges > 0 && nEdges <= limit && longIds)
       return driverComponents(e)
     // One large-star + small-star alternation, built LAZILY (the
     // round loop checkpoints its output).
@@ -605,15 +612,24 @@ object Dedup {
         .distinct())
   }
 
-  /** Edge-count bound for [[dupComponents]]' driver union-find route.
-    * Default 4M edges (two longs each — a collect on the order of a
-    * broadcast build side). Overridable per-JVM via the
-    * `graft.components.driverEdgeLimit` system property; tests set it
-    * to 0 to force the distributed rounds, and a 100-TB deployment
-    * whose driver is memory-tight can do the same. */
+  /** Default edge-count bound for [[dupComponents]]' driver
+    * union-find route: 4M edges (two longs each — a collect on the
+    * order of a broadcast build side). Direct callers override with
+    * the `driverEdgeLimit` parameter; REGISTRY-path forcing (plan
+    * pins, route A/Bs driven through query names) goes through the
+    * `graft.components.driverEdgeLimit` system property, which this
+    * default reads per call. The property is JVM-global: scope it
+    * with a save/restore around query CONSTRUCTION only (the route
+    * runs eagerly inside dupComponents), and prefer the parameter
+    * everywhere a Dedup call is in hand. A malformed value fails
+    * loudly here rather than as a bare NumberFormatException. */
   private[graft] def driverComponentsEdgeLimit: Long =
-    sys.props.get("graft.components.driverEdgeLimit").map(_.toLong)
-      .getOrElse(4L << 20)
+    sys.props.get("graft.components.driverEdgeLimit").map { v =>
+      require(v.forall(_.isDigit) && v.nonEmpty,
+        s"graft.components.driverEdgeLimit must be a non-negative " +
+          s"integer, got '$v'")
+      v.toLong
+    }.getOrElse(4L << 20)
 
   /** Driver union-find over a canonical (hi > lo) deduped edge set
     * that fits [[driverComponentsEdgeLimit]] — same output contract as

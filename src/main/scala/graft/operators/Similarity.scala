@@ -336,10 +336,12 @@ object Similarity {
   }
 
   /** Index of the closest centroid to `v` by squared L2 — the coarse
-    * quantizer's assignment function, shared by [[ivfIndex]]'s UDF
-    * and [[ivfPqIndex]]'s typed pass. */
-  private def nearestCell(centroids: Array[Array[Double]],
-                          v: Array[Double]): Int = {
+    * quantizer's assignment function, shared by [[ivfIndex]]'s UDF,
+    * [[ivfPqIndex]]'s typed pass, and [[semanticDedup]]'s p=1 kernel
+    * (private[graft] so graft.DevSemTime's phase timer measures THIS
+    * assignment, not a copy that could drift). */
+  private[graft] def nearestCell(centroids: Array[Array[Double]],
+                                 v: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {

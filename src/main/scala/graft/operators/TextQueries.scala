@@ -248,6 +248,10 @@ object TextQueries {
       .when(lit(1) - nDistinct / nW > maxDupFrac, "repetitive")
       .otherwise("kept")
 
+  /** C4-style corpus filter verdict per doc. PRECONDITION (r9.3): rows
+    * with null `textCol` must be filtered upstream — the token-stats
+    * kernel fails loudly on them, where the pre-r9.3 expression route
+    * silently passed a null-countered row through as "kept". */
   def corpusFilter(df: DataFrame, idCol: String, textCol: String,
                    minWords: Int, minStopRatio: Double,
                    maxDupFrac: Double): DataFrame = {

@@ -335,20 +335,6 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r2 > 0.2 && r2 <= r8, s"recall@nprobe=2 $r2")
   }
 
-  /** Force dupComponents' distributed alternating-star route (the
-    * size gate would send every fixture-scale graph to the driver
-    * union-find otherwise, silently un-covering the scale path). */
-  private def withDistributedComponents[A](f: => A): A = {
-    val key = "graft.components.driverEdgeLimit"
-    val prev = sys.props.get(key)
-    sys.props(key) = "0"
-    try f
-    finally prev match {
-      case Some(v) => sys.props(key) = v
-      case None => sys.props -= key
-    }
-  }
-
   test("dupComponents collapses transitive chains to one canonical id " +
     "and leaves unrelated clusters apart — on BOTH routes") {
     // 1-2-3-4 is a CHAIN (pairwise dedup alone would under-delete);
@@ -362,8 +348,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(comp === want)
     // forced distributed route: identical rows
-    val compD = withDistributedComponents(
-      Dedup.dupComponents(pairs).as[(Long, Long)].collect().toMap)
+    val compD = Dedup.dupComponents(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(compD === want)
     // survivors = canonical ids; everything else drops
     val drops = comp.filter { case (id, c) => id != c }.keySet
@@ -373,8 +359,8 @@ class DedupSimilaritySpec extends SparkSpec {
   test("dupComponents converges on a long chain (alternating stars)") {
     val n = 64
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val comp = withDistributedComponents(
-      Dedup.dupComponents(pairs).as[(Long, Long)].collect())
+    val comp = Dedup.dupComponents(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect()
     assert(comp.length === n)
     assert(comp.forall(_._2 === 1L), "all chain nodes label to the min")
   }
@@ -388,9 +374,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val n = 512L
     val pairs = (1L until n).map(i => (n - i + 1, n - i))
       .toDF("a_id", "b_id")
-    val comp = withDistributedComponents(
-      Dedup.dupComponents(pairs, maxIter = 15)
-        .as[(Long, Long)].collect())
+    val comp = Dedup.dupComponents(pairs, maxIter = 15,
+      driverEdgeLimit = 0L).as[(Long, Long)].collect()
     assert(comp.length === n)
     assert(comp.forall(_._2 === 1L), "all chain nodes label to the min")
   }
@@ -411,9 +396,9 @@ class DedupSimilaritySpec extends SparkSpec {
       val got = Dedup.dupComponents(es.toDF("a_id", "b_id"))
         .as[(Long, Long)].collect().toMap
       // forced distributed alternating-star route
-      val gotD = withDistributedComponents(
-        Dedup.dupComponents(es.toDF("a_id", "b_id"))
-          .as[(Long, Long)].collect().toMap)
+      val gotD = Dedup.dupComponents(es.toDF("a_id", "b_id"),
+          driverEdgeLimit = 0L)
+        .as[(Long, Long)].collect().toMap
       // reference: driver-side union-find
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {

@@ -161,12 +161,15 @@ class PlanShapeSpec extends SparkSpec {
     val prev = sys.props.get(key)
     sys.props(key) = "0"
     try {
-      val (shuffles, _) = shapeOf("semantic_dedup")
+      val (shuffles, bcasts) = shapeOf("semantic_dedup")
       // rebalance + assign + pairing + the roots-distinct of the final
       // checkpointed star set (≤ one row per component, never the
       // corpus) — a 5th exchange means components started shuffling
-      // payloads
+      // payloads; a broadcast would mean the label relation moved into
+      // a plan-side broadcast join (the 0-broadcast doctrine of the
+      // default-route pin)
       assert(shuffles === 4)
+      assert(bcasts === 0)
     } finally prev match {
       case Some(v) => sys.props(key) = v
       case None => sys.props -= key
