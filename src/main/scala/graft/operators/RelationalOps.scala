@@ -364,16 +364,16 @@ object RelationalOps {
     // ties of equal values can split across the -0.0/0.0 cell
     // boundary, which concatenates equal values in a valid sorted
     // order, exactly like ties inside one cell.
-    val bucketOf = udf { v: Double =>
-      val bits = java.lang.Double.doubleToLongBits(v)
-      // flip negatives entirely, set the sign bit on positives: the
-      // standard total-order key whose UNSIGNED order is value order;
-      // >>> keeps the top 20 bits as a monotone non-negative Int
-      val key = if (bits < 0) ~bits else bits | Long.MinValue
-      (key >>> 44).toInt
-    }
+    // r9.5: codegen'd total-order key (TotalOrderBucket) — the former
+    // Scala UDF broke whole-stage codegen on BOTH full-data passes
+    // (cells and the pruned scan share this projection) and paid
+    // per-row boxing for three integer ops. Same bit arithmetic:
+    // flip negatives entirely, set the sign bit on positives (the
+    // standard total-order key whose UNSIGNED order is value order),
+    // >>> 44 keeps the top 20 bits as a monotone non-negative Int.
     val withG = slim.withColumn("__g",
-      bucketOf(col(valueCol).cast("double")))
+      org.apache.spark.sql.graftx.TotalOrderBucket.asColumn(
+        col(valueCol).cast("double"), 44))
     val maxCells = 100000
     val cells = withG.groupBy(col(groupCol), col("__g")).count()
       .limit(maxCells + 1).collect()
