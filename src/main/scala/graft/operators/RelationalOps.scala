@@ -430,7 +430,16 @@ object RelationalOps {
     // between the two jobs escapes detection — rows moving into a
     // target cell still trip the count-drift raise below. Same
     // deterministic-input contract as every rank consumer.
-    val kept = withG.join(broadcast(targets), Seq(groupCol, "__g"))
+    // r9.6: the target BUCKET set (few hundred ints, known on the
+    // driver) also goes in as an isin predicate on __g alone. The
+    // (group, __g) join can only run ABOVE whatever join produced the
+    // group column, but __g is a deterministic function of the value
+    // column only — so Catalyst pushes this filter below the caller's
+    // join to the value-side scan, and pass 2 joins ~|targets| cells'
+    // worth of rows instead of re-running the full-width join first.
+    val targetBuckets = targetRows.map(_.getInt(1)).distinct
+    val kept = withG.where(col("__g").isInCollection(targetBuckets))
+      .join(broadcast(targets), Seq(groupCol, "__g"))
     val w = Window.partitionBy(col(groupCol), col("__g"))
       .orderBy(col(valueCol))
     val sameCount = count(lit(1))
