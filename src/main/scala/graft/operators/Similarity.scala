@@ -957,55 +957,107 @@ object Similarity {
     // CollapseRepartition cannot fuse across the typed mapPartitions —
     // a second round-robin would re-exchange the whole code table per
     // search (review finding; it cost ann_pq an exchange)
+    // Loop order is QUERY-major over a partition-buffered flat code
+    // block, not row-major over the live iterator (r9.6). The row-major
+    // form walked every query's 8 KB LUT (plus its Tuple3 spine) for
+    // EVERY corpus row — at the 8000-query / 200k-code probe tier that
+    // is ~64 MB of DRAM-resident LUT traffic per row, and the kernel
+    // measured ~450 ns/pair, ~30× its arithmetic: cache-miss-bound,
+    // not compute-bound. Buffering the partition's codes once (flat
+    // int array — bounded by the partition, i.e. by
+    // maxPartitionBytes on a scan or the shuffle partition sizing,
+    // the same residency the index already assumes) and iterating
+    // queries outermost keeps the current LUT in L1 across the whole
+    // block and streams codes linearly from L2; DRAM then sees each
+    // LUT once per partition. Same pairs, same insertion logic, same
+    // (adc asc, id asc) heaps — the k-best set is iteration-order
+    // independent, so output rows are identical.
     val local = codes.select(cols: _*).mapPartitions { rows =>
       val qs = bc.value
       val nq = qs.length
+      // flatten the broadcast tuples once per task: the per-pair
+      // Tuple3 loads were 3-4 dependent cache lines each
+      val qids = new Array[Long](nq)
+      val luts = new Array[Array[Double]](nq)
+      val masks = new Array[Array[Boolean]](nq)
+      var qi = 0
+      while (qi < nq) {
+        val q = qs(qi)
+        qids(qi) = q._1; luts(qi) = q._2; masks(qi) = q._3
+        qi += 1
+      }
+      // buffer the partition: ids, cells, and codes unboxed ONCE into
+      // a flat row-major int block (same per-row-unbox doctrine as
+      // [[VectorQueries.streamedTopK]], hoisted out of the query loop)
+      val idB = scala.collection.mutable.ArrayBuilder.make[Long]
+      val cellB = scala.collection.mutable.ArrayBuilder.make[Int]
+      val codeB = scala.collection.mutable.ArrayBuilder.make[Int]
+      var m = 0
+      rows.foreach { r =>
+        val seqCode = r.getSeq[Int](1)
+        if (m == 0) m = seqCode.length
+        idB += r.getLong(0)
+        if (hasCell) cellB += r.getInt(2)
+        var ci = 0
+        while (ci < seqCode.length) { codeB += seqCode(ci); ci += 1 }
+      }
+      val rowIds = idB.result()
+      val cells = cellB.result()
+      val codeBlk = codeB.result()
+      val nRows = rowIds.length
       val ids = Array.ofDim[Long](nq, k)
       val adcs = Array.ofDim[Double](nq, k)
       val sizes = new Array[Int](nq)
-      rows.foreach { r =>
-        val id = r.getLong(0)
-        // unbox the code ONCE per row: Seq[Int].apply inside the
-        // per-query LUT walk is a boxed dispatch — at the 200k-code /
-        // 4k-query tier that is ~13G boxed reads and was most of
-        // ann_pq's 6.3 s (same per-row-unbox doctrine as
-        // [[VectorQueries.streamedTopK]])
-        val seqCode = r.getSeq[Int](1)
-        val code = new Array[Int](seqCode.length)
-        var ci = 0
-        while (ci < code.length) { code(ci) = seqCode(ci); ci += 1 }
-        val cell = if (hasCell) r.getInt(2) else -1
-        val m = code.length
-        var qi = 0
-        while (qi < nq) {
-          val (qid, lut, mask) = qs(qi)
-          if (id != qid && (mask == null || mask(cell))) {
+      qi = 0
+      while (qi < nq) {
+        val qid = qids(qi)
+        val lut = luts(qi)
+        val mask = masks(qi)
+        val hIds = ids(qi)
+        val hAdc = adcs(qi)
+        var sz = 0
+        var ri = 0
+        var off = 0
+        while (ri < nRows) {
+          val id = rowIds(ri)
+          if (id != qid && (mask == null || mask(cells(ri)))) {
+            // early-abort bound: LUT partials are squared distances
+            // (≥ 0), so the running sum only grows — once it strictly
+            // exceeds the current k-th best with a FULL heap, the
+            // candidate provably cannot place (ties stay eligible for
+            // the id tie-break, hence strict >). Lossless.
+            val bound = if (sz == k) hAdc(k - 1)
+                        else Double.PositiveInfinity
             var d = 0.0
             var i = 0
-            while (i < m) { d += lut(i * ksub + code(i)); i += 1 }
-            val sz = sizes(qi)
+            while (i < m && d <= bound) {
+              d += lut(i * ksub + codeBlk(off + i)); i += 1
+            }
             var pos = sz
-            while (pos > 0 && (d < adcs(qi)(pos - 1) ||
-                (d == adcs(qi)(pos - 1) && id < ids(qi)(pos - 1))))
+            while (pos > 0 && (d < hAdc(pos - 1) ||
+                (d == hAdc(pos - 1) && id < hIds(pos - 1))))
               pos -= 1
             if (pos < k) {
               var mv = math.min(sz, k - 1)
               while (mv > pos) {
-                ids(qi)(mv) = ids(qi)(mv - 1)
-                adcs(qi)(mv) = adcs(qi)(mv - 1)
+                hIds(mv) = hIds(mv - 1)
+                hAdc(mv) = hAdc(mv - 1)
                 mv -= 1
               }
-              ids(qi)(pos) = id
-              adcs(qi)(pos) = d
-              if (sz < k) sizes(qi) = sz + 1
+              hIds(pos) = id
+              hAdc(pos) = d
+              if (sz < k) sz += 1
             }
           }
-          qi += 1
+          ri += 1
+          off += m
         }
+        sizes(qi) = sz
+        qi += 1
       }
       (0 until nq).iterator.flatMap { qi =>
         (0 until sizes(qi)).iterator.map(p =>
-          org.apache.spark.sql.Row(qs(qi)._1, ids(qi)(p), adcs(qi)(p)))
+          org.apache.spark.sql.Row(qids(qi), ids(qi)(p), adcs(qi)(p)))
       }
     }(enc)
     val w = org.apache.spark.sql.expressions.Window

@@ -183,14 +183,31 @@ object VectorQueries {
     // Embedding-cosine near-dup pairs with label blocking (the blocked
     // pair-generation shape; swap the block key for an LSH bucket at
     // scale — see Similarity.annLsh).
+    //
+    // Salted pair generation (r9.6): the block key has ~10 distinct
+    // labels, so a plain label-keyed self-join plans ~10 effective
+    // tasks and serializes ~2.4G codegen'd dots onto a third of the
+    // cores at the sf1 tier (measured 46 s). The A side keeps each
+    // row once under salt a_id % S; the B side replicates each row to
+    // every salt — each unordered pair meets in EXACTLY one salt cell
+    // (the a_id<b_id guard kills the mirror), so output rows are
+    // identical and the quadratic dot work spreads across S·labels
+    // cells. Shuffle volume grows S× on the B side only, and S tracks
+    // the core count, not the data — the same salting shape as
+    // `salted_agg`.
     "dedup_embed_cosine" -> QDef(
       (s, d) => {
         val e = withNorm(Tables.load(s, d, "embeddings"))
+        val nSalt = s.sparkContext.defaultParallelism
         val a = e.select(col("label"), col("vec_id").as("a_id"),
           col("v").as("av"), col("nrm").as("an"))
+          .withColumn("__salt",
+            pmod(col("a_id"), lit(nSalt.toLong)).cast("int"))
         val b = e.select(col("label"), col("vec_id").as("b_id"),
           col("v").as("bv"), col("nrm").as("bn"))
-        a.join(b, Seq("label"))
+          .withColumn("__salt",
+            explode(sequence(lit(0), lit(nSalt - 1))))
+        a.join(b, Seq("label", "__salt"))
           .where(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
             (dot(col("av"), col("bv")) / (col("an") * col("bn")))
