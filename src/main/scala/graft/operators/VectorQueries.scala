@@ -82,54 +82,104 @@ object VectorQueries {
       StructField("cos", DoubleType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
+    // Loop order is QUERY-major over a partition-buffered corpus
+    // block, not row-major over the live iterator (r9.6, same rework
+    // as [[Similarity.adcStreamedTopK]] — measured 4.4× there): the
+    // row-major form chased every query's Tuple3 spine and ~512 B
+    // vector from DRAM for EVERY corpus row (~2 MB of query traffic
+    // per row at the 4000-query tier). Buffering the partition's
+    // vectors once into a flat double block (bounded by the partition
+    // sizing) and iterating queries outermost keeps the live query
+    // vector in L1 and streams the corpus block linearly from
+    // L2/L3; DRAM sees each query once per partition. Same pairs,
+    // same insertion logic, same (cos desc, id asc) heaps — the
+    // k-best set is iteration-order independent, so output rows are
+    // identical.
     val nPart = s.sessionState.conf.numShufflePartitions
     val local = corpus.repartition(nPart).mapPartitions { rows =>
       val qs = bc.value
       val nq = qs.length
+      val qids = new Array[Long](nq)
+      val qvs = new Array[Array[Double]](nq)
+      val qns = new Array[Double](nq)
+      var qi = 0
+      while (qi < nq) {
+        val q = qs(qi)
+        qids(qi) = q._1; qvs(qi) = q._2; qns(qi) = q._3
+        qi += 1
+      }
+      // buffer the partition: ids, norms, and vectors unboxed ONCE
+      // into a flat row-major double block. Corpus rows may be ragged
+      // (min-length dot contract, matching DoubleDotProduct), so row
+      // offsets are tracked explicitly rather than assuming a fixed
+      // dim.
+      val idB = scala.collection.mutable.ArrayBuilder.make[Long]
+      val nrmB = scala.collection.mutable.ArrayBuilder.make[Double]
+      val offB = scala.collection.mutable.ArrayBuilder.make[Int]
+      val vecB = scala.collection.mutable.ArrayBuilder.make[Double]
+      var off = 0
+      rows.foreach { r =>
+        val seq = r.getSeq[Double](1)
+        idB += r.getLong(0)
+        nrmB += r.getDouble(2)
+        offB += off
+        var c = 0
+        while (c < seq.length) { vecB += seq(c); c += 1 }
+        off += seq.length
+      }
+      offB += off // sentinel: row i spans [offs(i), offs(i+1))
+      val rowIds = idB.result()
+      val nrms = nrmB.result()
+      val offs = offB.result()
+      val vecBlk = vecB.result()
+      val nRows = rowIds.length
       val ids = Array.ofDim[Long](nq, k)
       val cos = Array.ofDim[Double](nq, k)
       val sizes = new Array[Int](nq)
-      rows.foreach { r =>
-        val id = r.getLong(0)
-        val seq = r.getSeq[Double](1)
-        val dn = r.getDouble(2)
-        val v = new Array[Double](seq.length)
-        var c = 0
-        while (c < v.length) { v(c) = seq(c); c += 1 }
-        var qi = 0
-        while (qi < nq) {
-          val (qid, qv, qn) = qs(qi)
+      qi = 0
+      while (qi < nq) {
+        val qid = qids(qi)
+        val qv = qvs(qi)
+        val qn = qns(qi)
+        val hIds = ids(qi)
+        val hCos = cos(qi)
+        var sz = 0
+        var ri = 0
+        while (ri < nRows) {
+          val id = rowIds(ri)
           if (id != qid) {
+            val base = offs(ri)
             // min-length bound, matching DoubleDotProduct exactly (a
             // ragged corpus row must truncate, not throw)
-            val n = math.min(qv.length, v.length)
+            val n = math.min(qv.length, offs(ri + 1) - base)
             var d = 0.0
             var j = 0
-            while (j < n) { d += qv(j) * v(j); j += 1 }
-            val cz = d / (qn * dn)
-            val sz = sizes(qi)
+            while (j < n) { d += qv(j) * vecBlk(base + j); j += 1 }
+            val cz = d / (qn * nrms(ri))
             var pos = sz
-            while (pos > 0 && (cz > cos(qi)(pos - 1) ||
-                (cz == cos(qi)(pos - 1) && id < ids(qi)(pos - 1))))
+            while (pos > 0 && (cz > hCos(pos - 1) ||
+                (cz == hCos(pos - 1) && id < hIds(pos - 1))))
               pos -= 1
             if (pos < k) {
               var m = math.min(sz, k - 1)
               while (m > pos) {
-                ids(qi)(m) = ids(qi)(m - 1)
-                cos(qi)(m) = cos(qi)(m - 1)
+                hIds(m) = hIds(m - 1)
+                hCos(m) = hCos(m - 1)
                 m -= 1
               }
-              ids(qi)(pos) = id
-              cos(qi)(pos) = cz
-              if (sz < k) sizes(qi) = sz + 1
+              hIds(pos) = id
+              hCos(pos) = cz
+              if (sz < k) sz += 1
             }
           }
-          qi += 1
+          ri += 1
         }
+        sizes(qi) = sz
+        qi += 1
       }
       (0 until nq).iterator.flatMap { qi =>
         (0 until sizes(qi)).iterator.map(p =>
-          org.apache.spark.sql.Row(qs(qi)._1, ids(qi)(p), cos(qi)(p)))
+          org.apache.spark.sql.Row(qids(qi), ids(qi)(p), cos(qi)(p)))
       }
     }(enc)
     val w = org.apache.spark.sql.expressions.Window
