@@ -659,4 +659,46 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[Seq[String]].collect()
     assert(out.forall(_.isEmpty), out.mkString("; "))
   }
+
+  test("salted dedup_embed_cosine equals the unsalted blocked join " +
+      "(negative ids, odd corpus vs salt count)") {
+    // The r9.6 salting claims each unordered same-label pair meets in
+    // EXACTLY one (label, salt) cell — a duplicated pair or a dropped
+    // one (e.g. pmod mishandling negative ids) would silently corrupt
+    // the dedup verdicts. Pin the registered query against the plain
+    // label self-join on a corpus with negative ids and a row count
+    // not divisible by the session's salt count.
+    val rnd = new scala.util.Random(7)
+    val rows = (-61 until 60).map { id =>
+      (id.toLong, math.floorMod(id, 3),
+        Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("salted_cos_").toString
+    df.coalesce(2).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val salted = graft.SparkEntry
+      .queries("dedup_embed_cosine")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e = VectorQueries.withNorm(
+      Tables.load(spark, dir, "embeddings"))
+    val a = e.select(col("label"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val plain = a.join(b, Seq("label"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (VectorQueries.dot(col("av"), col("bv")) /
+          (col("an") * col("bn"))).as("cos"))
+      .where(col("cos") >= 0.44)
+      .select(col("a_id"), col("b_id"),
+        round(col("cos"), 6).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.length === salted.distinct.length,
+      "salted route emitted a duplicate pair")
+    assert(plain.nonEmpty, "degenerate fixture: no pair cleared 0.44")
+    assert(salted.toSet === plain.toSet)
+  }
 }
