@@ -37,7 +37,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Lives under `org.apache.spark.sql` because `AbstractDataType` and
   * the Column↔Expression bridge are `private[sql]` (same note as
   * [[DoubleDotProduct]]). Public API:
-  * [[graft.functions.VectorExpressions.adcLookup]].
+  * [[graft.functions.VectorExpressions.adcLookup]] (Column route) and
+  * the `adc_lookup(lut, code, ksub)` SQL function registered by
+  * [[graft.GraftExtensions]] — the internal search path itself runs
+  * the query-major [[graft.operators.Similarity]] ADC kernel (the LUT
+  * side there is broadcast, not a column), so the expression is the
+  * SQL-composable form over a STORED (lut, code) layout.
   */
 case class AdcLookup(left: Expression, right: Expression, ksub: Int)
     extends BinaryExpression with ImplicitCastInputTypes {

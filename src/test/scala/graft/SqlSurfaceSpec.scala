@@ -68,6 +68,19 @@ class SqlSurfaceSpec extends SparkSpec {
       viaDf.exceptAll(viaSql).isEmpty)
   }
 
+  test("SQL surface: injected adc_lookup resolves in spark.sql and " +
+      "demands a literal ksub") {
+    // lut for ksub=2, m=2: [s0c0, s0c1, s1c0, s1c1]; code [1, 0]
+    // picks s0c1 + s1c0 = 2.5 + 4.0
+    val viaSql = spark.sql(
+      "SELECT adc_lookup(ARRAY(1.0D, 2.5D, 4.0D, 8.0D), " +
+        "ARRAY(1, 0), 2) AS d").collect()
+    assert(viaSql.head.getDouble(0) === 6.5)
+    val e = intercept[Exception](spark.sql(
+      "SELECT adc_lookup(ARRAY(1.0D), ARRAY(0), 1 + 1)").collect())
+    assert(causeChain(e).contains("INTEGER literal"), causeChain(e))
+  }
+
   test("SQL surface: year() predicate from SQL text reaches the scan") {
     val plan = spark.sql(
       "SELECT o_orderkey FROM orders WHERE year(o_orderdate) = 1997")
