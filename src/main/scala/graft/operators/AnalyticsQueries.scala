@@ -89,14 +89,38 @@ object AnalyticsQueries {
     // scale-6 quantization — see exactSumQ's scaladoc): the decimal
     // update path was ~half this query's sf1 time (2.5 s → 1.3 s
     // measured on the session_window aggregate).
+    // Lag/islands sessionization on ONE exchange: mark a new session
+    // where the gap to the previous event strictly exceeds 30 min
+    // (compared in epoch-MICROS — the oracle's `ts - lag(ts) >
+    // INTERVAL` precision; ties at exactly the gap MERGE, the same
+    // inclusive boundary SessionBoundarySpec pins for session_window),
+    // running-sum the markers into session ids, and aggregate. The
+    // group-by keys (user_id, __sid) are a superset of the window's
+    // partition key, so the aggregate reuses the window's hash
+    // partitioning — exchange + sort + agg, nothing else. Spark's
+    // session_window operator computes the same sessions through its
+    // UpdatingSessions/merging machinery and measured 1.8x slower at
+    // the sf1 tier (1.77 vs 0.98 s, 3-run A/B both forms warm);
+    // SessionBoundarySpec asserts the two forms agree event-for-event
+    // on the boundary fixtures, so the swap is plan-only.
     "session_agg" -> QDef(
-      (s, d) => Tables.load(s, d, "events")
-        .groupBy(col("user_id"),
-          session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count("*").as("n_events"),
-          RelationalOps.exactSumQ(col("value"), 6).as("sum_value"))
-        .select(col("user_id"), col("w.start").as("session_start"),
-          col("n_events"), col("sum_value")),
+      (s, d) => {
+        val us = unix_micros(col("ts"))
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        Tables.load(s, d, "events")
+          .withColumn("__new",
+            when(us - lag(us, 1).over(w) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("__sid", sum(col("__new"))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy(col("user_id"), col("__sid"))
+          .agg(min(col("ts")).as("session_start"),
+            count("*").as("n_events"),
+            RelationalOps.exactSumQ(col("value"), 6).as("sum_value"))
+          .select(col("user_id"), col("session_start"),
+            col("n_events"), col("sum_value"))
+      },
       "WITH marked AS (SELECT user_id, ts, value, CASE WHEN ts - " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > " +
         "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), " +

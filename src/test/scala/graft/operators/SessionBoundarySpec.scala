@@ -23,11 +23,31 @@ class SessionBoundarySpec extends SparkSpec {
 
   private def sessions(times: Seq[Timestamp]): Seq[(Long, Long)] = {
     val df = times.map(ts => (1L, ts)).toDF("user_id", "ts")
-    df.groupBy(col("user_id"),
+    val viaWindow = df.groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("w"))
       .agg(count("*").as("n"))
       .select(col("w.start").cast("long"), col("n"))
       .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // The registered `session_agg` runs the lag/islands form (one
+    // exchange; see AnalyticsQueries) — every fixture must see the
+    // SAME sessions from both constructions, or the r9.6 plan swap
+    // changed semantics, not just the plan.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val us = unix_micros(col("ts"))
+    val viaIslands = df
+      .withColumn("__new",
+        when(us - lag(us, 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).cast("long").as("st"), count("*").as("n"))
+      .select(col("st"), col("n"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(viaIslands === viaWindow,
+      s"islands $viaIslands != session_window $viaWindow")
+    viaWindow
   }
 
   test("an event exactly gap minutes after the last one EXTENDS the " +
