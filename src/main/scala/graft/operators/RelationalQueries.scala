@@ -304,16 +304,24 @@ object RelationalQueries {
       "SELECT DISTINCT p_brand FROM part"),
 
     // A4/E3: set-membership indicators — which categories appear per group
-    // (ref cms_preprocess.py:229-236 np.isin). collect_set + array_contains
-    // keeps it one hash aggregate.
+    // (ref cms_preprocess.py:229-236 np.isin). max(when) per known
+    // category, NOT collect_set + array_contains (r9.6): collect_set
+    // is an ObjectHashAggregate — object-buffer sets, no whole-stage
+    // codegen, set-valued shuffle partials — while max-of-indicator is
+    // a codegen'd hash aggregate whose map-side partials are three
+    // ints regardless of group size (and whose state stays bounded if
+    // a category column were high-cardinality). Same rows; the open
+    // category-set form lives in operators/Encoders.multiHot.
     "multi_hot" -> QDef(
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_returnflag")).as("flags"))
-        .select(col("l_orderkey"),
-          array_contains(col("flags"), "A").cast("int").as("has_a"),
-          array_contains(col("flags"), "N").cast("int").as("has_n"),
-          array_contains(col("flags"), "R").cast("int").as("has_r")),
+        .agg(
+          max(when(col("l_returnflag") === "A", 1).otherwise(0))
+            .as("has_a"),
+          max(when(col("l_returnflag") === "N", 1).otherwise(0))
+            .as("has_n"),
+          max(when(col("l_returnflag") === "R", 1).otherwise(0))
+            .as("has_r")),
       "SELECT l_orderkey, " +
         "MAX(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS has_a, " +
         "MAX(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS has_n, " +
