@@ -63,30 +63,25 @@ object TextQueries {
     * need ≥2 words (and non-null text) for a 2-gram to exist — callers
     * filter first; [[defs]]' `rep_stats` entry shows the canonical form. */
   def repStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = split(col(textCol), " ")
-    val nW = size(w)
-    val bg = wordBigrams(col(textCol))
-    // Max of count(g)×length(g) over 2-grams g, computed as a sort +
-    // one linear run-length fold: within a run of equal elements the
-    // candidate run'×length grows monotonically, so folding
-    // greatest(best, run'×length) captures each gram's full count. The
-    // naive transform(distinct)(g → count(g)) form is O(distinct×total)
-    // interpreted lambdas per row and benched 10× slower at sf0.1.
-    val topChars = aggregate(array_sort(bg),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"),
-          acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run * length(x)).as("best"))
-      },
-      acc => acc.getField("best"))
-    df.select(col(idCol), nW.as("n_words"),
-      round(lit(1) - size(array_distinct(w)) / nW, 6)
+    // Counting runs in [[graft.functions.RepStatsKernel]] (r9.6): the
+    // former column form paid two interpreted HOF walks per doc — an
+    // array_sort(bigrams) plus an aggregate run-length fold whose
+    // lambda allocated a 3-field struct per bigram (~40M interpreted
+    // struct builds at sf1) — and that form itself was already the
+    // 10×-faster replacement for the naive
+    // transform(distinct)(g → count(g)). The fractions, divisions,
+    // and ROUND stay HERE as Column arithmetic, so the expressions
+    // the DuckDB oracle replays are byte-identical — the kernel only
+    // swaps HOF counting for integer counting (spec-pinned on
+    // hand-computed fixtures and the random-corpus property).
+    val k = graft.functions.RepStatsKernel.repCounts(
+      df.select(col(idCol), col(textCol)), textCol)
+    k.select(col(idCol), col("__nw").as("n_words"),
+      round(lit(1) - col("__ndw") / col("__nw"), 6)
         .as("dup_word_frac"),
-      round(lit(1) - size(array_distinct(bg)) / size(bg), 6)
+      round(lit(1) - col("__ndbg") / col("__nbg"), 6)
         .as("dup_2gram_frac"),
-      round(topChars / length(col(textCol)), 6)
+      round(col("__best") / col("__nc"), 6)
         .as("top_2gram_char_frac"))
   }
 
