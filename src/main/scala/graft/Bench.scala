@@ -123,7 +123,9 @@ object Bench {
     // The full line ALSO lands in a file: the driver's stdout capture
     // truncated BENCH_r08.json mid-JSON (parsed: null), losing ~90 of
     // 133 per-query timings — a sidecar file the driver (or anyone)
-    // can read whole is the fix. Path override for dev A/B runs.
+    // can read whole is the fix. The sidecar is COMMITTED per round
+    // (un-gitignored in r10) so the round artifact set is
+    // self-contained. Path override for dev A/B runs.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_results.json")
     try {
@@ -133,6 +135,28 @@ object Bench {
     } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
+    // Final COMPACT line, sized for the driver's 2000-char tail
+    // capture: the full line above is ~8 KB (135 names alone are
+    // 1.8 KB), so it can never parse from the tail — BENCH_r08/r09
+    // both recorded `parsed: null`. This last line keeps the graded
+    // aggregates (total, calibration, errors) plus as many per-query
+    // mins as fit a fixed byte budget, slowest-first (the rows a
+    // perf judgment actually reads), and names the committed sidecar
+    // that holds the complete map. Budget 1500 B leaves room for
+    // sbt's trailing [success] line inside the 2000-char window.
+    val slowFirst = ok.toSeq.sortBy { case (_, (mn, _)) => -mn }
+    val head = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${ok.size},"nerr":${errs.size}$calibJson,"sf":"$sfDir","full":"$outPath","queries":{"""
+    val tailPart = "}}"
+    val budget = 1500 - head.length - tailPart.length
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowFirst.foreach { case (k, (mn, _)) =>
+      val e = "\"" + k + "\":" + "%.3f".format(mn)
+      val cost = e.length + (if (entries.nonEmpty) 1 else 0)
+      if (used + cost <= budget) { entries += e; used += cost }
+    }
+    System.out.flush(); System.err.flush()
+    println(head + entries.mkString(",") + tailPart)
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }
