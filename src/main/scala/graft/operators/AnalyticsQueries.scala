@@ -363,6 +363,29 @@ object AnalyticsQueries {
           Seq("p50" -> 0.5, "p90" -> 0.9)) +
         " SELECT c_mktsegment, p50, p90, n FROM q"),
 
+    // percentile_scale with the 2-pass bucketed route FORCED
+    // (compactBytesLimit = 0): at gate scale the size router picks the
+    // compact window form, so without this entry the 100-TB machinery
+    // (TotalOrderBucket cells, driver prefix sums, target-cell
+    // broadcast pruning) would drop out of the per-round DuckDB gate —
+    // the dedup_components_dist doctrine applied to quantiles.
+    "percentile_scale_dist" -> QDef(
+      (s, d) => {
+        val j = Tables.load(s, d, "orders")
+          .join(broadcast(Tables.load(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+        RelationalOps.groupQuantileValues(j, "c_mktsegment",
+          "o_totalprice", Seq("p50" -> 0.5, "p90" -> 0.9),
+          compactBytesLimit = 0L)
+          .select(col("c_mktsegment"), col("p50"), col("p90"),
+            col("__n").as("n"))
+      },
+      "WITH j AS (SELECT c_mktsegment, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey), " +
+        quantileReplaySql("j", "c_mktsegment", "o_totalprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9)) +
+        " SELECT c_mktsegment, p50, p90, n FROM q"),
+
     // outlier_iqr's scale sibling: same Tukey fences, quartiles from
     // the prefix-sum machinery, fact table joins the broadcast
     // boundaries map-only.
@@ -393,9 +416,13 @@ object AnalyticsQueries {
     "robust_scale_dist" -> QDef(
       (s, d) => {
         val o = Tables.load(s, d, "orders")
+        // the "_dist" in the name is the contract: this entry keeps
+        // the distributed bucketed route oracle-gated every round, so
+        // the route is FORCED here regardless of input size
         val q = RelationalOps.groupQuantileValues(o, "o_orderstatus",
           "o_totalprice",
-          Seq("med" -> 0.5, "q1" -> 0.25, "q3" -> 0.75)).drop("__n")
+          Seq("med" -> 0.5, "q1" -> 0.25, "q3" -> 0.75),
+          compactBytesLimit = 0L).drop("__n")
         o.join(broadcast(q), "o_orderstatus")
           .select(col("o_orderkey"), col("o_orderstatus"),
             (floor((col("o_totalprice") - col("med")) /

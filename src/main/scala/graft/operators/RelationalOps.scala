@@ -316,16 +316,137 @@ object RelationalOps {
     * rank, so no tie-break column is needed (unlike
     * [[distributedGroupRank]]'s unique-value contract).
     *
+    * SIZE-ROUTED since r10 (the components-gate doctrine,
+    * [[graft.operators.Dedup.dupComponents]]): the 2-pass pruned form
+    * above is the 100-TB shape, but each pass pays the ~0.3 s scan
+    * floor + a driver cells round-trip, so on inputs where even a
+    * whole-relation per-group sort is cheap it loses to a single
+    * exchange. At or under [[quantileCompactBytesLimit]] input bytes —
+    * read from the optimizer's LEAF statistics (file sizes; free, no
+    * job, the same signal Spark's own broadcast planning uses) — the
+    * routing picks a compact 1-exchange form: a grouped sorted-array
+    * aggregate with endpoints read by array index, then THE SAME
+    * interpolation fold ([[interpolateEndpoints]]) both routes share,
+    * so route equality is bit-exact by construction, not by trusting
+    * two interpolation codepaths to round identically. The compact
+    * form buffers each group's full value array in one aggregation
+    * buffer — exactly the holistic-percentile memory shape — which is
+    * why the gate is on bytes: below the limit one in-memory array
+    * sort beats two full passes; above it the pruned route keeps
+    * every task bounded AND parallel. Leaf stats ignore column
+    * pruning and join selectivity, which only overestimates — the
+    * safe direction (routes to the distributed form).
+    *
+    * Measured floor (sf1 tier, percentile_scale, quiet host): compact
+    * route 0.97 s vs DuckDB 0.27 s, of which the bare
+    * scan+broadcast-join+noop of the SAME input — before any quantile
+    * work — costs 0.60 s under the bench's 16 MB splits (0.41 s at
+    * 2 MB splits; pyspark pass-level A/B r10). The single-node
+    * baseline finishes the whole query before this engine finishes
+    * scanning and joining, so the residual ~0.2 s of actual quantile
+    * machinery (partial collect → exchange → array sort →
+    * interpolate) is not the gap, and no quantile-side rewrite can
+    * close it — it is the JVM scan/launch constant every sub-second
+    * query in BENCH_SF1.md pays.
+    *
     * @param probs (outputColumn, p) pairs, p in [0, 1]
+    * @param compactBytesLimit route bound override; defaults to
+    *        [[quantileCompactBytesLimit]] (negative = use the
+    *        default). Pass 0 to force the 2-pass bucketed route,
+    *        Long.MaxValue to force the compact window route.
     * @return one row per group: groupCol, `__n` (group row count,
     *         long), and one double column per requested prob
     */
   def groupQuantileValues(df: DataFrame, groupCol: String,
                           valueCol: String,
-                          probs: Seq[(String, Double)]): DataFrame = {
+                          probs: Seq[(String, Double)],
+                          compactBytesLimit: Long = -1L): DataFrame = {
     require(probs.nonEmpty, "groupQuantileValues needs >= 1 prob")
     probs.foreach { case (nm, p) =>
       require(p >= 0.0 && p <= 1.0, s"prob $nm=$p outside [0,1]") }
+    val limit = if (compactBytesLimit >= 0L) compactBytesLimit
+                else quantileCompactBytesLimit
+    val slimIn = df.select(col(groupCol),
+      col(valueCol).cast("double").as(valueCol))
+    val leafBytes = slimIn.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (leafBytes <= BigInt(limit))
+      compactGroupQuantiles(slimIn, groupCol, valueCol, probs)
+    else bucketedGroupQuantiles(slimIn, groupCol, valueCol, probs)
+  }
+
+  /** Route bound for [[groupQuantileValues]]' compact form, in input
+    * LEAF bytes. Registry-path forcing (plan pins, route A/Bs driven
+    * through query names) goes through the
+    * `graft.quantile.compactBytesLimit` system property; prefer the
+    * parameter when a call is in hand. Default 256 MiB: a one-task
+    * external sort of 256 MB is ~1-2 s, under the 2-pass route's two
+    * scan floors + cells round-trip; past that the pruned route both
+    * parallelizes and bounds memory. */
+  private[graft] def quantileCompactBytesLimit: Long =
+    sys.props.get("graft.quantile.compactBytesLimit").map { v =>
+      require(v.nonEmpty && v.forall(_.isDigit),
+        s"graft.quantile.compactBytesLimit must be a non-negative " +
+          s"integer, got '$v'")
+      v.toLong
+    }.getOrElse(256L << 20)
+
+  /** The small-input route: ONE hash exchange on the group column
+    * into a grouped sorted array, endpoints by array index — then the
+    * shared interpolation fold. Shape A/B at the sf1 tier (1.5M-row
+    * orders⋈customer, measured before committing): sorted-array agg
+    * 0.79 s, window row_number 1.61 s (the window exec's row-at-a-time
+    * processing over the FULL relation costs more than sorting the
+    * same doubles as a primitive array), Spark's holistic `percentile`
+    * 1.06 s — and the holistic form is also semantically disqualified:
+    * its interpolation is `(hi−pos)·lo + (pos−lo)·hi`, a different
+    * IEEE op order than the oracle replay, so it can drift in the last
+    * ulp. Null group keys and null values fail loudly at execution
+    * (raise_error inside the projection: zero extra passes; without
+    * the value guard collect_list would silently SKIP nulls),
+    * mirroring the bucketed route's driver-side requires. */
+  private def compactGroupQuantiles(slim: DataFrame, groupCol: String,
+                                    valueCol: String,
+                                    probs: Seq[(String, Double)])
+      : DataFrame = {
+    val guarded = slim
+      .withColumn(groupCol,
+        when(col(groupCol).isNull, raise_error(lit(
+          "groupQuantileValues: null group key — filter or coalesce " +
+            "the group column first"))).otherwise(col(groupCol)))
+      .withColumn(valueCol,
+        when(col(valueCol).isNull, raise_error(lit(
+          "groupQuantileValues: null value column — nulls have no " +
+            "rank; filter them or impute first")))
+          .otherwise(col(valueCol)))
+    val g = guarded.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col(valueCol))).as("__vs"))
+      .withColumn("__n", size(col("__vs")).cast("long"))
+    // endpoint extraction: the sorted array's (lo+1)/(lo+2) elements
+    // ARE the rank-filtered values the bucketed route extracts —
+    // element_at past the array end yields null exactly where the
+    // rank row doesn't exist (frac = 0 at the top rank), which the
+    // shared fold's CaseWhen never evaluates
+    val withEnds = probs.foldLeft(g) { case (acc, (nm, p)) =>
+      val lo = floor((col("__n").cast("double") - 1) * lit(p))
+      acc
+        .withColumn(s"__lo_$nm",
+          element_at(col("__vs"), (lo + 1).cast("int")))
+        .withColumn(s"__hi_$nm",
+          element_at(col("__vs"), (lo + 2).cast("int")))
+    }
+    interpolateEndpoints(withEnds, groupCol, probs)
+  }
+
+  /** The 100-TB route (see [[groupQuantileValues]] scaladoc for the
+    * full design narrative): exact per-(group, bucket) counts +
+    * driver prefix sums locate the interpolation ranks; only the
+    * target cells' rows are exchanged and window-ranked. */
+  private def bucketedGroupQuantiles(slimIn: DataFrame,
+                                     groupCol: String, valueCol: String,
+                                     probs: Seq[(String, Double)])
+      : DataFrame = {
+    val df = slimIn
     val spark = df.sparkSession
     // Measured floor (sf1 tier, 1.5M-row orders⋈customer): an EXACT
     // bounded-memory distributed quantile needs one full counting
@@ -338,8 +459,9 @@ object RelationalOps {
     // DuckDB wins this shape at single-node scale by sorting in
     // memory; this form is the one that still answers when the group
     // doesn't fit.
-    val slim = df.select(col(groupCol),
-      col(valueCol).cast("double").as(valueCol))
+    // df is already the slim (group, double value) projection — the
+    // router built it once for the stats probe and both routes.
+    val slim = df
     // r9 target-cell pruning (the sf1 12.7× fix): the quantile needs
     // only the ≤ 2·|probs| rows per group at the interpolation ranks,
     // and once the per-(group, bucket) cell counts are on the driver
@@ -386,6 +508,13 @@ object RelationalOps {
       "groupQuantileValues: null group key — the pruning join would " +
         "silently drop those rows; filter or coalesce the group " +
         "column first")
+    // null VALUE → null __g bucket: without this the prefix-sum
+    // builder below would die in a bare NullPointerException on
+    // getInt(1) — name the cause instead (the compact route raises
+    // the same contract at execution time)
+    require(cells.forall(!_.isNullAt(1)),
+      "groupQuantileValues: null value column — nulls have no rank; " +
+        "filter them or impute first")
     // driver-side per-group prefix sums → group sizes and the cells
     // containing each target rank lo+1 / lo+2, lo = floor((n−1)·p)
     // (same double expression the interpolation below uses)
@@ -452,6 +581,18 @@ object RelationalOps {
         lit(") — is the input deterministic?"))))
         .otherwise(col("__off") + row_number().over(w)).cast("long"))
     val j = ranked.join(broadcast(counts), Seq(groupCol))
+    interpolateAtRanks(j, groupCol, valueCol, probs)
+  }
+
+  /** Rank-row endpoint extraction for the bucketed route: from rows
+    * carrying `__r` (1-based rank of `valueCol` within its group) and
+    * `__n` (group row count, long), keep the lo/hi rank rows per prob
+    * and pivot them into a one-row-per-group aggregate, then hand to
+    * the shared fold. */
+  private def interpolateAtRanks(j: DataFrame, groupCol: String,
+                                 valueCol: String,
+                                 probs: Seq[(String, Double)])
+      : DataFrame = {
     def loRank(p: Double): Column =
       floor((col("__n").cast("double") - 1) * lit(p))
     val keep = probs.map { case (_, p) =>
@@ -464,6 +605,19 @@ object RelationalOps {
         .as(s"__hi_$nm")) }
     val g = j.where(keep).groupBy(col(groupCol))
       .agg(max(col("__n")).as("__n"), aggs: _*)
+    interpolateEndpoints(g, groupCol, probs)
+  }
+
+  /** Shared interpolation fold of both [[groupQuantileValues]] routes:
+    * from one row per group carrying `__n` and `__lo_nm`/`__hi_nm`
+    * endpoint columns, interpolate with every IEEE op in the fixed
+    * textual order the oracle SQL replays. Living in ONE place is
+    * what makes the compact/bucketed route equality bit-exact by
+    * construction — the routes differ only in how they EXTRACT the
+    * two endpoint values per prob, never in arithmetic. */
+  private def interpolateEndpoints(g: DataFrame, groupCol: String,
+                                   probs: Seq[(String, Double)])
+      : DataFrame = {
     val out = probs.foldLeft(g) { case (acc, (nm, p)) =>
       val h = (col("__n").cast("double") - 1) * lit(p)
       val frac = h - floor(h)

@@ -160,7 +160,8 @@ class RelationalOpsSpec extends SparkSpec {
   }
 
   test("groupQuantileValues matches a driver-side sort-and-interpolate " +
-    "reference bit-for-bit (ties, edge probs 0/1, singleton group)") {
+    "reference bit-for-bit on BOTH routes (ties, edge probs 0/1, " +
+    "singleton group)") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 500).map(i =>
       (i.toLong, s"g${i % 3}", math.floor(rnd.nextDouble() * 50) / 4.0)) :+
@@ -168,36 +169,43 @@ class RelationalOpsSpec extends SparkSpec {
     val df = rows.toDF("id", "g", "v")
     val probs = Seq("p0" -> 0.0, "q1" -> 0.25, "p50" -> 0.5,
       "p90" -> 0.9, "p100" -> 1.0)
-    val got = RelationalOps.groupQuantileValues(df, "g", "v", probs)
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), probs.indices.map(i => r.getDouble(2 + i))))
-      .toMap
-    val byG = rows.groupBy(_._2)
-    assert(got.keySet === byG.keySet)
-    for ((g, rs) <- byG) {
-      val vs = rs.map(_._3).sorted
-      val n = vs.length
-      assert(got(g)._1 === n.toLong, s"group $g count")
-      probs.zipWithIndex.foreach { case ((nm, p), i) =>
-        // the reference runs the SAME textual arithmetic as the
-        // Column form and the oracle SQL — bit-equality is the claim
-        val h = (n.toDouble - 1) * p
-        val lo = math.floor(h)
-        val frac = h - lo
-        val expect =
-          if (frac == 0.0) vs(lo.toInt)
-          else vs(lo.toInt) + (vs(lo.toInt + 1) - vs(lo.toInt)) * frac
-        assert(got(g)._2(i) === expect, s"group $g prob $nm")
+    // compactBytesLimit MaxValue forces the compact window route,
+    // 0 forces the 2-pass bucketed route — the reference below must
+    // hold bit-for-bit on each (the route-equality contract)
+    for (forcedLimit <- Seq(Long.MaxValue, 0L)) {
+      val got = RelationalOps.groupQuantileValues(df, "g", "v", probs,
+        compactBytesLimit = forcedLimit)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), probs.indices.map(i => r.getDouble(2 + i))))
+        .toMap
+      val routeTag = s"(compactBytesLimit=$forcedLimit)"
+      val byG = rows.groupBy(_._2)
+      assert(got.keySet === byG.keySet)
+      for ((g, rs) <- byG) {
+        val vs = rs.map(_._3).sorted
+        val n = vs.length
+        assert(got(g)._1 === n.toLong, s"group $g count $routeTag")
+        probs.zipWithIndex.foreach { case ((nm, p), i) =>
+          // the reference runs the SAME textual arithmetic as the
+          // Column form and the oracle SQL — bit-equality is the claim
+          val h = (n.toDouble - 1) * p
+          val lo = math.floor(h)
+          val frac = h - lo
+          val expect =
+            if (frac == 0.0) vs(lo.toInt)
+            else vs(lo.toInt) + (vs(lo.toInt + 1) - vs(lo.toInt)) * frac
+          assert(got(g)._2(i) === expect, s"group $g prob $nm $routeTag")
+        }
       }
+      // semantic sanity vs Spark's holistic percentile (different
+      // interpolation op order, so ~ulp agreement, not bit equality)
+      val sp = df.groupBy("g").agg(
+        percentile(col("v"), lit(0.9)).as("p90")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for ((g, v) <- sp)
+        assert(math.abs(got(g)._2(3) - v) <= 1e-9 * math.max(1, v.abs),
+          s"group $g vs Spark percentile $routeTag")
     }
-    // semantic sanity vs Spark's holistic percentile (different
-    // interpolation op order, so ~ulp agreement, not bit equality)
-    val sp = df.groupBy("g").agg(
-      percentile(col("v"), lit(0.9)).as("p90")).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    for ((g, v) <- sp)
-      assert(math.abs(got(g)._2(3) - v) <= 1e-9 * math.max(1, v.abs),
-        s"group $g vs Spark percentile")
   }
 
   test("exactSumQ matches a BigInt quantized reference (mixed signs, " +
