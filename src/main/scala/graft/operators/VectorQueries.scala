@@ -18,6 +18,27 @@ object VectorQueries {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dot(a, b)
 
+  /** Corpus-row bound under which `dedup_embed_cosine` emits the FULL
+    * quadratic pair set; past it the A side samples vec_id % mod == 0
+    * with mod = ceil(n/limit). The oracle SQL embeds THIS default
+    * (its mod comes from its own COUNT(*)), so the sys-prop force is
+    * for specs and dev A/Bs only — running Verify with it set desyncs
+    * the oracle by construction. */
+  private[graft] val EmbedCosDefaultMaxExactRows = 20000L
+
+  /** [[EmbedCosDefaultMaxExactRows]] with the registry-path override:
+    * `graft.embedcos.maxExactRows` (≥ 1; a huge value forces the full
+    * quadratic form at any corpus size, a tiny one forces sampling on
+    * gate-scale data so the sampled route itself stays spec-testable).
+    * Malformed values fail loudly, the house sys-prop contract. */
+  private[graft] def embedCosMaxExactRows: Long =
+    sys.props.get("graft.embedcos.maxExactRows").map { v =>
+      require(v.nonEmpty && v.forall(_.isDigit) && v.toLong >= 1L,
+        s"graft.embedcos.maxExactRows must be a positive integer, " +
+          s"got '$v'")
+      v.toLong
+    }.getOrElse(EmbedCosDefaultMaxExactRows)
+
   /** SQ8 quantization codes of a double array under a max-abs scale,
     * as `array<int>`: code_i = floor(127·x_i/maxabs + 0.5) — explicit
     * floor(+0.5) so Spark and DuckDB round identically (their ROUND
@@ -234,30 +255,46 @@ object VectorQueries {
     // pair-generation shape; swap the block key for an LSH bucket at
     // scale — see Similarity.annLsh).
     //
-    // Salted pair generation (r9.6): the block key has ~10 distinct
-    // labels, so a plain label-keyed self-join plans ~10 effective
-    // tasks and serializes ~2.4G codegen'd dots onto a third of the
-    // cores at the sf1 tier (measured 46 s). The A side keeps each
-    // row once under salt a_id % S; the B side replicates each row to
-    // every salt — each unordered pair meets in EXACTLY one salt cell
-    // (the a_id<b_id guard kills the mirror), so output rows are
-    // identical and the quadratic dot work spreads across S·labels
-    // cells. Shuffle volume grows S× on the B side only, and S tracks
-    // the core count, not the data — the same salting shape as
-    // `salted_agg`.
+    // COUNT-ADAPTIVE A-side sampling (r10, verdict item 3): this
+    // query is the quadratic exact VERIFIER for the LSH scale route
+    // (`dedup_embed_lsh`), and by-design-quadratic still means 27 s —
+    // 24% of the sf1 engine total — and 100× that at the next tier.
+    // Past [[embedCosMaxExactRows]] corpus rows the A side keeps only
+    // vec_id % mod == 0, mod = ceil(n/limit): every emitted pair's
+    // SMALLER id is in a deterministic uniform stratum, so the output
+    // is an exact ~1/mod sample of the full pair set — precisely what
+    // a recall audit consumes. The oracle replays mod from its own
+    // COUNT(*) (the semantic_dedup doctrine); at the sf0.01 gate
+    // mod = 1 and the hashes are untouched. The full quadratic form
+    // stays reachable via the sys-prop force, and
+    // EmbedCosSampleSpec pins sampled ≡ full ∩ (a_id % mod = 0).
+    //
+    // Plan shape (r10, replacing the r9.6 salted shuffle join): with
+    // the A side bounded at ≤ maxExactRows it BROADCASTS (~10 MB of
+    // vectors at the default bound), and the B side carries the
+    // parallelism — cpuRebalance'd first, because a compute-dense
+    // map inherits the SCAN's byte-sized splits (the 31 MB embeddings
+    // file plans 2-3 splits, and 200M broadcast-join dots on 2 cores
+    // measured 15.7 s; rebalanced to 32 it's ~2 s). No salt: a
+    // broadcast hash join's parallelism is its streamed side's
+    // partitioning, so the r9.6 salt-cell machinery (which existed to
+    // spread a SHUFFLE join's 10 label cells across cores) deletes
+    // outright, along with its S× explode of the B side. The forced
+    // full form at sf1 broadcasts ~120 MB — heavy but functional,
+    // and that route exists for audits, not production.
     "dedup_embed_cosine" -> QDef(
       (s, d) => {
-        val e = withNorm(Tables.load(s, d, "embeddings"))
-        val nSalt = s.sparkContext.defaultParallelism
-        val a = e.select(col("label"), col("vec_id").as("a_id"),
-          col("v").as("av"), col("nrm").as("an"))
-          .withColumn("__salt",
-            pmod(col("a_id"), lit(nSalt.toLong)).cast("int"))
-        val b = e.select(col("label"), col("vec_id").as("b_id"),
-          col("v").as("bv"), col("nrm").as("bn"))
-          .withColumn("__salt",
-            explode(sequence(lit(0), lit(nSalt - 1))))
-        a.join(b, Seq("label", "__salt"))
+        val raw = Tables.load(s, d, "embeddings")
+        val mod = math.max(1L, math.ceil(
+          raw.count().toDouble / embedCosMaxExactRows).toLong)
+        val e = withNorm(raw)
+        val a = e.where(pmod(col("vec_id"), lit(mod)) === 0)
+          .select(col("label"), col("vec_id").as("a_id"),
+            col("v").as("av"), col("nrm").as("an"))
+        val b = Similarity.cpuRebalance(e)
+          .select(col("label"), col("vec_id").as("b_id"),
+            col("v").as("bv"), col("nrm").as("bn"))
+        broadcast(a).join(b, Seq("label"))
           .where(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
             (dot(col("av"), col("bv")) / (col("an") * col("bn")))
@@ -268,12 +305,16 @@ object VectorQueries {
       },
       "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v " +
         "FROM embeddings), " +
+        "m AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / " +
+        s"$EmbedCosDefaultMaxExactRows.0) AS BIGINT)) AS md " +
+        "FROM embeddings), " +
         "n AS (SELECT vec_id, label, v, " +
         "sqrt(list_dot_product(v, v)) AS nrm FROM e), " +
         "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
         "list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos " +
         "FROM n a JOIN n b ON a.label = b.label " +
-        "AND a.vec_id < b.vec_id) " +
+        "AND a.vec_id < b.vec_id " +
+        "WHERE a.vec_id % (SELECT md FROM m) = 0) " +
         "SELECT a_id, b_id, ROUND(cos, 6) AS cosine FROM p " +
         "WHERE cos >= 0.44"),
 
