@@ -360,7 +360,15 @@ object CorpusQueries {
     * same top-3 (TfidfRouteSpec pins closed ≡ open row-for-row).
     * Determinism contract (rangeBucketRank doctrine): the scoring pass
     * must see the words the df pass saw; a word missing from the
-    * broadcast map raises, it does not silently mis-score.
+    * broadcast map raises, it does not silently mis-score. The guard
+    * is deliberately ONE-SIDED (advisory r10): the df pass runs at
+    * query-CONSTRUCTION time, so an input whose rows change between
+    * construction and execution is scored with stale df values
+    * whenever the word SET is unchanged — only new words trip the
+    * raise. Detecting value drift would need a second full df pass at
+    * execution (the exact cost the closed route exists to avoid), so
+    * the contract stands as: construct and execute against the same
+    * deterministic snapshot, like every rank consumer in this repo.
     */
   private[graft] def tfidfTopk(s: SparkSession, d: String,
       maxBroadcastVocab: Int = TfidfMaxBroadcastVocab): DataFrame = {

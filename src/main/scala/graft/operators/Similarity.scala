@@ -668,10 +668,27 @@ object Similarity {
     * [[KernelQueryRows]]. */
   def ivfTopK(centroids: Array[Array[Double]], indexed: DataFrame,
               queries: DataFrame, k: Int, nprobe: Int,
-              queryRowsHint: Option[Long] = None): DataFrame =
-    if (queryRowsHint.forall(_ <= KernelQueryRows)) {
-      val qRows = queries.select(col("id"), col("v"), col("nrm"))
-        .collect()
+              queryRowsHint: Option[Long] = None): DataFrame = {
+    // No-hint collects are LIMIT-bounded (r10, advisory): a caller
+    // with a data-dependent query relation and no hint used to
+    // silently collect it whole (driver OOM at scale); now the
+    // collect caps at ceiling+1 rows and an overflow falls back to
+    // the shuffle route — same rows either way (the routes are
+    // spec-pinned identical), bounded memory always. An explicit
+    // hint keeps the uncapped collect: it is the caller's assertion.
+    val kernelQs: Option[Array[org.apache.spark.sql.Row]] =
+      queryRowsHint match {
+        case Some(h) if h <= KernelQueryRows =>
+          Some(queries.select(col("id"), col("v"), col("nrm"))
+            .collect())
+        case Some(_) => None
+        case None =>
+          val r = queries.select(col("id"), col("v"), col("nrm"))
+            .limit(KernelQueryRows.toInt + 1).collect()
+          if (r.length <= KernelQueryRows) Some(r) else None
+      }
+    if (kernelQs.isDefined) {
+      val qRows = kernelQs.get
       val vecs = qRows.map(r => (r.getLong(0),
         r.getSeq[Double](1).toArray, r.getDouble(2)))
       // probe-cell selection in parallel (pure per-query math — thread
@@ -717,6 +734,7 @@ object Similarity {
             (col("p.qn") * col("i.nrm"))).as("cos"))
       rankPairs(pairsTopK(pairs, k), k)
     }
+  }
 
   /** Approximate top-k for `queries` (rows of the same indexed shape):
     * each query probes its bucket and all 1-bit neighbors in every
@@ -727,12 +745,27 @@ object Similarity {
               nBits: Int,
               queryRowsHint: Option[Long] = None): DataFrame = {
     require(nBits < 31, s"annTopK: nBits $nBits overflows bucket ints")
-    if (queryRowsHint.forall(_ <= KernelQueryRows)) {
+    // No-hint collects are LIMIT-bounded (r10, advisory; see ivfTopK):
+    // this relation carries `tables` rows per query id, so the cap is
+    // 4× the id ceiling (the scaladoc's 4-table worst case — a wider
+    // layout under-fills the id budget and falls back, never OOMs).
+    val annRowCap = 4L * KernelQueryRows
+    val kernelQs: Option[Array[org.apache.spark.sql.Row]] =
+      queryRowsHint match {
+        case Some(h) if h <= KernelQueryRows =>
+          Some(queries.select(col("id"), col("tbl"), col("bucket"),
+            col("v"), col("nrm")).collect())
+        case Some(_) => None
+        case None =>
+          val r = queries.select(col("id"), col("tbl"), col("bucket"),
+            col("v"), col("nrm")).limit(annRowCap.toInt + 1).collect()
+          if (r.length <= annRowCap) Some(r) else None
+      }
+    if (kernelQs.isDefined) {
       // ONE collect job for both the vectors and the bucket layout:
       // queries carry `tables` rows per id (vector duplicated per
       // table) — bounded by the route ceiling
-      val qRows = queries.select(col("id"), col("tbl"), col("bucket"),
-        col("v"), col("nrm")).collect()
+      val qRows = kernelQs.get
       val qIdx = new java.util.HashMap[java.lang.Long, Integer]()
       val vecs = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Array[Double], Double)]
@@ -995,7 +1028,17 @@ object Similarity {
       var m = 0
       rows.foreach { r =>
         val seqCode = r.getSeq[Int](1)
+        // the code width is the FIRST row's length; an empty or
+        // ragged code column must fail here, loudly — with m left 0
+        // every candidate would silently score adc = 0.0 (advisory
+        // r10), and a ragged block would misalign every row after it
+        require(seqCode.nonEmpty,
+          "adcStreamedTopK: empty PQ code array — the code column " +
+            "must carry m subquantizer codes per row")
         if (m == 0) m = seqCode.length
+        require(seqCode.length == m,
+          s"adcStreamedTopK: ragged PQ codes (saw ${seqCode.length}," +
+            s" expected $m) — all rows must share one code width")
         idB += r.getLong(0)
         if (hasCell) cellB += r.getInt(2)
         var ci = 0
