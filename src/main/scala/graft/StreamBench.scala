@@ -1,0 +1,187 @@
+package graft
+
+import graft.examples.StreamFeed
+import graft.operators.RelationalOps
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Per-round streaming throughput row (r9 verdict item 5): the five
+  * `*_state` driver gates are timed only at sf0.1, where a streaming
+  * query is ~launch cost, so a throughput regression in the streaming
+  * machinery itself would go unnoticed between the one-off
+  * STREAM_SCALE runs. This main drives each gate's pipeline SHAPE
+  * through the real runtime at the 2M-event tier (checkpointed sinks,
+  * AvailableNow, the shared [[StreamFeed]] quarter-file feed), twice
+  * each with fresh checkpoints, alongside its batch-equivalent on the
+  * same rows — and emits ONE diffable JSON file per round
+  * (`BENCH_STREAM_r{N}.json`, committed) with streamed [min,max],
+  * batch seconds, the streamed/batch ratio, and row-count parity.
+  *
+  * Ratios here are expected WELL above 1: a streamed AvailableNow
+  * drain pays 6 micro-batch plan/commit cycles and a checkpointed
+  * state store against a single batch plan. The number that must not
+  * drift round-over-round is the streamed seconds at fixed feed size.
+  *
+  * Run: `SPARK_GRAFT_CPUS=16 sbt "runMain graft.StreamBench
+  * [nEvents] [outPath]"` — defaults 2e6 / BENCH_STREAM.json.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val outPath = args.lift(1).getOrElse("BENCH_STREAM.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val nUsers = 50000L
+    val gapMs = 30L * 60000
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_streambench").toString
+    val all = StreamFeed.gen(spark, nEvents, nUsers)
+    val evSchema = all.schema
+    StreamFeed.mkSrc(spark, all, nEvents, s"$tmp/src", 4)
+    // one materialized copy for the batch equivalents, so their
+    // timings measure the operator, not range() regeneration
+    all.write.mode("overwrite").parquet(s"$tmp/batch_in")
+    val allP = spark.read.parquet(s"$tmp/batch_in")
+
+    def src(): DataFrame = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+
+    var runSeq = 0
+    /** One streamed AvailableNow drain into a fresh checkpoint+sink;
+      * returns (seconds, sink row count after `countWhere`).
+      *
+      * Sentinel exclusion happens at SINK-READ time, never inside the
+      * streaming query: a filter on a grouping column (event_type)
+      * pushes below the EventTimeWatermark operator, so the sentinel
+      * rows would never advance the watermark and the last
+      * `watermark` hours of windows would silently not flush
+      * (measured: 76 of 82 windows; typed operators like
+      * mapGroupsWithState block the pushdown, which is why the
+      * sessionize pipeline was immune — the untyped agg was not). */
+    def drain(build: DataFrame => DataFrame,
+              countWhere: Option[String]): (Double, Long) = {
+      runSeq += 1
+      val tag = s"r$runSeq"
+      val q = build(src())
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out_$tag")
+        .option("checkpointLocation", s"$tmp/ckpt_$tag")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      require(q.awaitTermination(600000), s"$tag hung")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val sink = spark.read.parquet(s"$tmp/out_$tag")
+      (secs, countWhere.fold(sink)(sink.where).count())
+    }
+    def timeBatch(df: => DataFrame): (Double, Long) = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, df.count())
+    }
+
+    final case class GateRow(name: String, sMin: Double, sMax: Double,
+                             b: Double, streamedRows: Long,
+                             batchRows: Long)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[GateRow]
+    def gate(name: String, build: DataFrame => DataFrame,
+             batch: => DataFrame,
+             countWhere: Option[String] = None): Unit = {
+      val (s1, r1) = drain(build, countWhere)
+      val (s2, r2) = drain(build, countWhere)
+      require(r1 == r2, s"$name: nondeterministic sink rows $r1/$r2")
+      val (b, br) = timeBatch(batch)
+      rows += GateRow(name, math.min(s1, s2), math.max(s1, s2), b,
+        r1, br)
+      println(f"[streambench] $name streamed=[${math.min(s1, s2)}%.2f," +
+        f"${math.max(s1, s2)}%.2f] batch=$b%.2f rows=$r1/$br")
+    }
+
+    // 1. sessionize (mapGroupsWithState) — mirror sessionize_state
+    gate("sessionize",
+      s => StreamingOps.sessionize(s.as[Event], gapMs,
+        watermark = "2 hours").where(col("user_id") >= 0).toDF(),
+      StreamingOps.sessionizeBatch(allP.as[Event], gapMs).toDF())
+
+    // 2. tumbling window agg — mirror window_hourly_state
+    gate("window_hourly",
+      s => StreamingOps.hourlyCounts(s, watermark = "2 hours"),
+      StreamingOps.hourlyCounts(allP),
+      countWhere = Some("event_type <> 'sentinel'"))
+
+    // 3. watermark dedup — mirror dedup_stream_state (sentinels pass
+    // through the dedup and are excluded at count time)
+    gate("dedup_stream",
+      s => StreamingOps.dedupWithinWatermark(s,
+        Seq("user_id", "event_type"), "ts", watermark = "30 days")
+        .select(col("user_id"), col("event_type")),
+      allP.dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      countWhere = Some("event_type <> 'sentinel'"))
+
+    // 4. stream-stream interval join — mirror interval_join_state
+    // (45-day watermark like the gate: state buffers both sides, the
+    // sentinel flushes; the 1-in-4000 signup rate keeps the pair
+    // output ~6M rows)
+    def incBatch = allP.where(col("event_type") === "signup")
+      .select(col("event_id").as("inc_id"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
+    gate("interval_join",
+      s => {
+        val pts = s.select(col("event_id"), col("ts"), col("value"))
+        val inc = s.where(col("event_type") === "signup")
+          .select(col("event_id").as("inc_id"), col("ts").as("lo"))
+        StreamingOps.streamingPointInIntervalJoin(pts, "ts", inc,
+          "lo", "15 minutes", grainSec = 900, watermark = "45 days")
+          .select(col("inc_id"), col("value"))
+      },
+      RelationalOps.pointInIntervalJoin(
+        allP.select(col("event_id"), col("ts"), col("value")),
+        "ts", incBatch, "lo", "hi", grainSec = 900)
+        .select(col("inc_id"), col("value")))
+
+    // 5. file sink drain (map-only passthrough) — the sink-side cost
+    // sink_exactly_once_state gates semantically; batch = the same
+    // projection through the noop sink, so the ratio reads as "file
+    // sink machinery (manifest commits, per-batch planning) over raw
+    // row materialization"
+    gate("file_sink",
+      s => s.select(col("event_id"), col("user_id"), col("value"),
+        col("event_type")),
+      allP.select(col("event_id"), col("user_id"), col("value"),
+        col("event_type")),
+      countWhere = Some("event_type <> 'sentinel'"))
+
+    val gatesJson = rows.map { g =>
+      s""""${g.name}":{"streamed":[${g.sMin},${g.sMax}],""" +
+        s""""batch":${g.b},""" +
+        f""""ratio":${g.sMin / math.max(g.b, 1e-9)}%.2f,""" +
+        s""""rows":[${g.streamedRows},${g.batchRows}]}"""
+    }.mkString("{", ",", "}")
+    val totalStreamed = rows.map(_.sMin).sum
+    val line = s"""{"metric":"stream_bench","unit":"sec",""" +
+      s""""n_events":$nEvents,"n_users":$nUsers,"cpus":$cpus,""" +
+      f""""total_streamed":$totalStreamed%.2f,"gates":$gatesJson}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n")
+    println(line)
+    spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared synthetic event feed for the streaming scale/bench
+  * drivers ([[StreamScale]], [[graft.StreamBench]]): ~40 events/user
+  * on an hourly lattice with a uniform [0, 60) min jitter, so
+  * consecutive per-user gaps are triangular on (0, 120) min and ~7/8
+  * of them exceed a 30-min session gap (~35 sessions/user — sessions
+  * of 1-2 events dominate, which maximizes session-state churn per
+  * event, the stressful direction). Every 4000th event is a
+  * "signup" (500 incidents at the 2M tier — the rate that keeps the
+  * interval-join pair output ~6M rows, not 625M) so the interval-join
+  * pipelines have a real interval side. Global order is by sequence
+  * number, so slicing the range into quarters yields TIME-ORDERED
+  * files — the shape a real ingest directory has — while within-file
+  * order is free.
+  */
+object StreamFeed {
+
+  val BaseMs = 1700000000000L
+
+  def gen(spark: SparkSession, nEvents: Long,
+          nUsers: Long): DataFrame =
+    spark.range(nEvents).select(
+      col("id").as("event_id"),
+      timestamp_millis(lit(BaseMs) +
+        floor(col("id") / lit(nUsers)).cast("long") * lit(3600000L) +
+        pmod(xxhash64(col("id")), lit(3600000L))).as("ts"),
+      pmod(col("id"), lit(nUsers)).as("user_id"),
+      when(pmod(col("id"), lit(4000)) === 0, "signup")
+        .otherwise("click").as("event_type"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(8)).cast("double") *
+        lit(0.25)).as("value"))
+
+  /** Stage `quarters` time-ordered quarter files plus two far-future
+    * sentinel files (the first advances the watermark past every real
+    * session/window, the second's batch then runs timeout/emission
+    * under that advanced watermark — so a full append-mode flush
+    * never depends on a trailing no-data micro-batch). */
+  def mkSrc(spark: SparkSession, all: DataFrame, nEvents: Long,
+            dir: String, quarters: Int): Unit = {
+    import spark.implicits._
+    (0 until quarters).foreach { q =>
+      graft.streaming.StreamStage.stageFile(
+        all.where(col("event_id") >= lit(q * nEvents / 4) &&
+          col("event_id") < lit((q + 1) * nEvents / 4)),
+        dir, s"q$q", 1000000000000L + q * 2000L)
+    }
+    def sentinel(k: Int) = Seq(graft.streaming.StreamingOps.Event(
+      -1L - k,
+      new java.sql.Timestamp(BaseMs + (10L + k) * 365 * 86400000L),
+      -1L, "sentinel", 0.0)).toDF()
+    graft.streaming.StreamStage.stageFile(sentinel(0), dir,
+      "z_sentinel0", 1000000000000L + 10 * 2000L)
+    graft.streaming.StreamStage.stageFile(sentinel(1), dir,
+      "z_sentinel1", 1000000000000L + 11 * 2000L)
+  }
+}

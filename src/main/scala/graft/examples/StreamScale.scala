@@ -56,54 +56,14 @@ object StreamScale {
 
     val nUsers = 50000L
     val gapMs = 30L * 60000
-    // Synthetic feed: ~40 events/user on an hourly lattice with a
-    // uniform [0, 60) min jitter, so consecutive per-user gaps are
-    // triangular on (0, 120) min and ~7/8 of them exceed the 30-min
-    // session gap (~35 sessions/user — sessions of 1-2 events
-    // dominate, which maximizes session-state churn per event, the
-    // stressful direction for this proof). Global order is by
-    // sequence number, so slicing the range into quarters yields
-    // TIME-ORDERED files — the shape a real ingest directory has —
-    // while within-file order is free.
-    val base = 1700000000000L
-    def gen(n: Long): DataFrame = spark.range(n).select(
-      col("id").as("event_id"),
-      timestamp_millis(lit(base) +
-        floor(col("id") / lit(nUsers)).cast("long") * lit(3600000L) +
-        pmod(xxhash64(col("id")), lit(3600000L))).as("ts"),
-      pmod(col("id"), lit(nUsers)).as("user_id"),
-      lit("click").as("event_type"),
-      (pmod(xxhash64(col("id"), lit(7)), lit(8)).cast("double") *
-        lit(0.25)).as("value"))
-
+    // Synthetic feed + quarter-file staging: shared with StreamBench
+    // (see [[StreamFeed]] for the lattice/jitter design narrative).
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_streamscale").toString
-    def stage(df: DataFrame, dir: String, name: String,
-              mtime: Long): Unit =
-      graft.streaming.StreamStage.stageFile(df, dir, name, mtime)
-    val all = gen(nEvents)
+    val all = StreamFeed.gen(spark, nEvents, nUsers)
     val evSchema = all.schema
-    // 4 time-ordered quarter files + sentinel (far future: advances
-    // the watermark past every real session/window so append mode
-    // must flush exactly all of them)
-    // Two sentinels in two separate last files: the first advances the
-    // watermark past every real session/window, the second's batch
-    // then runs timeout/emission under that advanced watermark — so
-    // the full flush never depends on a trailing no-data micro-batch.
-    def sentinel(k: Int) = Seq(Event(-1L - k,
-      new java.sql.Timestamp(base + (10L + k) * 365 * 86400000L),
-      -1L, "sentinel", 0.0)).toDF()
-    def mkSrc(dir: String, quarters: Int): Unit = {
-      (0 until quarters).foreach { q =>
-        stage(all.where(col("event_id") >= lit(q * nEvents / 4) &&
-            col("event_id") < lit((q + 1) * nEvents / 4)),
-          dir, s"q$q", 1000000000000L + q * 2000L)
-      }
-      stage(sentinel(0), dir, "z_sentinel0", 1000000000000L + 10 * 2000L)
-      stage(sentinel(1), dir, "z_sentinel1", 1000000000000L + 11 * 2000L)
-    }
-    mkSrc(s"$tmp/src_full", 4)
-    mkSrc(s"$tmp/src_half", 2)
+    StreamFeed.mkSrc(spark, all, nEvents, s"$tmp/src_full", 4)
+    StreamFeed.mkSrc(spark, all, nEvents, s"$tmp/src_half", 2)
 
     final case class RunResult(seconds: Double, maxStateRows: Long,
                                batches: Long)
