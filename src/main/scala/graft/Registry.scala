@@ -30,7 +30,8 @@ object Registry {
       operators.AnalyticsQueries.defs,
       operators.CorpusQueries.defs,
       streaming.StreamGateQueries.defs,
-      multimodal.MediaQueries.defs)
+      multimodal.MediaQueries.defs,
+      cms.CmsQueries.defs)
     // Map ++ silently keeps the LAST duplicate — a colliding query name
     // would shadow an operator and shrink the driver's gate without any
     // failure. Refuse instead.

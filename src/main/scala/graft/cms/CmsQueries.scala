@@ -1,0 +1,166 @@
+package graft.cms
+
+import graft.QDef
+import org.apache.spark.sql.functions._
+
+/** The composed CMS pipeline as a DRIVER-GATED query (r9 verdict item
+  * 8): every stage of [[CmsPipeline]] is individually oracle- or
+  * spec-checked, but until r10 the full composition — CSV scans →
+  * crosswalk clean → join/filter/enroll → recode → label → AOV
+  * flatten — had no DuckDB row against it. `cms_aov_e2e` runs the
+  * real `aovPipeline` on the committed 30-patient dirty fixture and
+  * emits the feature VECTOR exploded to (patient, slot, value, label)
+  * rows, which a pure-SQL replay of the whole relational stage
+  * reproduces hash-exactly: the one query where a wrong crosswalk
+  * clean, a dropped dirty date, a mis-offset vocabulary slot, or a
+  * label-year slip each breaks the hash.
+  *
+  * The fixture path is resolved at query-CONSTRUCTION time (Verify
+  * dumps `oracleSql` fresh each run, so the absolute path embedded in
+  * the SQL is always this machine's); `graft.cms.fixtureDir`
+  * overrides it for scaled runs (CMS_SCALE.md uses the same replay at
+  * 100k patients).
+  */
+object CmsQueries {
+
+  private[cms] def fixtureDir: String =
+    sys.props.getOrElse("graft.cms.fixtureDir",
+      new java.io.File("src/test/resources/cms").getAbsolutePath)
+
+  /** DuckDB replay of the full AOV relational stage over the raw
+    * fixture CSVs at `base`. Every coercion mirrors the Spark side's
+    * documented semantics: permissive typed CSV reads → all_varchar +
+    * TRY_CAST; `try_cast(try_cast(x AS DOUBLE) AS BIGINT)` for the
+    * mixed "yyyyMMdd"/"yyyyMMdd.0"/garbage dates (fractions are
+    * always .0 in CMS data, so DuckDB's round-vs-Spark's-truncate
+    * double→bigint difference cannot bite); `to_date(_, 'yyyyMMdd')`
+    * → TRY_STRPTIME; the NULL-DRG coalesce(false) keep; the
+    * 3-distinct-year enrollment HAVING; min-CCS duplicate resolution
+    * and the frozen sorted vocabulary as ROW_NUMBER over DISTINCT
+    * CCS. Feature rows are (year-offset·span + slot) with
+    * span = 2 + W, demos at +0/+1, indicators at +2+idx — exactly
+    * aovFlatten's layout — and v <> 0 mirrors the sparse vector's
+    * explicit-zero drop. */
+  private[graft] def aovReplaySql(base: String): String = {
+    val dxSlots = CmsPipeline.dxSlots
+    val pcsSlots = CmsPipeline.pcsSlots
+    val unpiv = (dxSlots ++ pcsSlots).mkString(", ")
+    // crosswalk clean: strip wrapping quotes (ALL occurrences — 'g'),
+    // trim, truncate at '.', blank → 'None' (same op order as
+    // CmsPipeline.cleanCrosswalk)
+    def clean(c: String): String =
+      s"CASE WHEN split_part(trim(regexp_replace($c, '^''|''$$', " +
+        s"'', 'g')), '.', 1) = '' THEN 'None' ELSE " +
+        s"split_part(trim(regexp_replace($c, '^''|''$$', '', 'g')), " +
+        s"'.', 1) END"
+    s"""WITH ben AS (
+      SELECT DESYNPUF_ID, TRY_CAST(SP_RA_OA AS INTEGER) AS sp_ra_oa,
+             BENE_BIRTH_DT,
+             TRY_CAST(BENE_SEX_IDENT_CD AS INTEGER) AS sex
+      FROM read_csv('$base/ben.csv', header=true, all_varchar=true, quote='"')),
+    ip AS (SELECT * FROM read_csv('$base/ip.csv', header=true,
+      all_varchar=true, quote='"')),
+    dxc AS (SELECT ${clean("\"'ICD-9-CM CODE'\"")} AS icd9,
+             ${clean("\"'CCS CATEGORY'\"")} AS ccs
+      FROM read_csv('$base/dx.csv', header=true, all_varchar=true, quote='"')),
+    pcsc AS (SELECT ${clean("\"'ICD-9-CM CODE'\"")} AS icd9,
+             ${clean("\"'CCS CATEGORY'\"")} AS ccs
+      FROM read_csv('$base/pcs.csv', header=true, all_varchar=true, quote='"')),
+    dxmap AS (SELECT icd9, MIN(ccs) AS ccs FROM dxc
+      WHERE icd9 <> 'None' GROUP BY icd9),
+    pcsmap AS (SELECT icd9, MIN(ccs) AS ccs FROM pcsc
+      WHERE icd9 <> 'None' GROUP BY icd9),
+    dxvocab AS (SELECT ccs, ROW_NUMBER() OVER (ORDER BY ccs) - 1
+      AS vi FROM (SELECT DISTINCT ccs FROM dxmap)),
+    pcsvocab AS (SELECT ccs, ROW_NUMBER() OVER (ORDER BY ccs) - 1
+      AS vi FROM (SELECT DISTINCT ccs FROM pcsmap)),
+    consts AS (SELECT (SELECT COUNT(*) FROM dxvocab) AS wdx,
+      (SELECT COUNT(*) FROM pcsvocab) AS wpcs),
+    c0 AS (
+      SELECT ip.*, ben.sex, ben.BENE_BIRTH_DT, ben.sp_ra_oa,
+        TRY_CAST(TRY_CAST(ip.CLM_FROM_DT AS DOUBLE) AS BIGINT)
+          AS dtnum
+      FROM ip JOIN ben USING (DESYNPUF_ID)),
+    c1 AS (
+      SELECT *, TRY_STRPTIME(CAST(dtnum AS VARCHAR), '%Y%m%d')::DATE
+        AS clm_date
+      FROM c0 WHERE dtnum IS NOT NULL),
+    c2 AS (
+      SELECT *, EXTRACT(YEAR FROM clm_date) AS yr FROM c1
+      WHERE clm_date IS NOT NULL),
+    c3 AS (
+      SELECT * FROM c2
+      WHERE yr BETWEEN 2008 AND 2010 AND sp_ra_oa = 1
+        AND NOT COALESCE(yr IN (2008, 2009)
+          AND CLM_DRG_CD IN ('469', '470'), FALSE)),
+    enrolled AS (
+      SELECT DESYNPUF_ID FROM c3 GROUP BY DESYNPUF_ID
+      HAVING COUNT(DISTINCT yr) = 3),
+    c4 AS (
+      SELECT c3.*,
+        (clm_date - TRY_STRPTIME(BENE_BIRTH_DT, '%Y%m%d')::DATE)
+          / 365.0 AS age,
+        CASE WHEN CLM_DRG_CD IN ('469', '470') THEN 1 ELSE 0 END
+          AS clabel
+      FROM c3 WHERE DESYNPUF_ID IN (SELECT DESYNPUF_ID
+        FROM enrolled)),
+    codes AS (
+      SELECT DESYNPUF_ID, yr,
+        CASE WHEN kv LIKE 'ICD9_DGNS%' THEN 'dx' ELSE 'pcs' END
+          AS kind, code
+      FROM (UNPIVOT c4 ON $unpiv INTO NAME kv VALUE code)),
+    pyidx AS (
+      SELECT DISTINCT DESYNPUF_ID, yr, idx FROM (
+        SELECT c.DESYNPUF_ID, c.yr, v.vi AS idx
+        FROM codes c JOIN dxmap m ON c.kind = 'dx'
+          AND c.code = m.icd9
+        JOIN dxvocab v ON m.ccs = v.ccs
+        UNION ALL
+        SELECT c.DESYNPUF_ID, c.yr,
+          v.vi + (SELECT wdx FROM consts) AS idx
+        FROM codes c JOIN pcsmap m ON c.kind = 'pcs'
+          AND c.code = m.icd9
+        JOIN pcsvocab v ON m.ccs = v.ccs)),
+    per_year AS (
+      SELECT DESYNPUF_ID, yr, MAX(age) AS age, MAX(sex) AS sex,
+        MAX(CASE WHEN yr = 2010 THEN clabel ELSE 0 END) AS ylabel
+      FROM c4 GROUP BY DESYNPUF_ID, yr),
+    plabel AS (
+      SELECT DESYNPUF_ID, MAX(ylabel) AS label FROM per_year
+      GROUP BY DESYNPUF_ID),
+    feat AS (
+      SELECT DESYNPUF_ID,
+        CAST((yr - 2008) * (2 + wdx + wpcs) + 0 AS INTEGER) AS slot,
+        age AS v
+      FROM per_year CROSS JOIN consts WHERE age IS NOT NULL
+      UNION ALL
+      SELECT DESYNPUF_ID,
+        CAST((yr - 2008) * (2 + wdx + wpcs) + 1 AS INTEGER),
+        CAST(sex AS DOUBLE)
+      FROM per_year CROSS JOIN consts WHERE sex IS NOT NULL
+      UNION ALL
+      SELECT DESYNPUF_ID,
+        CAST((yr - 2008) * (2 + wdx + wpcs) + 2 + idx AS INTEGER),
+        1.0
+      FROM pyidx CROSS JOIN consts)
+    SELECT f.DESYNPUF_ID, f.slot, f.v, l.label
+    FROM feat f JOIN plabel l USING (DESYNPUF_ID)
+    WHERE f.v <> 0"""
+  }
+
+  val defs: Map[String, QDef] = Map(
+    "cms_aov_e2e" -> QDef(
+      (s, _) => {
+        val base = fixtureDir
+        val aov = CmsPipeline.aovPipeline(s, s"$base/ben.csv",
+          s"$base/ip.csv", s"$base/dx.csv", s"$base/pcs.csv")
+        aov.select(col("DESYNPUF_ID"), col("label"),
+            posexplode(org.apache.spark.ml.functions
+              .vector_to_array(col("features"))))
+          .where(col("col") =!= 0.0)
+          .select(col("DESYNPUF_ID"), col("pos").cast("int").as("slot"),
+            col("col").as("v"), col("label"))
+      },
+      aovReplaySql(fixtureDir))
+  )
+}

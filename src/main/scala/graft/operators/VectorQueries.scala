@@ -219,6 +219,26 @@ object VectorQueries {
     q.collect().map(r => (r.getLong(0),
       r.getSeq[Double](1).toArray, r.getDouble(2)))
 
+  /** Probe-set stride for the exact KNN baselines: every `step`-th
+    * vec_id, step = max(50, ceil(n/4000)) — a FIXED ~4000-probe
+    * workload at any corpus size. The old fixed `% 50` made the probe
+    * COUNT grow with the corpus, so total exact-scan work was
+    * (n/50)·n — quadratic by construction, and the r10 sf10 growth
+    * check would have read 100× for a row whose per-probe cost is
+    * honestly linear (a query workload does not grow because the
+    * corpus did). The floor pins the sf0.01 gate (n=500 ⇒ 50) AND the
+    * sf1 tier (n=200k ⇒ ceil(200k/4000)=50) — hashes and committed
+    * bench numbers are untouched; only larger corpora change, where
+    * the old form was the wrong benchmark. Oracles replay the same
+    * stride from their own COUNT(*). */
+  private[graft] def knnProbeStep(n: Long): Long =
+    math.max(50L, math.ceil(n.toDouble / 4000).toLong)
+
+  /** [[knnProbeStep]] as DuckDB SQL over the same table. */
+  private val KnnProbeStepSql =
+    "(SELECT GREATEST(50, CAST(CEIL(COUNT(*) / 4000.0) AS BIGINT)) " +
+      "FROM embeddings)"
+
   val defs: Map[String, QDef] = Map(
 
     // Exact ANN baseline: brute-force cosine top-10 for a fixed query
@@ -230,8 +250,10 @@ object VectorQueries {
     // exchange, and the query never finished a bench run.)
     "knn_cosine" -> QDef(
       (s, d) => {
-        val e = withNorm(Tables.load(s, d, "embeddings"))
-        val q = e.where(col("vec_id") % 50 === 0)
+        val raw = Tables.load(s, d, "embeddings")
+        val step = knnProbeStep(raw.count())
+        val e = withNorm(raw)
+        val q = e.where(pmod(col("vec_id"), lit(step)) === 0)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qn"))
         streamedTopK(e.select(col("vec_id"), col("v"), col("nrm")),
@@ -242,7 +264,7 @@ object VectorQueries {
         "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm " +
         "FROM e), " +
         "q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n " +
-        "WHERE vec_id % 50 = 0), " +
+        s"WHERE vec_id % $KnnProbeStepSql = 0), " +
         "p AS (SELECT q_id, vec_id AS neighbor_id, " +
         "list_dot_product(qv, v) / (qn * nrm) AS cos " +
         "FROM q CROSS JOIN n WHERE vec_id <> q_id), " +
@@ -433,7 +455,9 @@ object VectorQueries {
     // itself being the quantized ground truth.
     "knn_sq8" -> QDef(
       (s, d) => {
-        val e = Tables.load(s, d, "embeddings")
+        val raw = Tables.load(s, d, "embeddings")
+        val step = knnProbeStep(raw.count())
+        val e = raw
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
           .withColumn("maxabs",
@@ -447,7 +471,7 @@ object VectorQueries {
         val deq = codes.select(col("vec_id"),
           transform(col("q"), c => c * col("step")).as("dv"))
           .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
-        val queries = e.where(col("vec_id") % 50 === 0)
+        val queries = e.where(pmod(col("vec_id"), lit(step)) === 0)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qn"))
         // same streamed bounded-heap search as knn_cosine, over the
@@ -471,7 +495,7 @@ object VectorQueries {
         "sqrt(list_dot_product(dv, dv)) AS dnrm FROM dq), " +
         "qs AS (SELECT vec_id AS q_id, v AS qv, " +
         "sqrt(list_dot_product(v, v)) AS qn FROM e " +
-        "WHERE vec_id % 50 = 0), " +
+        s"WHERE vec_id % $KnnProbeStepSql = 0), " +
         "p AS (SELECT q_id, vec_id AS neighbor_id, " +
         "list_dot_product(qv, dv) / (qn * dnrm) AS cos " +
         "FROM qs CROSS JOIN dn WHERE vec_id <> q_id), " +
