@@ -207,9 +207,19 @@ object Encoders {
     * exactly the reference's `3 × (2 + 516)` layout
     * (cms_preprocess.py:291-293). Single hash aggregate (one shuffle);
     * the per-year offset arithmetic happens map-side. */
+  /** @param carryAggs extra aggregate columns computed in the SAME
+    *        per-key aggregation (e.g. a label max). Without this, a
+    *        caller needing one more per-key aggregate joins a second
+    *        aggregation of the same input — and because column
+    *        pruning specializes each branch's partial aggregate,
+    *        exchange reuse misses and the ENTIRE upstream pipeline
+    *        runs twice (measured on the CMS AOV plan: 6 exchanges and
+    *        a duplicated 2.7M-claim CSV pipeline; folding the label
+    *        in dropped both). */
   def aovFlatten(df: DataFrame, keyCol: String, yearCol: String,
                  demoCols: Seq[String], idxCol: String,
-                 width: Int, years: Seq[Int]): DataFrame = {
+                 width: Int, years: Seq[Int],
+                 carryAggs: Seq[Column] = Nil): DataFrame = {
     val span = demoCols.size + width
     val yearOff = years.zipWithIndex.toMap
     val offExpr = element_at(typedlit(yearOff), col(yearCol)) * span
@@ -243,9 +253,14 @@ object Encoders {
       Vectors.sparse(years.size * span, m.map(_._1).toArray,
         m.map(_._2).toArray): MlVector
     }
-    df.where(col(yearCol).isin(years.map(Integer.valueOf): _*))
+    val agged = df
+      .where(col(yearCol).isin(years.map(Integer.valueOf): _*))
       .groupBy(keyCol)
-      .agg(flatten(collect_list(pairs)).as("__pairs"))
-      .select(col(keyCol), toVec(col("__pairs")).as("features"))
+      .agg(flatten(collect_list(pairs)).as("__pairs"), carryAggs: _*)
+    val carryNames = agged.columns
+      .filterNot(c => c == keyCol || c == "__pairs")
+    agged.select(col(keyCol) +:
+      toVec(col("__pairs")).as("features") +:
+      carryNames.map(col): _*)
   }
 }
