@@ -24,8 +24,25 @@ import org.apache.spark.sql.functions._
 object CmsQueries {
 
   private[cms] def fixtureDir: String =
-    sys.props.getOrElse("graft.cms.fixtureDir",
-      new java.io.File("src/test/resources/cms").getAbsolutePath)
+    sys.props.get("graft.cms.fixtureDir").getOrElse {
+      // resolve against the working directory first (sbt runs from
+      // the repo root), but don't depend on the harness's cwd: walk
+      // up from user.dir looking for the committed fixture so a
+      // driver invoking Verify from a subdirectory still gates the
+      // composed pipeline instead of failing on a missing CSV
+      val rel = java.nio.file.Paths.get("src", "test", "resources",
+        "cms")
+      var dir = java.nio.file.Paths
+        .get(sys.props("user.dir")).toAbsolutePath
+      var found: Option[java.nio.file.Path] = None
+      while (found.isEmpty && dir != null) {
+        val cand = dir.resolve(rel)
+        if (java.nio.file.Files.exists(cand.resolve("ben.csv")))
+          found = Some(cand)
+        dir = dir.getParent
+      }
+      found.fold(rel.toAbsolutePath.toString)(_.toString)
+    }
 
   /** DuckDB replay of the full AOV relational stage over the raw
     * fixture CSVs at `base`. Every coercion mirrors the Spark side's
