@@ -187,13 +187,16 @@ object CmsPipeline {
     * a `|fullYears| × (2 + W)` sparse vector; label = patient's max label
     * in the final year (ref :295 takes the target from the label year).
     * Two shuffles total: the (patient, year) agg and the patient
-    * flatten — the label rides the flatten aggregation as a carried
-    * max (r10): a separate labels aggregate + join let column pruning
-    * specialize the two branches' partial aggs, exchange reuse
-    * missed, and the whole claims pipeline ran TWICE (6 exchanges →
-    * 3, one CSV pipeline pass deleted; 100k-patient e2e 4.4 → 4.0 s —
-    * the duplicated pass was mostly-parallel CSV scanning, so the
-    * time win is modest but the scan volume halves).
+    * flatten (which share one patient exchange at scale, where the
+    * enrollment semi-join already hash-partitioned the claims by
+    * patient — the ClusteredDistribution subset rule) — and the label
+    * rides the flatten aggregation as a carried max (r10): a separate
+    * labels aggregate + join let column pruning specialize the two
+    * branches' partial aggs, exchange reuse missed, and the whole
+    * claims pipeline ran TWICE (one CSV pipeline pass and its
+    * exchanges deleted; 100k-patient e2e 4.4 → 4.0 s — the duplicated
+    * pass was mostly-parallel CSV scanning, so the time win is modest
+    * but the scan volume halves; census in docs/CMS_SCALE.md).
     */
   def aov(claims: DataFrame, width: Int, cfg: CmsConfig): DataFrame = {
     val perYear = claims.groupBy("DESYNPUF_ID", "Year").agg(

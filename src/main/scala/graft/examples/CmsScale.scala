@@ -54,13 +54,21 @@ object CmsScale {
     time2("aov_e2e (crosswalks + claims + AOV flatten, noop sink)") {
       aov().write.format("noop").mode("overwrite").save()
     }
-    // exchange census: the scaladoc claim is TWO shuffles (the
-    // (patient, year) agg and the patient flatten) + the enrollment
-    // semi-join's agg side — anything more is a regression
-    val plan = a.queryExecution.executedPlan.toString
+    // exchange census on the STATIC plan (AQE off for the census
+    // copy only). Expected 3 AT THIS TIER: the enrollment
+    // covering-keys pair, plus ONE patient exchange that the
+    // sort-merge LeftSemi forces and both aggregations then reuse —
+    // hashpartitioning(patient) satisfies ClusteredDistribution for
+    // BOTH the (patient, year) agg and the patient flatten (subset
+    // rule), so neither adds an exchange. At gate scale the semi
+    // join broadcasts instead and each agg pays its own exchange
+    // (4 in docs/PLANS.md) — scale-dependent, both correct.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = aov().queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     val nExchanges = "(?m)^(?!.*ReusedExchange).*\\bExchange hashpartitioning"
       .r.findAllIn(plan).size
-    println(s"[cmsscale] AOV plan exchanges: $nExchanges")
+    println(s"[cmsscale] AOV plan exchanges (static): $nExchanges")
 
     // ---- MHE (the reference's get_mhe day-grid scatter) -------------
     val cfg = CmsPipeline.CmsConfig()
