@@ -347,7 +347,12 @@ object RelationalOps {
     * machinery (partial collect → exchange → array sort →
     * interpolate) is not the gap, and no quantile-side rewrite can
     * close it — it is the JVM scan/launch constant every sub-second
-    * query in BENCH_SF1.md pays.
+    * query in BENCH_SF1.md pays. Proven at ×10 (sf10-equivalent tier,
+    * 15M-row orders⋈customer, r10): the constant amortizes and the
+    * ratio collapses — compact route 3.94 s vs DuckDB 3.40 s (1.16×,
+    * from 3.2× at sf1), the forced bucketed route 5.51 s (1.6×), and
+    * the sibling winsorize_scale flips to an outright engine win
+    * (3.55 s vs 9.90 s, 0.36×). Growth table: docs/GROWTH_SF10.md.
     *
     * @param probs (outputColumn, p) pairs, p in [0, 1]
     * @param compactBytesLimit route bound override; defaults to
