@@ -348,11 +348,11 @@ object RelationalOps {
     * interpolate) is not the gap, and no quantile-side rewrite can
     * close it — it is the JVM scan/launch constant every sub-second
     * query in BENCH_SF1.md pays. Proven at ×10 (sf10-equivalent tier,
-    * 15M-row orders⋈customer, r10): the constant amortizes and the
-    * ratio collapses — compact route 3.94 s vs DuckDB 3.40 s (1.16×,
-    * from 3.2× at sf1), the forced bucketed route 5.51 s (1.6×), and
-    * the sibling winsorize_scale flips to an outright engine win
-    * (3.55 s vs 9.90 s, 0.36×). Growth table: docs/GROWTH_SF10.md.
+    * 15M-row orders⋈customer, CPUS=32, r10): the constant amortizes
+    * and the ratio FLIPS — compact route 2.51 s vs DuckDB 3.40 s
+    * (0.74×, an outright win, from 3.2× at sf1), the forced bucketed
+    * route 3.96 s (1.17×, parity), and the sibling winsorize_scale
+    * 2.90 s vs 9.90 s (0.29×). Growth table: docs/GROWTH_SF10.md.
     *
     * @param probs (outputColumn, p) pairs, p in [0, 1]
     * @param compactBytesLimit route bound override; defaults to
@@ -901,7 +901,7 @@ object RelationalOps {
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     // right rows order before left rows at equal ts → `<=` semantics.
-    // The payload STRUCT breaks ties among right rows sharing (key,
+    // The payload fields break ties among right rows sharing (key,
     // ts): last() then picks the lexicographically greatest payload —
     // deterministic across layouts/retries (the data-derived-ordering
     // doctrine of mixKey/saltedAgg), and for a single-column payload
@@ -911,8 +911,22 @@ object RelationalOps {
     // side (the r9 asof_join rework: 2 exchanges → 1). The previous
     // xxhash64(__pay) tie-break was equally deterministic but picked
     // the hash-max payload, which no SQL oracle can restate.
+    //
+    // The tie-break sorts the EXTRACTED payload fields, not the __pay
+    // struct (r10): a struct sort key forces interpreted struct
+    // comparisons in the window sort where plain field keys stay on
+    // the primitive comparator path — measured 1.4-2× warm and ~4×
+    // first-execution on a 10M-event as-of (sf10 pyspark A/B). The
+    // total order on every pair last() can distinguish is unchanged:
+    // __pay's leading field is tsCol, already equal when the struct
+    // comparison mattered, so (field₁, field₂, …) compares exactly as
+    // the struct did; left rows (null __pay ⇒ all-null fields) sort
+    // first within an equal-ts side-1 run either way, and their
+    // relative order is immaterial — they all observe the same
+    // running last() and carry nothing themselves.
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"), col("__pay"))
+      .orderBy((Seq(col(tsCol), col("__side")) ++
+        payload.map(p => col(s"__pay.$p"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__last", last(col("__pay"), ignoreNulls = true).over(w))
