@@ -117,6 +117,51 @@ class RelationalOpsSpec extends SparkSpec {
     // "early" (t2, before any right) and "lonely" (key 2, no rights) drop
   }
 
+  test("asofJoin tie-break equals the brute-force lexicographic-max " +
+    "reference on random data with planted (key, ts) ties, single and " +
+    "multi-column payloads") {
+    // The r10 sort-key change (order by extracted payload FIELDS, not
+    // the __pay struct) claims an identical total order on every pair
+    // last() can distinguish. This pins that claim on data where it
+    // could actually break: duplicate (key, ts) right rows, duplicate
+    // leading payloads needing the second column, and left rows that
+    // collide with right timestamps. Deterministic seed — the brute
+    // force is the spec.
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(20260815L)
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // small domains force heavy collisions; rights start at minute 5
+    // and skip key 6 so early and orphan-key left rows must DROP
+    val rights = Seq.fill(400)((rnd.nextInt(6).toLong,
+      5 + rnd.nextInt(20), rnd.nextInt(4).toDouble, rnd.nextInt(3).toLong))
+    val lefts = Seq.tabulate(200)(i => (i.toLong,
+      rnd.nextInt(7).toLong, rnd.nextInt(30)))
+    val rightDf = rights.map { case (k, m, v, u) => (k, ts(m), v, u) }
+      .toDF("k", "ts", "v", "u")
+    val leftDf = lefts.map { case (id, k, m) => (id, k, ts(m)) }
+      .toDF("id", "k", "ts")
+    val out = RelationalOps.asofJoin(leftDf, rightDf, "k", "ts",
+      Seq("v", "u"))
+      .select("id", "asof_v", "asof_u").as[(Long, Double, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val expect = lefts.flatMap { case (id, k, m) =>
+      val prior = rights.filter(r => r._1 == k && r._2 <= m)
+      if (prior.isEmpty) None
+      else {
+        // latest ts wins; among equal ts the lexicographically
+        // greatest (v, u) payload — asofJoin's documented tie-break
+        val best = prior.maxBy(r => (r._2, r._3, r._4))
+        Some(id -> (best._3, best._4))
+      }
+    }.toMap
+    assert(out === expect,
+      s"asof tie-break diverged from brute force on " +
+        s"${out.keySet.diff(expect.keySet).size} extra / " +
+        s"${expect.keySet.diff(out.keySet).size} missing keys or values")
+    assert(expect.nonEmpty && expect.size < lefts.size,
+      "fixture degenerate: want both matched and dropped left rows")
+  }
+
   test("exactSum matches plain sum on clean decimals") {
     val df = Seq(1.25, 2.50, 3.75).toDF("v")
     val s = df.select(RelationalOps.exactSum(col("v"))).as[Double].head()
