@@ -16,6 +16,9 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
 python3 tools/oracle_check.py "$VSF" "$OUT" | tail -3
 
 echo "== Bench ($BSF) =="
-SPARK_GRAFT_SF_DIR="$BSF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+# cpus=32 is the driver's bench methodology — every committed timing
+# table (bench_results.json, docs/BENCH_*.md) uses it; a different
+# core count writes a sidecar that is not comparable to any of them.
+SPARK_GRAFT_SF_DIR="$BSF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' \
   | sed 's/^\[info\] //'
