@@ -125,9 +125,14 @@ object Bench {
     // 133 per-query timings — a sidecar file the driver (or anyone)
     // can read whole is the fix. The sidecar is COMMITTED per round
     // (un-gitignored in r10) so the round artifact set is
-    // self-contained. Path override for dev A/B runs.
+    // self-contained. Path override for dev A/B runs; a PARTIAL run
+    // (SPARK_GRAFT_ONLY) must never clobber the committed full-surface
+    // sidecar — an exploratory single-query run at an off-tier once
+    // overwrote it with an error record — so without an explicit
+    // override it lands in /tmp instead.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_results.json")
+      if (only.isDefined) "/tmp/graft_bench_partial.json"
+      else "bench_results.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
