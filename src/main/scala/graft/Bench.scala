@@ -8,9 +8,36 @@ object Bench {
     // iterating on one query's plan shouldn't cost a full-surface run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Shuffle-partition sizing is per-deployment, like the scan-split
+    // sizing below: partitions=cpus is right when every partition fits
+    // execution memory (true through the sf1/sf10 tiers), but a tier
+    // whose per-partition shuffle state outgrows its memory share pays
+    // a spill tax the work model doesn't include (measured: the
+    // 6M-vector LSH verify join at 32 partitions carries ~450 MB/task
+    // and runs 1.6x over its pair-count prediction; 256 partitions
+    // removes the excess — docs/GROWTH_SF10.md). Override for
+    // off-tier runs; the driver's sf0.1 run keeps partitions=cpus.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // AQE coalesce plans each shuffle at initialPartitionNum and
+    // merges down to ~advisory-size targets, so raising the INITIAL
+    // count right-sizes heavy shuffles per-query (the 6M-vector LSH
+    // verify join runs 6.6x faster at initial=256 than at 32 —
+    // docs/GROWTH_SF10.md). It is NOT free where shuffles are small:
+    // a same-host A/B at sf0.1 put initial=8x cpus at +15-48% on
+    // sub-second shuffle-bearing queries (more shuffle blocks, more
+    // reducer fetch segments, AQE planning over 8x the slices), so
+    // the DEFAULT stays initial = shuffle.partitions — already right
+    // for the sf0.1 tier — and off-tier runs size it explicitly,
+    // exactly as a 100-TB deployment would run with thousands of
+    // partitions and let AQE coalesce down.
+    val initialPartitions = sys.env.getOrElse(
+      "SPARK_GRAFT_INITIAL_PARTITIONS", shufflePartitions)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitions)
       // Scan-split sizing for BENCH scale (the brief's "size
       // maxPartitionBytes to the target SF" knob): the testdata tables
       // are single parquet files of 2-200 MB, so the 128 MB default +
