@@ -231,7 +231,8 @@ object Similarity {
                     dim: Int = 64, tables: Int = 4,
                     seed: Long = 42L,
                     maxBucket: Int = 100000,
-                    probes: Int = 1): DataFrame = {
+                    probes: Int = 1,
+                    sizeHint: Option[Long] = None): DataFrame = {
     require(probes == 1 || probes == 2,
       s"probes must be 1 (home bucket only) or 2 (+least-margin flip), " +
         s"got $probes")
@@ -241,7 +242,35 @@ object Similarity {
       else
         lshIndexKernel(emb, nBits, dim, tables, seed, withFlip = false)
           .withColumn("kind", lit(0))
-    val pruned = pruneHomeProbe(indexed, Seq("tbl", "bucket"), maxBucket)
+    // This is the repo's one payload-carrying exchange: every
+    // (vector, table[, probe]) row ships its dim-float vector so
+    // candidates verify INLINE on the join (shuffling 16-byte pair
+    // ids and re-joining the corpus for vectors would shuffle the
+    // corpus twice more). That makes per-task state, not candidate
+    // count, the scale hazard: at session-default partition counts a
+    // 6M-vector corpus sorts ~450 MB per task and runs 6.6× slow (or
+    // OOMs) purely on spill — the heap × partitions matrix in
+    // docs/GROWTH_SF10.md. When the caller knows the corpus size
+    // (adaptive-nBits callers already count), the exchange SELF-SIZES
+    // to ~64 MB tasks here, floored at defaultParallelism so gate-
+    // and bench-scale plans keep every core; window AND join both
+    // consume this one HashPartitioning(tbl, bucket), so the explicit
+    // repartition adds no exchange — it only picks the count.
+    val sized = sizeHint match {
+      case Some(n) =>
+        val rowBytes = 4L * dim + 128L // floats + id/nrm/keys/row overhead
+        val bytes = n * tables * probes * rowBytes
+        val parts = (bytes / (64L << 20)).toInt + 1
+        // only intervene when the state actually outgrows the session
+        // default (~2 GB at 32-way): below it the explicit repartition
+        // is a no-op count-wise but still costs AQE its runtime
+        // freedoms on this exchange (measured +0.1-0.15 s at sf0.1)
+        if (parts > emb.sparkSession.sparkContext.defaultParallelism)
+          indexed.repartition(parts, col("tbl"), col("bucket"))
+        else indexed
+      case None => indexed
+    }
+    val pruned = pruneHomeProbe(sized, Seq("tbl", "bucket"), maxBucket)
     pruned.as("a").join(pruned.where(col("kind") === 0).as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&

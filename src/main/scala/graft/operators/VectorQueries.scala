@@ -538,9 +538,13 @@ object VectorQueries {
         // ×2-scaled planted probes sit at cosine exactly 1.0 — they
         // collide with their originals in EVERY table at any nBits, so
         // the oracle's planted-pair rows are parameter-independent.
+        // one count serves both adaptive nBits and the self-sized
+        // verify exchange (~1.1n rows after the planted-probe union)
+        val n = e.count()
         Similarity.lshDedupPairs(e.unionByName(probes),
             threshold = 0.95,
-            nBits = Similarity.adaptiveNBits(e.count()), probes = 2)
+            nBits = Similarity.adaptiveNBits(n), probes = 2,
+            sizeHint = Some(n + n / 10 + 1))
           .select(col("a_id"), col("b_id"),
             round(col("cos"), 6).as("cosine"))
       },

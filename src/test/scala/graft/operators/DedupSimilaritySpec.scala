@@ -497,6 +497,40 @@ class DedupSimilaritySpec extends SparkSpec {
       s"p=2 recovered none of the ${missed1.size} twins p=1 missed")
   }
 
+  test("lshDedupPairs sizeHint: self-sized verify exchange changes " +
+    "the partition COUNT only — rows identical, count per the " +
+    "64 MB/task formula, no added exchange") {
+    val u = emb.limit(500)
+    def run(hint: Option[Long]) = Similarity.lshDedupPairs(
+      u, threshold = 0.95, probes = 2, sizeHint = hint)
+    val base = run(None)
+    // hint sized so the formula exceeds defaultParallelism:
+    // 2e6 rows x 4 tables x 2 probes x (4*64+128) B / 64 MiB + 1 = 44
+    val hinted = run(Some(2000000L))
+    val expected = (2000000L * 4 * 2 * (4L * 64 + 128) /
+      (64L << 20)).toInt + 1
+    assert(expected > spark.sparkContext.defaultParallelism)
+    val baseRows = base.collect().map(_.toSeq).toSet
+    val hintedPlan = hinted.queryExecution.executedPlan
+    val hintedRows = hinted.collect().map(_.toSeq).toSet
+    assert(hintedRows === baseRows, "partitioning must not change rows")
+    val planStr = hintedPlan.toString
+    assert(planStr.contains(s"hashpartitioning(tbl") &&
+      planStr.contains(s", $expected)"),
+      s"sized exchange hashpartitioning(tbl, bucket, $expected) " +
+        s"missing from plan:\n$planStr")
+    // the explicit repartition must REPLACE the session-default
+    // exchange under the window+join, not add one: exchange count
+    // matches the unhinted plan's
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      base.collect() // materialize AQE final plans before printing
+      "Exchange ".r.findAllIn(p.toString).length
+    }
+    val basePlan = base.queryExecution.executedPlan
+    assert(exchanges(hintedPlan) == exchanges(basePlan),
+      "sizeHint added an exchange instead of sizing the existing one")
+  }
+
   test("pruneHomeProbe: probe inflow never kills a bucket's home rows " +
     "(r7 ADVICE №2 — multi-probe only ADDS candidates)") {
     // (tbl=0, bucket b) populations; cap = 4
