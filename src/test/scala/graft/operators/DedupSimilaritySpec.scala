@@ -521,11 +521,10 @@ class DedupSimilaritySpec extends SparkSpec {
         s"missing from plan:\n$planStr")
     // the explicit repartition must REPLACE the session-default
     // exchange under the window+join, not add one: exchange count
-    // matches the unhinted plan's
-    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-      base.collect() // materialize AQE final plans before printing
+    // matches the unhinted plan's (both plans are final here — each
+    // side was collected above, so AQE has materialized them)
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
       "Exchange ".r.findAllIn(p.toString).length
-    }
     val basePlan = base.queryExecution.executedPlan
     assert(exchanges(hintedPlan) == exchanges(basePlan),
       "sizeHint added an exchange instead of sizing the existing one")
