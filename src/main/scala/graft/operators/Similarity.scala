@@ -194,6 +194,36 @@ object Similarity {
       .drop("__hn", "__pn")
   }
 
+  /** Size a payload-carrying exchange from a caller-known item count:
+    * the within-bucket/cell verify joins ship `dim`-double vectors so
+    * candidates check inline (shuffling pair ids and re-joining the
+    * corpus would shuffle it twice more) — the right shape, but one
+    * whose per-task sort state outgrows its execution-memory share at
+    * session-default partition counts two decades above the bench
+    * tier: the heap × partitions matrix in docs/GROWTH_SF10.md
+    * measured 3.3-6.6× pure spill tax and an OOM at 60g/32. ~64 MB
+    * targets keep every task's slice cache- and memory-friendly; the
+    * explicit repartition applies ONLY past the session default,
+    * because below it the count is a no-op but still costs AQE its
+    * runtime freedoms on this exchange (+0.1-0.15 s at sf0.1). The
+    * window guards and the self-join both consume the produced
+    * HashPartitioning, so this picks the COUNT of the one existing
+    * exchange rather than adding one (plan-pinned in
+    * DedupSimilaritySpec). */
+  private def sizedByHint(df: DataFrame, sizeHint: Option[Long],
+                          rowsPerItem: Long, dim: Int,
+                          keys: Seq[String]): DataFrame =
+    sizeHint match {
+      case Some(n) =>
+        val rowBytes = 8L * dim + 128L // doubles + id/nrm/keys/overhead
+        val parts =
+          (n * rowsPerItem * rowBytes / (64L << 20)).toInt + 1
+        if (parts > df.sparkSession.sparkContext.defaultParallelism)
+          df.repartition(parts, keys.map(col): _*)
+        else df
+      case None => df
+    }
+
   /** Embedding near-dup pairs via LSH-bucketed candidate generation —
     * the scale-safe replacement for blocked all-pairs cosine: the corpus
     * is indexed once (L hyperplane tables), candidates are the
@@ -242,34 +272,9 @@ object Similarity {
       else
         lshIndexKernel(emb, nBits, dim, tables, seed, withFlip = false)
           .withColumn("kind", lit(0))
-    // This is the repo's one payload-carrying exchange: every
-    // (vector, table[, probe]) row ships its dim-float vector so
-    // candidates verify INLINE on the join (shuffling 16-byte pair
-    // ids and re-joining the corpus for vectors would shuffle the
-    // corpus twice more). That makes per-task state, not candidate
-    // count, the scale hazard: at session-default partition counts a
-    // 6M-vector corpus sorts ~450 MB per task and runs 6.6× slow (or
-    // OOMs) purely on spill — the heap × partitions matrix in
-    // docs/GROWTH_SF10.md. When the caller knows the corpus size
-    // (adaptive-nBits callers already count), the exchange SELF-SIZES
-    // to ~64 MB tasks here, floored at defaultParallelism so gate-
-    // and bench-scale plans keep every core; window AND join both
-    // consume this one HashPartitioning(tbl, bucket), so the explicit
-    // repartition adds no exchange — it only picks the count.
-    val sized = sizeHint match {
-      case Some(n) =>
-        val rowBytes = 4L * dim + 128L // floats + id/nrm/keys/row overhead
-        val bytes = n * tables * probes * rowBytes
-        val parts = (bytes / (64L << 20)).toInt + 1
-        // only intervene when the state actually outgrows the session
-        // default (~2 GB at 32-way): below it the explicit repartition
-        // is a no-op count-wise but still costs AQE its runtime
-        // freedoms on this exchange (measured +0.1-0.15 s at sf0.1)
-        if (parts > emb.sparkSession.sparkContext.defaultParallelism)
-          indexed.repartition(parts, col("tbl"), col("bucket"))
-        else indexed
-      case None => indexed
-    }
+    val sized = sizedByHint(indexed, sizeHint,
+      rowsPerItem = tables.toLong * probes, dim = dim,
+      keys = Seq("tbl", "bucket"))
     val pruned = pruneHomeProbe(sized, Seq("tbl", "bucket"), maxBucket)
     pruned.as("a").join(pruned.where(col("kind") === 0).as("b"),
         col("a.tbl") === col("b.tbl") &&
@@ -1274,7 +1279,8 @@ object Similarity {
                     centroids: Array[(Long, Array[Double])],
                     threshold: Double,
                     maxCell: Int = 100000,
-                    probes: Int = 1): DataFrame = {
+                    probes: Int = 1,
+                    sizeHint: Option[Long] = None): DataFrame = {
     require(centroids.nonEmpty, "semanticDedup needs >= 1 centroid")
     require(probes >= 1 && probes <= centroids.length,
       s"probes must be in 1..${centroids.length}, got $probes")
@@ -1340,7 +1346,12 @@ object Similarity {
         (c.withColumn("cell", col("cells")(0)).drop("cells"),
           c.withColumn("cell", explode(col("cells"))).drop("cells"))
       }
-    val pruned = Dedup.pruneOversized(pairSource, Seq("cell"), maxCell)
+    // same cell-keyed vector exchange as lshDedupPairs' — the gate
+    // prune window and the pair self-join ride one HashPartitioning
+    val sizedSource = sizedByHint(pairSource, sizeHint,
+      rowsPerItem = probes.toLong, dim = cts(0).length,
+      keys = Seq("cell"))
+    val pruned = Dedup.pruneOversized(sizedSource, Seq("cell"), maxCell)
     val rawPairs = pruned.as("a").join(pruned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),

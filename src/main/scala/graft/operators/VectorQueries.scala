@@ -380,7 +380,7 @@ object VectorQueries {
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         Similarity.semanticDedup(e.unionByName(plants), cents,
-          threshold = 0.44)
+          threshold = 0.44, sizeHint = Some(n + n / 100 + 1))
       },
       "WITH RECURSIVE " +
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS v " +

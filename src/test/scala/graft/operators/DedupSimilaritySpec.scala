@@ -505,9 +505,10 @@ class DedupSimilaritySpec extends SparkSpec {
       u, threshold = 0.95, probes = 2, sizeHint = hint)
     val base = run(None)
     // hint sized so the formula exceeds defaultParallelism:
-    // 2e6 rows x 4 tables x 2 probes x (4*64+128) B / 64 MiB + 1 = 44
+    // 2e6 rows x 4 tables x 2 probes x (8*64+128) B / 64 MiB + 1 = 153
+    // (the index shuffles vectors as array<double> — 8 B/element)
     val hinted = run(Some(2000000L))
-    val expected = (2000000L * 4 * 2 * (4L * 64 + 128) /
+    val expected = (2000000L * 4 * 2 * (8L * 64 + 128) /
       (64L << 20)).toInt + 1
     assert(expected > spark.sparkContext.defaultParallelism)
     val baseRows = base.collect().map(_.toSeq).toSet
