@@ -210,7 +210,7 @@ object Similarity {
     * HashPartitioning, so this picks the COUNT of the one existing
     * exchange rather than adding one (plan-pinned in
     * DedupSimilaritySpec). */
-  private def sizedByHint(df: DataFrame, sizeHint: Option[Long],
+  private[graft] def sizedByHint(df: DataFrame, sizeHint: Option[Long],
                           rowsPerItem: Long, dim: Int,
                           keys: Seq[String]): DataFrame =
     sizeHint match {
@@ -218,7 +218,14 @@ object Similarity {
         val rowBytes = 8L * dim + 128L // doubles + id/nrm/keys/overhead
         val parts =
           (n * rowsPerItem * rowBytes / (64L << 20)).toInt + 1
-        if (parts > df.sparkSession.sparkContext.defaultParallelism)
+        // the session default is numShufflePartitions — what this
+        // exchange would get anyway — NOT core count: a session
+        // already sized wider (e.g. a cluster at thousands of
+        // partitions) must never be repartitioned DOWN, and a session
+        // sized narrower than the bytes demand must be widened even
+        // when core count exceeds the computed parts
+        if (parts > df.sparkSession.sessionState.conf
+              .numShufflePartitions)
           df.repartition(parts, keys.map(col): _*)
         else df
       case None => df

@@ -531,6 +531,45 @@ class DedupSimilaritySpec extends SparkSpec {
       "sizeHint added an exchange instead of sizing the existing one")
   }
 
+  test("semanticDedup sizeHint: sized route returns identical rows; " +
+    "sizedByHint picks the formula count past the session default " +
+    "and stays out below it") {
+    // integration: the sized cell exchange feeds the pairs stage,
+    // which dupComponents' driver gate materializes internally, so
+    // the pin here is row equality (the LSH sizeHint test pins the
+    // plan shape of the shared sizedByHint wiring end-to-end)
+    val u = emb.limit(300)
+    val cents = u.where(col("vec_id") % 60 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def run(hint: Option[Long]) = Similarity.semanticDedup(
+      u, cents, threshold = 0.44, sizeHint = hint)
+    val baseRows = run(None).collect().map(_.toSeq).toSet
+    val hintedRows = run(Some(1000000L)).collect().map(_.toSeq).toSet
+    assert(hintedRows === baseRows, "partitioning must not change rows")
+    // unit: the rule itself — formula count when it exceeds the
+    // session's shuffle partitions, untouched plan otherwise
+    val df = emb.limit(50).select(col("vec_id"),
+      lit(0L).as("cell"))
+    // 1e6 items x 1 row x (8*64+128) B / 64 MiB + 1 = 10 parts > 4
+    val expected = (1000000L * (8L * 64 + 128) / (64L << 20)).toInt + 1
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    assert(expected > sessionParts)
+    val sized = Similarity.sizedByHint(df, Some(1000000L),
+      rowsPerItem = 1L, dim = 64, keys = Seq("cell"))
+    assert(sized.rdd.getNumPartitions === expected,
+      "sized route must repartition to the formula count")
+    val small = Similarity.sizedByHint(df, Some(100L),
+      rowsPerItem = 1L, dim = 64, keys = Seq("cell"))
+    assert(small.queryExecution.logical ===
+      df.queryExecution.logical,
+      "a hint under the session default must leave the plan untouched")
+    val none = Similarity.sizedByHint(df, None,
+      rowsPerItem = 1L, dim = 64, keys = Seq("cell"))
+    assert(none.queryExecution.logical === df.queryExecution.logical)
+  }
+
   test("pruneHomeProbe: probe inflow never kills a bucket's home rows " +
     "(r7 ADVICE №2 — multi-probe only ADDS candidates)") {
     // (tbl=0, bucket b) populations; cap = 4
