@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output passes through RAW (no sbt "[info] " prefix): the
+// round driver json-parses bench stdout lines, and the logger prefix
+// made every line unparseable — BENCH_r01..r10 all recorded
+// `parsed: null` despite a complete compact JSON line in the tail.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

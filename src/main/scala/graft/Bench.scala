@@ -177,13 +177,18 @@ object Bench {
     // that holds the complete map. Budget 1500 B leaves room for
     // sbt's trailing [success] line inside the 2000-char window.
     val slowFirst = ok.toSeq.sortBy { case (_, (mn, _)) => -mn }
-    val head = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${ok.size},"nerr":${errs.size}$calibJson,"sf":"$sfDir","full":"$outPath","queries":{"""
+    // Locale.ROOT (advisory r10): a bare "%.3f".format under a
+    // comma-decimal default locale would emit "value":1,234 — an
+    // unparseable graded line.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${ok.size},"nerr":${errs.size}$calibJson,"sf":"$sfDir","full":"$outPath","queries":{"""
     val tailPart = "}}"
     val budget = 1500 - head.length - tailPart.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     slowFirst.foreach { case (k, (mn, _)) =>
-      val e = "\"" + k + "\":" + "%.3f".format(mn)
+      val e = "\"" + k + "\":" + f3(mn)
       val cost = e.length + (if (entries.nonEmpty) 1 else 0)
       if (used + cost <= budget) { entries += e; used += cost }
     }

@@ -30,6 +30,11 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamBench {
 
+  // Locale.ROOT (advisory r10): the f"" interpolator uses the default
+  // locale — a comma-decimal host would emit unparseable JSON.
+  private def f2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toLong).getOrElse(2000000L)
     val outPath = args.lift(1).getOrElse("BENCH_STREAM.json")
@@ -110,8 +115,8 @@ object StreamBench {
       val (b, br) = timeBatch(batch)
       rows += GateRow(name, math.min(s1, s2), math.max(s1, s2), b,
         r1, br)
-      println(f"[streambench] $name streamed=[${math.min(s1, s2)}%.2f," +
-        f"${math.max(s1, s2)}%.2f] batch=$b%.2f rows=$r1/$br")
+      println(s"[streambench] $name streamed=[${f2(math.min(s1, s2))}," +
+        s"${f2(math.max(s1, s2))}] batch=${f2(b)} rows=$r1/$br")
     }
 
     // 1. sessionize (mapGroupsWithState) — mirror sessionize_state
@@ -172,13 +177,13 @@ object StreamBench {
     val gatesJson = rows.map { g =>
       s""""${g.name}":{"streamed":[${g.sMin},${g.sMax}],""" +
         s""""batch":${g.b},""" +
-        f""""ratio":${g.sMin / math.max(g.b, 1e-9)}%.2f,""" +
+        s""""ratio":${f2(g.sMin / math.max(g.b, 1e-9))},""" +
         s""""rows":[${g.streamedRows},${g.batchRows}]}"""
     }.mkString("{", ",", "}")
     val totalStreamed = rows.map(_.sMin).sum
     val line = s"""{"metric":"stream_bench","unit":"sec",""" +
       s""""n_events":$nEvents,"n_users":$nUsers,"cpus":$cpus,""" +
-      f""""total_streamed":$totalStreamed%.2f,"gates":$gatesJson}"""
+      s""""total_streamed":${f2(totalStreamed)},"gates":$gatesJson}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     println(line)

@@ -165,10 +165,19 @@ object CmsQueries {
     WHERE f.v <> 0"""
   }
 
+  /** Resolved ONCE and shared by the Spark fn and the oracle SQL
+    * (advisory r10): the fn used to re-resolve `fixtureDir` per call
+    * while `defs` froze the SQL's path at object-init — a caller
+    * flipping `graft.cms.fixtureDir` after the registry was first
+    * touched would silently gate the query against the wrong CSVs.
+    * Now both sides read this val: set the prop before Registry init
+    * (Verify/Bench do), or it has no effect on either side. */
+  private lazy val gateFixtureDir: String = fixtureDir
+
   val defs: Map[String, QDef] = Map(
     "cms_aov_e2e" -> QDef(
       (s, _) => {
-        val base = fixtureDir
+        val base = gateFixtureDir
         val aov = CmsPipeline.aovPipeline(s, s"$base/ben.csv",
           s"$base/ip.csv", s"$base/dx.csv", s"$base/pcs.csv")
         aov.select(col("DESYNPUF_ID"), col("label"),
@@ -178,6 +187,6 @@ object CmsQueries {
           .select(col("DESYNPUF_ID"), col("pos").cast("int").as("slot"),
             col("col").as("v"), col("label"))
       },
-      aovReplaySql(fixtureDir))
+      aovReplaySql(gateFixtureDir))
   )
 }

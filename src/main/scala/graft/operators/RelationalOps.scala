@@ -428,17 +428,24 @@ object RelationalOps {
       .agg(sort_array(collect_list(col(valueCol))).as("__vs"))
       .withColumn("__n", size(col("__vs")).cast("long"))
     // endpoint extraction: the sorted array's (lo+1)/(lo+2) elements
-    // ARE the rank-filtered values the bucketed route extracts —
-    // element_at past the array end yields null exactly where the
-    // rank row doesn't exist (frac = 0 at the top rank), which the
-    // shared fold's CaseWhen never evaluates
+    // ARE the rank-filtered values the bucketed route extracts. The
+    // hi index is CLAMPED to __n (advisory r10, medium): lo+2 can
+    // exceed the array length exactly when frac = 0 at the top rank
+    // (p = 1.0, or any singleton group), where the shared fold's
+    // CaseWhen never reads the hi value — but under Spark 4.x ANSI
+    // (default TRUE for library callers) an out-of-bounds element_at
+    // throws INVALID_ARRAY_INDEX at extraction, before the CaseWhen
+    // can skip it. least(lo+2, __n) is value-neutral: whenever
+    // frac ≠ 0, h < n-1 forces lo ≤ n-2, so the clamp only rewrites
+    // indices the interpolation never evaluates.
     val withEnds = probs.foldLeft(g) { case (acc, (nm, p)) =>
       val lo = floor((col("__n").cast("double") - 1) * lit(p))
       acc
         .withColumn(s"__lo_$nm",
           element_at(col("__vs"), (lo + 1).cast("int")))
         .withColumn(s"__hi_$nm",
-          element_at(col("__vs"), (lo + 2).cast("int")))
+          element_at(col("__vs"),
+            least(lo + 2, col("__n").cast("double")).cast("int")))
     }
     interpolateEndpoints(withEnds, groupCol, probs)
   }

@@ -702,6 +702,25 @@ object Similarity {
     * whose size is data-dependent. */
   private val KernelQueryRows = 50000L
 
+  /** True iff the collected batch's distinct ids (column 0, long) fit
+    * `ceiling` — the no-hint kernel routes' documented per-ID
+    * contract, enforced post-collect where counting is free
+    * (advisory r10: the annTopK row cap alone admits up to
+    * tables× the id ceiling when the layout is narrower than the
+    * 4-table worst case it was sized for). Short-circuits at
+    * ceiling+1. */
+  private[graft] def distinctIdsWithin(
+      rows: Array[org.apache.spark.sql.Row], ceiling: Long): Boolean = {
+    val ids = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < rows.length) {
+      ids.add(java.lang.Long.valueOf(rows(i).getLong(0)))
+      if (ids.size() > ceiling) return false
+      i += 1
+    }
+    true
+  }
+
   /** IVF search: each query ranks the `nprobe` closest cells by
     * centroid distance and exact-cosine-ranks only those cells'
     * vectors — kernel route for bounded query sets (zero corpus
@@ -787,9 +806,14 @@ object Similarity {
               queryRowsHint: Option[Long] = None): DataFrame = {
     require(nBits < 31, s"annTopK: nBits $nBits overflows bucket ints")
     // No-hint collects are LIMIT-bounded (r10, advisory; see ivfTopK):
-    // this relation carries `tables` rows per query id, so the cap is
-    // 4× the id ceiling (the scaladoc's 4-table worst case — a wider
-    // layout under-fills the id budget and falls back, never OOMs).
+    // this relation carries `tables` rows per query id, so the ROW
+    // cap is 4× the id ceiling (the scaladoc's 4-table worst case).
+    // The documented contract is the per-ID ceiling, though, and a
+    // layout with fewer tables could fit 4×KernelQueryRows ids under
+    // the row cap alone (advisory r10) — so the collected batch is
+    // ALSO checked against the distinct-id ceiling (free: the rows
+    // are already on the driver) and overflow falls back to the
+    // shuffle route. Memory stays bounded by the row cap either way.
     val annRowCap = 4L * KernelQueryRows
     val kernelQs: Option[Array[org.apache.spark.sql.Row]] =
       queryRowsHint match {
@@ -800,7 +824,9 @@ object Similarity {
         case None =>
           val r = queries.select(col("id"), col("tbl"), col("bucket"),
             col("v"), col("nrm")).limit(annRowCap.toInt + 1).collect()
-          if (r.length <= annRowCap) Some(r) else None
+          if (r.length <= annRowCap &&
+              distinctIdsWithin(r, KernelQueryRows)) Some(r)
+          else None
       }
     if (kernelQs.isDefined) {
       // ONE collect job for both the vectors and the bucket layout:

@@ -774,4 +774,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plain.nonEmpty, "degenerate fixture: no pair cleared 0.44")
     assert(salted.toSet === plain.toSet)
   }
+
+  test("distinctIdsWithin enforces the kernel routes' per-ID ceiling " +
+    "(advisory r10: the annTopK row cap alone admits tables× the id " +
+    "contract on narrow layouts)") {
+    import org.apache.spark.sql.Row
+    def rows(ids: Long*): Array[Row] = ids.map(Row(_)).toArray
+    assert(Similarity.distinctIdsWithin(rows(), 0L))
+    assert(Similarity.distinctIdsWithin(rows(1L, 2L, 3L), 3L))
+    // duplicates (the per-table replication annTopK sees) don't count
+    // against the ceiling
+    assert(Similarity.distinctIdsWithin(
+      rows(1L, 1L, 1L, 1L, 2L, 2L, 2L, 2L), 2L))
+    // one id past the ceiling fails — this is the case the bare row
+    // cap (4× ceiling) used to admit when tables < 4
+    assert(!Similarity.distinctIdsWithin(rows(1L, 2L, 3L, 4L), 3L))
+    assert(!Similarity.distinctIdsWithin(
+      rows(1L, 1L, 2L, 2L, 3L, 3L), 2L))
+  }
 }

@@ -104,4 +104,34 @@ class QuantileRouteSpec extends SparkSpec {
         s"limit=$limit: ${causeChain(e)}")
     }
   }
+
+  test("the compact route survives ANSI mode at p = 1.0 and on " +
+    "singleton groups (hi-index clamp)") {
+    // Spark 4.x defaults ansi.enabled TRUE for library callers; the
+    // repo's own sessions disable it, so this flips it on explicitly.
+    // Before the clamp, element_at(__vs, lo+2) was out of bounds
+    // exactly where frac = 0 (top rank, singleton groups) and ANSI
+    // threw INVALID_ARRAY_INDEX at extraction — size routing became
+    // semantics-changing (advisory r10, medium).
+    val df = Seq(("solo", 7.0), ("multi", 1.0), ("multi", 2.0),
+      ("multi", 3.0), ("multi", 4.0)).toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p100" -> 1.0)
+    val saved = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val compact = RelationalOps.groupQuantileValues(df, "g", "v",
+        ps, compactBytesLimit = Long.MaxValue)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      assert(compact("solo") == ((7.0, 7.0)))
+      assert(compact("multi") == ((2.5, 4.0)))
+      // and route equality still holds under ANSI
+      val bucketed = RelationalOps.groupQuantileValues(df, "g", "v",
+        ps, compactBytesLimit = 0L)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      assert(bucketed == compact,
+        s"ANSI route divergence: $bucketed vs $compact")
+    } finally spark.conf.set("spark.sql.ansi.enabled", saved)
+  }
 }
