@@ -39,11 +39,29 @@ object StreamBench {
     val nEvents = args.headOption.map(_.toLong).getOrElse(2000000L)
     val outPath = args.lift(1).getOrElse("BENCH_STREAM.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // State-store provider A/B (r10 verdict item 6): the default
+    // HDFS-backed provider keeps ALL state as in-heap per-executor
+    // maps — fine at the 2M-event tier, memory-bound at 100-TB key
+    // cardinalities. RocksDB spills state to local disk with a
+    // bounded block cache, which is the 100-TB provider choice; this
+    // switch lets the same harness measure both so the throughput
+    // tax of the scalable provider is a committed number, not a
+    // guess. Values: "hdfs" (default) | "rocksdb".
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
+      "hdfs").toLowerCase match {
+      case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider"
+      case "hdfs" => "org.apache.spark.sql.execution.streaming." +
+        "state.HDFSBackedStateStoreProvider"
+      case other => sys.error(
+        s"SPARK_GRAFT_STATE_PROVIDER must be hdfs|rocksdb, got $other")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass", provider)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     import spark.implicits._
@@ -77,7 +95,7 @@ object StreamBench {
       * mapGroupsWithState block the pushdown, which is why the
       * sessionize pipeline was immune — the untyped agg was not). */
     def drain(build: DataFrame => DataFrame,
-              countWhere: Option[String]): (Double, Long) = {
+              countWhere: Option[String]): (Double, Long, Long, Long) = {
       runSeq += 1
       val tag = s"r$runSeq"
       val q = build(src())
@@ -88,8 +106,21 @@ object StreamBench {
       val t0 = System.nanoTime()
       require(q.awaitTermination(600000), s"$tag hung")
       val secs = (System.nanoTime() - t0) / 1e9
+      // Peak state footprint across the drain's micro-batches, summed
+      // over stateful operators: numRowsTotal is provider-neutral;
+      // memoryUsedBytes is the provider's own accounting (in-heap map
+      // bytes for HDFS-backed, block-cache+memtable for RocksDB — the
+      // r11 provider table reads them side by side). AvailableNow at
+      // maxFilesPerTrigger=1 yields ~6 batches, well inside
+      // recentProgress's retention.
+      val (stRows, stBytes) = q.recentProgress.foldLeft((0L, 0L)) {
+        case ((r, b), p) =>
+          val ops = p.stateOperators
+          (math.max(r, ops.map(_.numRowsTotal).sum),
+            math.max(b, ops.map(_.memoryUsedBytes).sum))
+      }
       val sink = spark.read.parquet(s"$tmp/out_$tag")
-      (secs, countWhere.fold(sink)(sink.where).count())
+      (secs, countWhere.fold(sink)(sink.where).count(), stRows, stBytes)
     }
     def timeBatch(df: => DataFrame): (Double, Long) = {
       df.write.format("noop").mode("overwrite").save() // warm
@@ -104,19 +135,21 @@ object StreamBench {
 
     final case class GateRow(name: String, sMin: Double, sMax: Double,
                              b: Double, streamedRows: Long,
-                             batchRows: Long)
+                             batchRows: Long, stateRows: Long,
+                             stateBytes: Long)
     val rows = scala.collection.mutable.ArrayBuffer.empty[GateRow]
     def gate(name: String, build: DataFrame => DataFrame,
              batch: => DataFrame,
              countWhere: Option[String] = None): Unit = {
-      val (s1, r1) = drain(build, countWhere)
-      val (s2, r2) = drain(build, countWhere)
+      val (s1, r1, sr1, sb1) = drain(build, countWhere)
+      val (s2, r2, sr2, sb2) = drain(build, countWhere)
       require(r1 == r2, s"$name: nondeterministic sink rows $r1/$r2")
       val (b, br) = timeBatch(batch)
       rows += GateRow(name, math.min(s1, s2), math.max(s1, s2), b,
-        r1, br)
+        r1, br, math.max(sr1, sr2), math.max(sb1, sb2))
       println(s"[streambench] $name streamed=[${f2(math.min(s1, s2))}," +
-        s"${f2(math.max(s1, s2))}] batch=${f2(b)} rows=$r1/$br")
+        s"${f2(math.max(s1, s2))}] batch=${f2(b)} rows=$r1/$br " +
+        s"state=${math.max(sr1, sr2)}r/${math.max(sb1, sb2)}B")
     }
 
     // 1. sessionize (mapGroupsWithState) — mirror sessionize_state
@@ -178,11 +211,16 @@ object StreamBench {
       s""""${g.name}":{"streamed":[${g.sMin},${g.sMax}],""" +
         s""""batch":${g.b},""" +
         s""""ratio":${f2(g.sMin / math.max(g.b, 1e-9))},""" +
-        s""""rows":[${g.streamedRows},${g.batchRows}]}"""
+        s""""rows":[${g.streamedRows},${g.batchRows}],""" +
+        s""""state_rows":${g.stateRows},""" +
+        s""""state_bytes":${g.stateBytes}}"""
     }.mkString("{", ",", "}")
     val totalStreamed = rows.map(_.sMin).sum
+    val providerShort =
+      if (provider.contains("RocksDB")) "rocksdb" else "hdfs"
     val line = s"""{"metric":"stream_bench","unit":"sec",""" +
       s""""n_events":$nEvents,"n_users":$nUsers,"cpus":$cpus,""" +
+      s""""provider":"$providerShort",""" +
       s""""total_streamed":${f2(totalStreamed)},"gates":$gatesJson}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")

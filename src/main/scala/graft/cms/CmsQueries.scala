@@ -44,21 +44,20 @@ object CmsQueries {
       found.fold(rel.toAbsolutePath.toString)(_.toString)
     }
 
-  /** DuckDB replay of the full AOV relational stage over the raw
-    * fixture CSVs at `base`. Every coercion mirrors the Spark side's
-    * documented semantics: permissive typed CSV reads → all_varchar +
-    * TRY_CAST; `try_cast(try_cast(x AS DOUBLE) AS BIGINT)` for the
-    * mixed "yyyyMMdd"/"yyyyMMdd.0"/garbage dates (fractions are
-    * always .0 in CMS data, so DuckDB's round-vs-Spark's-truncate
-    * double→bigint difference cannot bite); `to_date(_, 'yyyyMMdd')`
-    * → TRY_STRPTIME; the NULL-DRG coalesce(false) keep; the
+  /** Shared DuckDB replay of the CLAIM-LEVEL relational stage over
+    * the raw fixture CSVs at `base` — everything up to the per-claim
+    * (kind, code) relation, common to the AOV and MHE branches. Every
+    * coercion mirrors the Spark side's documented semantics:
+    * permissive typed CSV reads → all_varchar + TRY_CAST;
+    * `try_cast(try_cast(x AS DOUBLE) AS BIGINT)` for the mixed
+    * "yyyyMMdd"/"yyyyMMdd.0"/garbage dates (fractions are always .0
+    * in CMS data, so DuckDB's round-vs-Spark's-truncate double→bigint
+    * difference cannot bite); `to_date(_, 'yyyyMMdd')` →
+    * TRY_STRPTIME; the NULL-DRG coalesce(false) keep; the
     * 3-distinct-year enrollment HAVING; min-CCS duplicate resolution
     * and the frozen sorted vocabulary as ROW_NUMBER over DISTINCT
-    * CCS. Feature rows are (year-offset·span + slot) with
-    * span = 2 + W, demos at +0/+1, indicators at +2+idx — exactly
-    * aovFlatten's layout — and v <> 0 mirrors the sparse vector's
-    * explicit-zero drop. */
-  private[graft] def aovReplaySql(base: String): String = {
+    * CCS. */
+  private def relationalPrefixSql(base: String): String = {
     val dxSlots = CmsPipeline.dxSlots
     val pcsSlots = CmsPipeline.pcsSlots
     val unpiv = (dxSlots ++ pcsSlots).mkString(", ")
@@ -122,10 +121,20 @@ object CmsQueries {
       FROM c3 WHERE DESYNPUF_ID IN (SELECT DESYNPUF_ID
         FROM enrolled)),
     codes AS (
-      SELECT DESYNPUF_ID, yr,
+      SELECT DESYNPUF_ID, CLM_ID, yr,
         CASE WHEN kv LIKE 'ICD9_DGNS%' THEN 'dx' ELSE 'pcs' END
           AS kind, code
-      FROM (UNPIVOT c4 ON $unpiv INTO NAME kv VALUE code)),
+      FROM (UNPIVOT c4 ON $unpiv INTO NAME kv VALUE code))"""
+  }
+
+  /** DuckDB replay of the full AOV feature stage: the shared
+    * relational prefix, then the patient-year aggregation and the
+    * fixed-year flatten. Feature rows are (year-offset·span + slot)
+    * with span = 2 + W, demos at +0/+1, indicators at +2+idx —
+    * exactly aovFlatten's layout — and v <> 0 mirrors the sparse
+    * vector's explicit-zero drop. */
+  private[graft] def aovReplaySql(base: String): String =
+    relationalPrefixSql(base) + """,
     pyidx AS (
       SELECT DISTINCT DESYNPUF_ID, yr, idx FROM (
         SELECT c.DESYNPUF_ID, c.yr, v.vi AS idx
@@ -163,7 +172,43 @@ object CmsQueries {
     SELECT f.DESYNPUF_ID, f.slot, f.v, l.label
     FROM feat f JOIN plabel l USING (DESYNPUF_ID)
     WHERE f.v <> 0"""
-  }
+
+  /** The MHE gate keeps this many claims through the class-rebalance
+    * top-k (label desc, CLM_ID asc) — CmsScale's mhe row budget, and
+    * ≥ every committed fixture's claim count, so the gate covers the
+    * whole fixture while the SAME definition replays the scaled
+    * fixture's deterministic truncation. */
+  private[graft] val MheGateRows = 100000
+
+  /** DuckDB replay of the full MHE feature stage (r10 verdict item 7
+    * names this the one defensible registry addition): the shared
+    * relational prefix, then per-CLAIM vocabulary indices, the
+    * deterministic class-rebalance top-k, and the day-grid scatter —
+    * slot = (doy−1)·W + idx, value 1.0, exactly mheVector's layout.
+    * The post-limit seeded shuffle (mixKey) is order only, invisible
+    * to the hash gate. */
+  private[graft] def mheReplaySql(base: String): String =
+    relationalPrefixSql(base) + s""",
+    cidx AS (
+      SELECT DISTINCT CLM_ID, idx FROM (
+        SELECT c.CLM_ID, v.vi AS idx
+        FROM codes c JOIN dxmap m ON c.kind = 'dx'
+          AND c.code = m.icd9
+        JOIN dxvocab v ON m.ccs = v.ccs
+        UNION ALL
+        SELECT c.CLM_ID, v.vi + (SELECT wdx FROM consts) AS idx
+        FROM codes c JOIN pcsmap m ON c.kind = 'pcs'
+          AND c.code = m.icd9
+        JOIN pcsvocab v ON m.ccs = v.ccs)),
+    mclaims AS (
+      SELECT DESYNPUF_ID, CLM_ID, clabel AS label, age,
+        CAST(sex AS DOUBLE) AS sex,
+        EXTRACT(DOY FROM clm_date) AS doy
+      FROM c4 ORDER BY clabel DESC, CLM_ID LIMIT $MheGateRows)
+    SELECT m.DESYNPUF_ID, m.CLM_ID, m.label, m.age, m.sex,
+      CAST((m.doy - 1) * (wdx + wpcs) + i.idx AS INTEGER) AS slot,
+      1.0 AS v
+    FROM mclaims m JOIN cidx i USING (CLM_ID) CROSS JOIN consts"""
 
   /** Resolved ONCE and shared by the Spark fn and the oracle SQL
     * (advisory r10): the fn used to re-resolve `fixtureDir` per call
@@ -187,6 +232,42 @@ object CmsQueries {
           .select(col("DESYNPUF_ID"), col("pos").cast("int").as("slot"),
             col("col").as("v"), col("label"))
       },
-      aovReplaySql(gateFixtureDir))
+      aovReplaySql(gateFixtureDir)),
+
+    // The MHE branch's composed gate (r11, mirroring cms_aov_e2e):
+    // the whole claim-level pipeline — dirty-CSV coercion, crosswalk
+    // clean, cohort/enrollment, recode, claim label, class-rebalance
+    // top-k, day-grid scatter — exploded to (claim, slot, v) rows and
+    // replayed hash-exact in DuckDB. A wrong day-of-year, a
+    // mis-offset vocabulary index, or a nondeterministic rebalance
+    // each breaks the hash.
+    "cms_mhe_e2e" -> QDef(
+      (s, _) => {
+        val base = gateFixtureDir
+        val cfg = CmsPipeline.CmsConfig()
+        val dxMap = CmsPipeline.crosswalkMap(
+          CmsPipeline.loadCrosswalk(s, s"$base/dx.csv"))
+        val pcsMap = CmsPipeline.crosswalkMap(
+          CmsPipeline.loadCrosswalk(s, s"$base/pcs.csv"))
+        val w = CmsPipeline.vocabOf(dxMap).size +
+          CmsPipeline.vocabOf(pcsMap).size
+        val claims = CmsPipeline.withLabel(
+          CmsPipeline.recodeClaims(
+            CmsPipeline.arthritisPatientData(
+              CmsPipeline.loadBen(s, s"$base/ben.csv"),
+              CmsPipeline.loadIp(s, s"$base/ip.csv"), cfg),
+            dxMap, pcsMap), cfg)
+        CmsPipeline.mhe(claims, w, rows = MheGateRows)
+          .select(col("DESYNPUF_ID"), col("CLM_ID"), col("label"),
+            element_at(col("demographics"), 1).as("age"),
+            element_at(col("demographics"), 2).as("sex"),
+            posexplode(org.apache.spark.ml.functions
+              .vector_to_array(col("grid"))))
+          .where(col("col") =!= 0.0)
+          .select(col("DESYNPUF_ID"), col("CLM_ID"), col("label"),
+            col("age"), col("sex"),
+            col("pos").cast("int").as("slot"), col("col").as("v"))
+      },
+      mheReplaySql(gateFixtureDir))
   )
 }

@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Per-row byte estimate for exploded-shingle exchanges (the
+    * [[Similarity.sizedByBytes]] input): 8 B id + 8 B n + a word-3-gram
+    * UTF8 string (~26 B typical English) + UnsafeRow field offsets and
+    * shuffle serialization overhead. Deliberately round and slightly
+    * generous — the sizing rule only needs the right order of
+    * magnitude to keep per-task state near 64 MB. */
+  private[graft] val ShingleRowBytes = 96L
+
   /** Hot-bucket guard shared by every banding/bucketing pipeline
     * (minhash bands, simhash tables, hyperplane-LSH buckets): drop
     * `keys` groups holding more than `maxBucket` rows BEFORE a bucket
@@ -57,14 +65,31 @@ object Dedup {
     * (or prefix filtering) instead — this is the exact-verification
     * engine, not the candidate generator.
     *
+    * Exchange self-sizing (r10 verdict item 2, the GROWTH_SF10
+    * lesson): the exploded relation ships one (id, n, blocks,
+    * shingle-string) row per shingle INSTANCE, so its per-task
+    * shuffle state at the session partition count outgrows execution
+    * memory two decades above the gate tier exactly like the vector
+    * exchanges did. `sizeHint` = estimated shingle instances (docs ×
+    * avg shingles/doc; callers at scale already count docs) routes
+    * the self-join's one exchange through the shared ~64 MB/task rule
+    * ([[Similarity.sizedByBytes]]) — never repartitioning a wider
+    * session down.
+    *
     * @param base DataFrame(id, sh: array<string> DISTINCT, n: int, block...)
     * @return (a_id, b_id, a_n, b_n, i) for co-occurring pairs
     */
   def pairIntersectionCounts(base: DataFrame,
-                             blockCols: Seq[String]): DataFrame = {
-    val ex = base.select(
+                             blockCols: Seq[String],
+                             sizeHint: Option[Long] = None): DataFrame = {
+    val ex0 = base.select(
       (Seq(col("id"), col("n")) ++ blockCols.map(col) :+
         explode(col("sh")).as("shingle")): _*)
+    // sized on the JOIN keys: the explicit repartition becomes the
+    // self-join's one shared exchange (both sides reuse it), so the
+    // hint changes the partition COUNT, not the plan shape
+    val ex = Similarity.sizedByBytes(ex0, sizeHint, rowsPerItem = 1L,
+      rowBytes = ShingleRowBytes, keys = blockCols :+ "shingle")
     val joinCond = (col("a.shingle") === col("b.shingle") &&
       col("a.id") < col("b.id")) +: blockCols.map(c =>
       col(s"a.$c") === col(s"b.$c"))
@@ -148,20 +173,32 @@ object Dedup {
     * set is observable via [[minhashOversizedBuckets]]. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.6, bands: Int = 8,
-                   rowsPer: Int = 4, maxBucket: Int = 100000): DataFrame =
+                   rowsPer: Int = 4, maxBucket: Int = 100000,
+                   sizeHint: Option[Long] = None): DataFrame =
     // Unmanaged convenience form: the persisted shingle relation stays
     // cached until the session LRU-evicts it (fine for one-shot driver
     // runs). A long-lived session looping over corpora should use
     // [[minhashDedupManaged]] and release() after its terminal action.
     minhashDedupManaged(docs, idCol, textCol, threshold, bands, rowsPer,
-      maxBucket).df
+      maxBucket, sizeHint).df
 
   /** [[minhashDedup]] with an explicit cache-lifecycle handle — see
-    * [[ManagedResult]]. */
+    * [[ManagedResult]].
+    *
+    * `sizeHint` (r10 verdict item 2) = estimated shingle INSTANCES
+    * (docs × avg shingles/doc — scale callers already count docs):
+    * the exact-verify joins ship the exploded (id, shingle-string)
+    * relation twice, and like the vector exchanges GROWTH_SF10
+    * measured, their per-task shuffle state at the session partition
+    * count is the knob that decides spill-vs-fit two decades up. The
+    * hint routes both verify-join exchanges through the shared
+    * ~64 MB/task rule ([[Similarity.sizedByBytes]]); None (the gate
+    * tiers) leaves the plan untouched. */
   def minhashDedupManaged(docs: DataFrame, idCol: String,
                           textCol: String, threshold: Double = 0.6,
                           bands: Int = 8, rowsPer: Int = 4,
-                          maxBucket: Int = 100000): ManagedResult = {
+                          maxBucket: Int = 100000,
+                          sizeHint: Option[Long] = None): ManagedResult = {
     // The pipeline is genuinely multi-pass over the shingles (signature,
     // sizes, exact verify), so the exploded shingle relation is persisted
     // — computed once, reused by every pass within the job; ownership of
@@ -199,10 +236,19 @@ object Dedup {
         Seq("b_id"))
       .where(least(col("a_n"), col("b_n")) >=
         lit(threshold) * greatest(col("a_n"), col("b_n")))
+    // Self-sized verify exchanges (see the managed form's scaladoc):
+    // each projection is keyed exactly like its join, so the explicit
+    // repartition IS the join's exchange — count changes, shape not.
+    val exA = Similarity.sizedByBytes(
+      ex.select(col("id").as("a_id"), col("shingle")), sizeHint,
+      rowsPerItem = 1L, rowBytes = ShingleRowBytes, keys = Seq("a_id"))
+    val exB = Similarity.sizedByBytes(
+      ex.select(col("id").as("b_id"), col("shingle")), sizeHint,
+      rowsPerItem = 1L, rowBytes = ShingleRowBytes,
+      keys = Seq("b_id", "shingle"))
     val pairs = sized
-      .join(ex.select(col("id").as("a_id"), col("shingle")), Seq("a_id"))
-      .join(ex.select(col("id").as("b_id"), col("shingle")),
-        Seq("b_id", "shingle"))
+      .join(exA, Seq("a_id"))
+      .join(exB, Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id", "a_n", "b_n")
       .agg(count("*").as("i"))
       .select(col("a_id"), col("b_id"),

@@ -203,9 +203,12 @@ object Similarity {
     * tier: the heap × partitions matrix in docs/GROWTH_SF10.md
     * measured 3.3-6.6× pure spill tax and an OOM at 60g/32. ~64 MB
     * targets keep every task's slice cache- and memory-friendly; the
-    * explicit repartition applies ONLY past the session default,
-    * because below it the count is a no-op but still costs AQE its
-    * runtime freedoms on this exchange (+0.1-0.15 s at sf0.1). The
+    * explicit repartition applies ONLY when the session count would
+    * put per-task state in spill territory (the two-condition gate in
+    * [[sizedByBytes]] — below the session default the count is a
+    * no-op that still costs AQE its runtime freedoms (+0.1-0.15 s at
+    * sf0.1), and below ~256 MB/task the forced exchange can only
+    * lose, measurably so when a join would otherwise broadcast). The
     * window guards and the self-join both consume the produced
     * HashPartitioning, so this picks the COUNT of the one existing
     * exchange rather than adding one (plan-pinned in
@@ -213,19 +216,43 @@ object Similarity {
   private[graft] def sizedByHint(df: DataFrame, sizeHint: Option[Long],
                           rowsPerItem: Long, dim: Int,
                           keys: Seq[String]): DataFrame =
+    // doubles + id/nrm/keys/overhead
+    sizedByBytes(df, sizeHint, rowsPerItem, 8L * dim + 128L, keys)
+
+  /** [[sizedByHint]] with the per-row byte estimate passed directly —
+    * the same ~64 MB/task sizing rule for payload exchanges whose rows
+    * are not dim-double vectors (r10 verdict item 2 extends it to the
+    * minhash/ngram-jaccard shingle-keyed verify joins, whose rows are
+    * id + shingle string). Shared so every self-sizing operator
+    * applies the one gate: repartition only past the session's
+    * shuffle-partition count, never down. */
+  private[graft] def sizedByBytes(df: DataFrame, sizeHint: Option[Long],
+                          rowsPerItem: Long, rowBytes: Long,
+                          keys: Seq[String]): DataFrame =
     sizeHint match {
       case Some(n) =>
-        val rowBytes = 8L * dim + 128L // doubles + id/nrm/keys/overhead
         val parts =
           (n * rowsPerItem * rowBytes / (64L << 20)).toInt + 1
-        // the session default is numShufflePartitions — what this
-        // exchange would get anyway — NOT core count: a session
-        // already sized wider (e.g. a cluster at thousands of
-        // partitions) must never be repartitioned DOWN, and a session
-        // sized narrower than the bytes demand must be widened even
-        // when core count exceeds the computed parts
-        if (parts > df.sparkSession.sessionState.conf
-              .numShufflePartitions)
+        // TWO-condition engage gate (r11, measured):
+        //  - the session default is numShufflePartitions — what this
+        //    exchange would get anyway — NOT core count: a session
+        //    already sized wider (e.g. a cluster at thousands of
+        //    partitions) must never be repartitioned DOWN;
+        //  - AND the estimated per-task state at the session count
+        //    must actually be in spill territory (> ~256 MB/task ⇔
+        //    parts > 4× session at the 64 MB target). An explicit
+        //    repartition is not free: when the downstream join would
+        //    otherwise broadcast its small side, the forced exchange
+        //    ships the WHOLE relation once for nothing (minhash
+        //    verify at 2.2M docs: 116 MB/task, engaged-at-89-parts
+        //    24.9 s vs stock-32 22.9 s, manual-256 40.3 s —
+        //    MinhashSizeScale interleaved A/B), while every measured
+        //    win sits past the bar (embed-LSH 2M: 320 MB/task,
+        //    71.2 → 24.1 s; the 200k negative control at 32 MB/task
+        //    measured no gain, GROWTH_SF10.md).
+        val sessionParts = df.sparkSession.sessionState.conf
+          .numShufflePartitions
+        if (parts > 4 * sessionParts)
           df.repartition(parts, keys.map(col): _*)
         else df
       case None => df

@@ -548,15 +548,16 @@ class DedupSimilaritySpec extends SparkSpec {
     val baseRows = run(None).collect().map(_.toSeq).toSet
     val hintedRows = run(Some(1000000L)).collect().map(_.toSeq).toSet
     assert(hintedRows === baseRows, "partitioning must not change rows")
-    // unit: the rule itself — formula count when it exceeds the
-    // session's shuffle partitions, untouched plan otherwise
+    // unit: the rule itself — formula count when the estimate is past
+    // the spill bar (>4× session ⇔ >256 MB/task at the session
+    // count), untouched plan otherwise
     val df = emb.limit(50).select(col("vec_id"),
       lit(0L).as("cell"))
-    // 1e6 items x 1 row x (8*64+128) B / 64 MiB + 1 = 10 parts > 4
-    val expected = (1000000L * (8L * 64 + 128) / (64L << 20)).toInt + 1
+    // 1e7 items x 1 row x (8*64+128) B / 64 MiB + 1 = 96 parts > 16
+    val expected = (10000000L * (8L * 64 + 128) / (64L << 20)).toInt + 1
     val sessionParts = spark.sessionState.conf.numShufflePartitions
-    assert(expected > sessionParts)
-    val sized = Similarity.sizedByHint(df, Some(1000000L),
+    assert(expected > 4 * sessionParts)
+    val sized = Similarity.sizedByHint(df, Some(10000000L),
       rowsPerItem = 1L, dim = 64, keys = Seq("cell"))
     assert(sized.rdd.getNumPartitions === expected,
       "sized route must repartition to the formula count")
@@ -565,6 +566,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(small.queryExecution.logical ===
       df.queryExecution.logical,
       "a hint under the session default must leave the plan untouched")
+    // BETWEEN the session default and the spill bar (1e6 → 10 parts,
+    // 4 < 10 ≤ 16): the r11 engage gate must stay out — a forced
+    // exchange below ~256 MB/task only loses (the MinhashSizeScale
+    // measurement in sizedByBytes's scaladoc)
+    val mid = Similarity.sizedByHint(df, Some(1000000L),
+      rowsPerItem = 1L, dim = 64, keys = Seq("cell"))
+    assert(mid.queryExecution.logical === df.queryExecution.logical,
+      "a hint under the spill bar must leave the plan untouched")
     val none = Similarity.sizedByHint(df, None,
       rowsPerItem = 1L, dim = 64, keys = Seq("cell"))
     assert(none.queryExecution.logical === df.queryExecution.logical)
@@ -773,6 +782,77 @@ class DedupSimilaritySpec extends SparkSpec {
       "salted route emitted a duplicate pair")
     assert(plain.nonEmpty, "degenerate fixture: no pair cleared 0.44")
     assert(salted.toSet === plain.toSet)
+  }
+
+  test("minhashDedup sizeHint: self-sized verify exchanges change " +
+    "partition COUNT only — rows identical, both join keys sized per " +
+    "the 64 MB/task formula, no added exchange") {
+    val corpus = docs.limit(200)
+    def mh(hint: Option[Long]) = Dedup.minhashDedup(corpus, "doc_id",
+      "text", threshold = 0.6, sizeHint = hint)
+    // A real hinted run is at a scale where the verify joins are
+    // shuffle joins — the fixture's tiny pair relation would broadcast
+    // and make the exchange-count pin vacuous, so pin the SMJ shape
+    // the hint exists for. (Save/restore: shared session.)
+    val bcKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = bcKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      bcKeys.foreach(spark.conf.set(_, "-1"))
+      val base = mh(None)
+      // 20e6 shingle rows × 96 B / 64 MiB + 1 = 29 parts > 4×4 — past
+      // the spill-bar engage gate (>4× session ⇔ >256 MB/task)
+      val hint = 20000000L
+      val expected = (hint * 96L / (64L << 20)).toInt + 1
+      assert(expected >
+        4 * spark.sessionState.conf.numShufflePartitions)
+      val hinted = mh(Some(hint))
+      val baseRows = base.collect().map(_.toSeq).toSet
+      val hintedRows = hinted.collect().map(_.toSeq).toSet
+      assert(baseRows.nonEmpty, "vacuous fixture: no pairs found")
+      assert(hintedRows === baseRows,
+        "partitioning must not change rows")
+      val planStr = hinted.queryExecution.executedPlan.toString
+      assert(planStr.contains("hashpartitioning(a_id") &&
+        planStr.contains(s", $expected)"),
+        s"sized a_id verify exchange missing:\n$planStr")
+      assert(("hashpartitioning\\(b_id#\\d+L, shingle#\\d+, " +
+        s"$expected\\)").r.findFirstIn(planStr).isDefined,
+        s"sized (b_id, shingle) verify exchange missing:\n$planStr")
+      // and the unhinted plan must NOT carry the formula count — the
+      // hint is the only thing that sizes these exchanges. (No raw
+      // exchange-count equality here: this pipeline's adaptive plan
+      // string prints materialized stages' subtrees repeatedly, so a
+      // naive "Exchange " count is printing-artifact noise; the
+      // count-neutrality of the shared sizedByBytes wiring is pinned
+      // by the lshDedupPairs sizeHint test above.)
+      assert(!base.queryExecution.executedPlan.toString
+        .contains(s", $expected)"),
+        "unhinted plan unexpectedly carries the formula partition count")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("pairIntersectionCounts sizeHint: sized self-join exchange, " +
+    "rows identical") {
+    val base = docs.limit(200)
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("id"),
+        TextQueries.shingles3(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+    def run(hint: Option[Long]) =
+      Dedup.pairIntersectionCounts(base, Seq.empty, hint)
+    val hint = 20000000L // past the >4×session spill-bar at 4 parts
+    val expected = (hint * 96L / (64L << 20)).toInt + 1
+    val plain = run(None).collect().map(_.toSeq).toSet
+    val hinted = run(Some(hint))
+    val hintedRows = hinted.collect().map(_.toSeq).toSet
+    assert(plain.nonEmpty, "vacuous fixture: no co-occurring pairs")
+    assert(hintedRows === plain, "partitioning must not change rows")
+    val planStr = hinted.queryExecution.executedPlan.toString
+    assert(planStr.contains("hashpartitioning(shingle") &&
+      planStr.contains(s", $expected)"),
+      s"sized shingle self-join exchange missing:\n$planStr")
   }
 
   test("distinctIdsWithin enforces the kernel routes' per-ID ceiling " +

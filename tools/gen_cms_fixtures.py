@@ -21,9 +21,19 @@ import os
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--patients", type=int, default=30)
+# Crosswalk CCS-category counts (r10 verdict item 3): the reference's
+# real data recodes to 285 dx + 231 pcs categories (516-wide feature
+# blocks, cnn_model.ipynb:155 / SURVEY §1.1); the defaults keep the
+# committed 30-patient fixture and the ReferenceParity corpus
+# byte-identical. Pass --dx-categories 285 --pcs-categories 231 for
+# the width-516 CmsScale timing fixture.
+ap.add_argument("--dx-categories", type=int, default=5)
+ap.add_argument("--pcs-categories", type=int, default=3)
 ap.add_argument("--out", default=os.path.join(
     os.path.dirname(__file__), "..", "src", "test", "resources", "cms"))
 args = ap.parse_args()
+assert args.dx_categories >= 5 and args.pcs_categories >= 3, \
+    "widths below the base fixture's 5 dx / 3 pcs are not supported"
 
 random.seed(42)
 OUT = args.out
@@ -42,6 +52,18 @@ PCS = [
     ("'8151'", "'152'"), ("'8152.'", "'152'"), ("'8154'", "'153'"),
     ("' 0066'", "'154'"), ("'3722'", "'154'"),
 ]
+
+# Synthetic wide-vocabulary extension: one ICD9-shaped code per extra
+# CCS category. Code ranges 60000+/70000+ avoid every hand-written
+# code above; category ranges 1000+/2000+ keep the extra categories
+# visually distinct from the leakage-bearing 152/153 (prior-TJR) and
+# 201-205 (arthritis) categories, whose roles must not dilute.
+EXTRA_DX_CODES = [f"6{k:04d}" for k in range(args.dx_categories - 5)]
+EXTRA_PCS_CODES = [f"7{k:04d}" for k in range(args.pcs_categories - 3)]
+DX += [(f"'{c}'", f"'{1000 + k}'")
+       for k, c in enumerate(EXTRA_DX_CODES)]
+PCS += [(f"'{c}'", f"'{2000 + k}'")
+        for k, c in enumerate(EXTRA_PCS_CODES)]
 
 def write_xw(name, rows):
     with open(f"{OUT}/{name}.csv", "w", newline="") as f:
@@ -93,8 +115,12 @@ def add_claim(p, date, drg, ndx=3, npcs=2, dx_pool=None, pcs_pool=None):
 # codes (CCS 152/153); the TJR claim does — reproducing the reference's
 # leakage mechanism, where the 2010 feature block contains the very
 # procedure that defines the label (BASELINE.md train-AUC→1.0 caveat).
-BG_DX = ["4019", "25000", "2724", "99999"]
-BG_PCS = ["0066", "3722", "88888"]
+# Wide mode scatters background draws across the full synthetic
+# vocabulary so every CCS slot actually lights up (the reference's
+# 516-wide blocks are sparse-but-populated); the extra codes never
+# carry CCS 152/153, so the leakage mechanism is untouched.
+BG_DX = ["4019", "25000", "2724", "99999"] + EXTRA_DX_CODES
+BG_PCS = ["0066", "3722", "88888"] + EXTRA_PCS_CODES
 TJR_DX = ["71500", "71590", "7160", "71610", "71620", "71536"]
 TJR_PCS = ["8151", "8152", "8154"]
 
