@@ -127,9 +127,14 @@ object Dedup {
   /** Universal-hash family over a precomputed 64-bit shingle hash:
     * h_j(x) = a_j·x + b_j with odd multipliers (mod 2^64 by natural
     * overflow). One string hash per shingle total; the k permutations
-    * are two ALU ops each. */
+    * are two ALU ops each. WrapArith pins legacy wraparound so the family
+    * survives ANSI-on sessions (Spark 4.x caller default) — `try_multiply`
+    * would NULL the signatures instead. */
   private def permHash(h: Column, j: Int): Column =
-    h * lit(0x9E3779B97F4A7C15L * (2 * j + 1)) + lit(j * 0xBF58476D1CE4E5B9L)
+    org.apache.spark.sql.graftx.WrapArith.add(
+      org.apache.spark.sql.graftx.WrapArith.mul(
+        h, lit(0x9E3779B97F4A7C15L * (2 * j + 1))),
+      lit(j * 0xBF58476D1CE4E5B9L))
 
   /** MinHash signatures from exploded shingles:
     * ex(id, shingle) → (id, sig: array<long>[k]). The k hash functions

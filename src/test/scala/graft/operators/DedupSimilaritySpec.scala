@@ -872,4 +872,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!Similarity.distinctIdsWithin(
       rows(1L, 1L, 2L, 2L, 3L, 3L), 2L))
   }
+
+  test("minhashDedup survives ANSI mode with identical pairs (the " +
+    "universal-hash family wraps mod 2^64 via WrapArith, not session " +
+    "conf)") {
+    // r11 ANSI sweep: under Spark 4.x's caller-default ansi=true, the
+    // permHash multiply threw ARITHMETIC_OVERFLOW and took down the
+    // whole minhash family (dedup_minhash_lsh, contamination_minhash,
+    // dedup_components/_dist, dedup_prune). The hash SEMANTICS is
+    // two's-complement wraparound, so the fix pins EvalMode.LEGACY at
+    // expression construction; this asserts both no-throw and
+    // value-equality across modes.
+    // docs 2k and 2k+1 share a base and differ by one trailing word →
+    // planted near-dup pairs well above the 0.5 threshold
+    val corpus = (1 to 40).map { i =>
+      val base = s"ansi fixture sentence ${i / 2} on topic ${(i / 2) % 5} " +
+        "with many shared words repeated across the whole pair of texts"
+      (i.toLong, if (i % 2 == 0) base else base + " tail")
+    }.toDF("doc_id", "text")
+    def pairs(): Set[(Long, Long)] =
+      Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val saved = spark.conf.get("spark.sql.ansi.enabled", "false")
+    val off = pairs()
+    val on = try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      pairs()
+    } finally spark.conf.set("spark.sql.ansi.enabled", saved)
+    assert(off.nonEmpty, "fixture should produce near-dup pairs")
+    assert(on === off, "ANSI mode changed the minhash candidate set")
+  }
 }
