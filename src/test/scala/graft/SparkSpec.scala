@@ -5,10 +5,16 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared per-suite SparkSession (local, ANSI off to mirror the
-  * reference's coerce-to-null cast semantics). */
+  * reference's coerce-to-null cast semantics).
+  *
+  * Master is `local[4, 2]` — 4 threads, maxFailures 2 — so the suite
+  * runs under retry-enabled scheduling like a real cluster (plain
+  * `local[4]` pins maxFailures to 1 and silently ignores the conf),
+  * which is what lets RetryDeterminismSpec inject first-attempt task
+  * failures and assert results don't move. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   @transient lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
