@@ -26,8 +26,12 @@ import org.apache.spark.sql.streaming.Trigger
   * drift round-over-round is the streamed seconds at fixed feed size.
   *
   * Run: `SPARK_GRAFT_CPUS=16 sbt "runMain graft.StreamBench
-  * [nEvents] [outPath]"` — defaults 2e6 / BENCH_STREAM.json.
-  */
+  * [nEvents] [outPath] [nUsers]"` — defaults 2e6 / BENCH_STREAM.json /
+  * 5e4. Scale tiers should grow nUsers WITH nEvents (the committed 10M
+  * tier uses 250k users): sessionize/dedup state is user-keyed, so a
+  * fixed user set would measure event throughput at constant state and
+  * miss the axis that actually breaks providers at 100 TB — key
+  * cardinality. */
 object StreamBench {
 
   // Locale.ROOT (advisory r10): the f"" interpolator uses the default
@@ -67,7 +71,7 @@ object StreamBench {
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
 
-    val nUsers = 50000L
+    val nUsers = args.lift(2).map(_.toLong).getOrElse(50000L)
     val gapMs = 30L * 60000
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_streambench").toString
