@@ -10,6 +10,19 @@ OUT="$(mktemp -d)/verify"
 echo "== sbt test =="
 sbt -batch test 2>&1 | grep -E "Tests:|FAILED" | tail -2
 
+echo "== Session-config invariance sweeps (sf0.001, all axes) =="
+# Each axis diffs every registered query base-vs-alt with a canonical
+# hash (see DevConfSweep's scaladoc); a caller on a real cluster varies
+# all of these, so DIFF/ERROR here is a shipped bug even when the
+# pinned-session oracle gate below is green. ~5 min/axis at sf0.001
+# (the sweep runs every query at least twice); sbt exits nonzero on
+# any DIFF/ERROR and pipefail stops the gate.
+for axis in ansi codegen partitions aqe broadcast; do
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+    sbt -batch "runMain graft.DevConfSweep $axis /root/testdata/sf0.001" \
+    2>&1 | grep -E 'SUMMARY' | sed 's/^\[info\] //'
+done
+
 echo "== Verify + DuckDB oracle ($VSF) =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify $VSF $OUT" >/dev/null 2>&1
