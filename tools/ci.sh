@@ -23,6 +23,14 @@ for axis in ansi codegen partitions aqe broadcast; do
     2>&1 | grep -E 'SUMMARY' | sed 's/^\[info\] //'
 done
 
+echo "== Planted-skew join (AQE skew-split, 40M rows, ~1 min) =="
+# Gates that the engine's shuffle-join shape stays AQE-skew-eligible
+# AND that the runtime split engages and pays on a planted 30%-hot
+# key; writes its report to a temp file so committed docs/SKEW_SCALE.md
+# timings only change when regenerated deliberately.
+sbt -batch "runMain graft.examples.SkewScale 40000000 $(mktemp -d)/skew.md" \
+  2>&1 | grep -E 'ALL CHECKS PASS|FAILURES' | sed 's/^\[info\] //'
+
 echo "== Verify + DuckDB oracle ($VSF) =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify $VSF $OUT" >/dev/null 2>&1
