@@ -701,47 +701,54 @@ object AnalyticsQueries {
     // per (user, hour) keep the LAST event's value (deterministic pick
     // = max (ts, event_id)), span each user's range with an hourly
     // spine, and forward-fill empty hours from the most recent
-    // observation. ONE exchange total (r9 rework — the r8 shape paid
-    // four: the (user, hour) agg, the spine's user agg, the spine
-    // join, and the ffill window, the last re-shuffling the FULL
-    // ~n_hours grid, the heaviest engine row at sf1): a single
-    // repartition on user_id up front makes every later requirement —
-    // grouped agg, spine agg + explode, grid join, ffill window — a
-    // ClusteredDistribution a user_id partitioning already satisfies,
-    // so Catalyst inserts no further exchange and only local sorts
-    // (the plan census can't see it — the lazy localCheckpoint hides
-    // the exchange inside RDD lineage — so the one-exchange claim is
-    // auditable only by .explain on the pre-checkpoint frame). The
-    // trade: the raw events shuffle loses
-    // the (user, hour) agg's map-side combine — a wash here and at
-    // any realistic event stream (hourly dedup removes little), and
-    // the 7x-larger filled GRID never shuffles at all, which is the
-    // term that grows with the time span. Skew follows the hottest
-    // user exactly as the old window stage already did; the spine
-    // explode stays bounded by each user's time range, not the corpus.
+    // observation. Two exchanges, each sized by what it carries (r11
+    // rework; the r9 "one exchange total" shape was a fiction —
+    // localCheckpoint ERASES partitioning metadata, the checkpoint
+    // scans back as an ExistingRDD of UNKNOWN partitioning, so
+    // Catalyst re-inserted a hidden ENSURE_REQUIREMENTS exchange that
+    // AQE's byte meter coalesced to 6 partitions, putting the
+    // ~7×-wider hourly grid, the explode, and the ffill window on 6
+    // tasks: a 1.5 s straggler stage at ANY core count —
+    // DevJobProfile/CORES_SCALE r11):
+    //  1. the (user, hour) agg's own exchange — byte-dominated,
+    //     map-side combine intact (the r9 up-front repartition had
+    //     traded the combine away), AQE free to coalesce: correct,
+    //     its downstream is the small hv;
+    //  2. one explicit COUNT-pinned repartition on the spine path —
+    //     compute-dominated (the grid explode multiplies rows ~7× and
+    //     feeds the ffill window AFTER this exchange, so map-output
+    //     bytes under-state the work and AQE must NOT coalesce it;
+    //     REPARTITION_BY_NUM is the non-coalescible origin, and the
+    //     session conf still owns the count on a cluster).
+    // Skew follows the hottest user exactly as the old window stage
+    // already did; the spine explode stays bounded by each user's
+    // time range, not the corpus.
     "resample_ffill" -> QDef(
       (s, d) => {
         // hv is materialized ONCE (lazy localCheckpoint): its two
         // consumers (spine derivation, grid join) would otherwise be
         // planned as independent subtrees whose per-subtree column
-        // pruning defeats exchange reuse — events read + shuffled
-        // twice. The checkpoint preserves the user_id partitioning,
-        // so everything downstream is exchange-free. Cluster caveat
-        // (as in tfidf/bm25): checkpoint blocks are executor-local;
-        // trade a second scan for fault tolerance by dropping it.
+        // pruning defeats exchange reuse — events read + aggregated
+        // twice. Cluster caveat (as in tfidf/bm25): checkpoint blocks
+        // are executor-local; trade a second scan for fault tolerance
+        // by dropping it.
         val hv = Tables.load(s, d, "events")
-          .repartition(col("user_id"))
           .groupBy(col("user_id"),
             date_trunc("hour", col("ts")).as("h"))
           .agg(max_by(col("value"),
             struct(col("ts"), col("event_id"))).as("v"))
           .localCheckpoint(eager = false)
-        // per-user [h0, h1] via an unordered window over hv, NOT a
-        // second groupBy(user) aggregate (which would re-shuffle);
-        // the window rides hv's user partitioning, and the unique
-        // h == h0 row per user then seeds the hourly spine
+        // per-user [h0, h1] via an unordered window over the PINNED
+        // exchange, NOT a second groupBy(user) aggregate; the unique
+        // h == h0 row per user then seeds the hourly spine, and the
+        // explode + left join + ffill window all ride this one
+        // user_id partitioning (the join's hv side broadcasts; were
+        // it ever past broadcast range, AQE plans the SMJ from real
+        // sizes) — no further exchange, local sorts only.
         val bounds = Window.partitionBy("user_id")
         val spine = hv
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("user_id"))
           .withColumn("h0", min(col("h")).over(bounds))
           .withColumn("h1", max(col("h")).over(bounds))
           .where(col("h") === col("h0"))

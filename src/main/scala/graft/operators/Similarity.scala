@@ -1340,7 +1340,8 @@ object Similarity {
                     threshold: Double,
                     maxCell: Int = 100000,
                     probes: Int = 1,
-                    sizeHint: Option[Long] = None): DataFrame = {
+                    sizeHint: Option[Long] = None,
+                    blockRows: Int = 2048): DataFrame = {
     require(centroids.nonEmpty, "semanticDedup needs >= 1 centroid")
     require(probes >= 1 && probes <= centroids.length,
       s"probes must be in 1..${centroids.length}, got $probes")
@@ -1411,9 +1412,44 @@ object Similarity {
     val sizedSource = sizedByHint(pairSource, sizeHint,
       rowsPerItem = probes.toLong, dim = cts(0).length,
       keys = Seq("cell"))
-    val pruned = Dedup.pruneOversized(sizedSource, Seq("cell"), maxCell)
-    val rawPairs = pruned.as("a").join(pruned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+    // Per-cell count window = pruneOversized's gate, kept as a column
+    // because it also sizes the pair-join CHUNKING below.
+    val counted = sizedSource
+      .withColumn("__cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+      .where(col("__cnt") <= maxCell)
+    // Compute-skew sub-blocking (r11, CORES_SCALE/DevJobProfile): the
+    // within-cell pair join does |cell|²/2 dot products PER CELL, and
+    // a hash exchange on `cell` puts each cell in ONE task — so a hot
+    // cell is a straggler that AQE's skew-split can never fix (its
+    // meter is shuffle BYTES; the skew here is flops: at the 200k-
+    // vector tier one ~0.9 s task held 25% of the query's wall at any
+    // core count). Triangle decomposition spreads it: each row in a
+    // cell of m = ⌈cnt/blockRows⌉ chunks is replicated once per
+    // unordered chunk pair it belongs to — key (cell, i, j) with
+    // i = min(chunk, k), j = max(chunk, k) over k < m — so the cell's
+    // quadratic work lands on (m²+m)/2 tasks of ≤ blockRows² pair
+    // evaluations, and the join keys on (cell, i, j). A pair with
+    // chunks (cx, cy) meets in EXACTLY the (min, max) task: each
+    // member has one replica there (k = the other chunk), and
+    // a.id < b.id kills the mirror — so the pair set is bit-identical
+    // to the unchunked join (spec-pinned chunked-vs-reference; the
+    // forced-route registry sibling `semantic_dedup_chunked` holds it
+    // to the DuckDB oracle). Cells at or under blockRows get m = 1 —
+    // a single (0,0) replica, the original join with two constant key
+    // columns.
+    val m = greatest(lit(1L),
+      ceil(col("__cnt").cast("double") / blockRows).cast("long"))
+    val chunked = counted
+      .withColumn("__c", pmod(xxhash64(col("id"), lit(7L)), m))
+      .withColumn("__k", explode(sequence(lit(0L), m - 1)))
+      .withColumn("__i", least(col("__c"), col("__k")))
+      .withColumn("__j", greatest(col("__c"), col("__k")))
+      .drop("__cnt", "__c", "__k")
+    val rawPairs = chunked.as("a").join(chunked.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.__i") === col("b.__i") &&
+          col("a.__j") === col("b.__j") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         (VectorQueries.dot(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))

@@ -239,6 +239,74 @@ object VectorQueries {
     "(SELECT GREATEST(50, CAST(CEIL(COUNT(*) / 4000.0) AS BIGINT)) " +
       "FROM embeddings)"
 
+  /** The semantic_dedup gate body, parameterized on the pair-join
+    * chunking block so the forced-chunked registry sibling runs the
+    * IDENTICAL workload through the sub-blocked route (the output is
+    * pair-for-pair the same, so both entries share one oracle SQL).
+    */
+  private def semanticDedupFn(blockRows: Int)
+      : (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    (s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val n = e.count()
+      val step = math.max(101L,
+        math.ceil(math.sqrt(n.toDouble)).toLong)
+      val plants = e.where(col("vec_id") % 100 === 0)
+        .select((-col("vec_id") - 1).as("vec_id"), col("label"),
+          col("embedding"))
+      // bounded collect: centroid probe set, ~√n rows (5 at the
+      // sf0.01 gate) — the production path passes ivfIndex's trained
+      // quantizer here instead
+      val cents = e.where(col("vec_id") % step === 0)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      Similarity.semanticDedup(e.unionByName(plants), cents,
+        threshold = 0.44, sizeHint = Some(n + n / 100 + 1),
+        blockRows = blockRows)
+    }
+
+  /** The shared DuckDB replay for both semantic_dedup entries —
+    * cells, within-cell pairs, AND the transitive closure (recursive
+    * CTE), so the hash gate checks blocking, pairing, and clustering
+    * at once, for the default and the forced-chunked route alike.
+    */
+  private val SemanticDedupSql: String =
+    "WITH RECURSIVE " +
+      "base AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+      "FROM embeddings), " +
+      "e AS (SELECT vec_id, v FROM base UNION ALL " +
+      "SELECT -vec_id - 1, v FROM base WHERE vec_id % 100 = 0), " +
+      "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm " +
+      "FROM e), " +
+      "c AS (SELECT vec_id AS c_id, v AS cv FROM base " +
+      "WHERE vec_id % (SELECT GREATEST(101, " +
+      "CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM base) = 0), " +
+      "d AS (SELECT n.vec_id, c.c_id, list_dot_product(" +
+      "[n.v[i] - c.cv[i] FOR i IN range(1, len(n.v) + 1)], " +
+      "[n.v[i] - c.cv[i] FOR i IN range(1, len(n.v) + 1)]) AS dist " +
+      "FROM n, c), " +
+      "cells AS (SELECT vec_id, c_id AS cell FROM " +
+      "(SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY dist, c_id) AS rn FROM d) WHERE rn = 1), " +
+      "m AS (SELECT n.vec_id, n.v, n.nrm, cells.cell FROM n " +
+      "JOIN cells USING (vec_id)), " +
+      "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM m a " +
+      "JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      "WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.44), " +
+      "edges AS (SELECT a_id AS src, b_id AS dst FROM p " +
+      "UNION ALL SELECT b_id, a_id FROM p), " +
+      "reach AS (SELECT src AS id, dst AS r FROM edges " +
+      "UNION SELECT reach.id, e2.dst FROM reach " +
+      "JOIN edges e2 ON reach.r = e2.src), " +
+      "comp AS (SELECT id, MIN(r) AS canonical_id FROM reach " +
+      "GROUP BY id) " +
+      "SELECT m.vec_id, m.cell, " +
+      "COALESCE(comp.canonical_id, m.vec_id) AS canonical_id, " +
+      "CAST(m.vec_id = COALESCE(comp.canonical_id, m.vec_id) AS INT) " +
+      "AS keep FROM m LEFT JOIN comp ON m.vec_id = comp.id"
+
   val defs: Map[String, QDef] = Map(
 
     // Exact ANN baseline: brute-force cosine top-10 for a fixed query
@@ -363,58 +431,16 @@ object VectorQueries {
     // transitive closure (recursive CTE), so the hash gate checks
     // blocking, pairing, and clustering at once.
     "semantic_dedup" -> QDef(
-      (s, d) => {
-        val e = Tables.load(s, d, "embeddings")
-        val n = e.count()
-        val step = math.max(101L,
-          math.ceil(math.sqrt(n.toDouble)).toLong)
-        val plants = e.where(col("vec_id") % 100 === 0)
-          .select((-col("vec_id") - 1).as("vec_id"), col("label"),
-            col("embedding"))
-        // bounded collect: centroid probe set, ~√n rows (5 at the
-        // sf0.01 gate) — the production path passes ivfIndex's trained
-        // quantizer here instead
-        val cents = e.where(col("vec_id") % step === 0)
-          .select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        Similarity.semanticDedup(e.unionByName(plants), cents,
-          threshold = 0.44, sizeHint = Some(n + n / 100 + 1))
-      },
-      "WITH RECURSIVE " +
-        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
-        "FROM embeddings), " +
-        "e AS (SELECT vec_id, v FROM base UNION ALL " +
-        "SELECT -vec_id - 1, v FROM base WHERE vec_id % 100 = 0), " +
-        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm " +
-        "FROM e), " +
-        "c AS (SELECT vec_id AS c_id, v AS cv FROM base " +
-        "WHERE vec_id % (SELECT GREATEST(101, " +
-        "CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM base) = 0), " +
-        "d AS (SELECT n.vec_id, c.c_id, list_dot_product(" +
-        "[n.v[i] - c.cv[i] FOR i IN range(1, len(n.v) + 1)], " +
-        "[n.v[i] - c.cv[i] FOR i IN range(1, len(n.v) + 1)]) AS dist " +
-        "FROM n, c), " +
-        "cells AS (SELECT vec_id, c_id AS cell FROM " +
-        "(SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY dist, c_id) AS rn FROM d) WHERE rn = 1), " +
-        "m AS (SELECT n.vec_id, n.v, n.nrm, cells.cell FROM n " +
-        "JOIN cells USING (vec_id)), " +
-        "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM m a " +
-        "JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
-        "WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.44), " +
-        "edges AS (SELECT a_id AS src, b_id AS dst FROM p " +
-        "UNION ALL SELECT b_id, a_id FROM p), " +
-        "reach AS (SELECT src AS id, dst AS r FROM edges " +
-        "UNION SELECT reach.id, e2.dst FROM reach " +
-        "JOIN edges e2 ON reach.r = e2.src), " +
-        "comp AS (SELECT id, MIN(r) AS canonical_id FROM reach " +
-        "GROUP BY id) " +
-        "SELECT m.vec_id, m.cell, " +
-        "COALESCE(comp.canonical_id, m.vec_id) AS canonical_id, " +
-        "CAST(m.vec_id = COALESCE(comp.canonical_id, m.vec_id) AS INT) " +
-        "AS keep FROM m LEFT JOIN comp ON m.vec_id = comp.id"),
+      semanticDedupFn(blockRows = 2048), SemanticDedupSql),
+    // Forced-chunked sibling (the percentile_scale_dist /
+    // dedup_components_dist pattern): blockRows = 64 makes every
+    // sf0.01 cell (~400 rows) split into m ≥ 7 chunks, so the
+    // triangle-decomposed pair join — dormant at the gate tier under
+    // the default 2048 block — is itself held to the full DuckDB
+    // oracle. Same fn, same SQL: chunking must be invisible in the
+    // output.
+    "semantic_dedup_chunked" -> QDef(
+      semanticDedupFn(blockRows = 64), SemanticDedupSql),
 
     // Int8 scalar quantization (the SQ8 codec of the standard vector
     // stores: 4× smaller than float32, 8× smaller than the double

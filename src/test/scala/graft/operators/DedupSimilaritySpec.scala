@@ -579,6 +579,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(none.queryExecution.logical === df.queryExecution.logical)
   }
 
+  test("semanticDedup pair-join chunking: a hot cell split into m " +
+    "chunks yields the identical verdict set (r11 compute-skew fix)") {
+    // ONE centroid → every row in one cell: the worst hot-cell case
+    // the triangle decomposition exists for (a cell-hashed pair join
+    // puts the whole cell's |c|²/2 dot products in one task; AQE
+    // cannot split it because the skew is flops, not bytes —
+    // DevJobProfile measured a 0.9 s single-task straggler at the
+    // 200k-vector tier). blockRows=32 over ~330 rows forces m ≥ 11
+    // (55+ chunk-pair tasks). The pin is pair LOSS: a pair whose
+    // chunk replicas never share a (cell, i, j) key would drop its
+    // edge and split a duplicate cluster. (Pair DUPLICATION is
+    // output-invisible — dupComponents is set-based — and excluded
+    // by construction: a pair with chunks (cx, cy) shares exactly
+    // the (min, max) task.)
+    val u = emb.limit(300)
+    val plants = u.where(col("vec_id") % 10 === 0)
+      .select((-col("vec_id") - 1).as("vec_id"), col("label"),
+        col("embedding"))
+    val all = u.unionByName(plants)
+    val cents = u.limit(1)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def run(blockRows: Int) = Similarity.semanticDedup(
+      all, cents, threshold = 0.44, blockRows = blockRows)
+      .collect().map(_.toSeq).toSet
+    val reference = run(Int.MaxValue) // m = 1 everywhere
+    val chunked = run(32)
+    assert(chunked === reference,
+      "chunking must be invisible in the verdicts")
+    assert(reference.exists(r => r(3) == 0),
+      "the planted copies must produce at least one dropped row — " +
+        "otherwise the equality is vacuous")
+  }
+
   test("pruneHomeProbe: probe inflow never kills a bucket's home rows " +
     "(r7 ADVICE №2 — multi-probe only ADDS candidates)") {
     // (tbl=0, bucket b) populations; cap = 4

@@ -5,14 +5,19 @@ Usage: python3 tools/bench_vs_duckdb.py <sfDir> <oracle_sql.json> \
          <bench_json_line_file> > docs/BENCH_COMPARE.md
 Methodology: min of two runs per query on both sides (steady state).
 """
-import sys, json, time
+import os, sys, json, time
 import duckdb
 
 def connect(sf_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # gen_star_sf1.py now writes multi-file tables (a directory of
+        # per-tile files — the real cluster-output shape); DuckDB needs
+        # the glob form for those, Spark reads either transparently.
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 

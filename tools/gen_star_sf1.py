@@ -110,11 +110,30 @@ def main():
     for name in SHIFT_COLS:
         tbl = pq.read_table(f"{SRC}/{name}.parquet")
         mult = emb_mult if name == "embeddings" else a.mult
-        tiles = [shifted(tbl, name, k) for k in range(mult)]
-        big = pa.concat_tables(tiles)
-        pq.write_table(big, f"{a.out}/{name}.parquet",
-                       row_group_size=1_000_000)
-        print(f"{name}: {tbl.num_rows} -> {big.num_rows} rows")
+        # One FILE per tile inside a <name>.parquet directory, with
+        # ~8 row groups per file — the multi-file shape every real
+        # cluster output has. The previous single-file
+        # row_group_size=1_000_000 layout put documents (50k rows) and
+        # embeddings (200k rows) into ONE row group each — and a
+        # Parquet row group is the scan-split granularity, so every
+        # content-table scan (and the whole-stage-codegen pipeline
+        # fused into it: regex, shingling, dot products) ran in ONE
+        # task at any core count. The cores-axis harness
+        # (docs/CORES_SCALE.md) caught it: pii_scrub showed
+        # util=0.08 with maxTask≈wall. The same layout fed the sf10
+        # tier (100 tiles < 1M rows still = 1 row group), so the
+        # committed text-family timings there were single-core scans
+        # for BOTH engines (DuckDB parallelizes by row group too —
+        # the ratios stayed fair, the absolute times were inflated).
+        out_dir = f"{a.out}/{name}.parquet"
+        os.makedirs(out_dir, exist_ok=True)
+        for k in range(mult):
+            tile = shifted(tbl, name, k)
+            pq.write_table(
+                tile, f"{out_dir}/part-{k:05d}.parquet",
+                row_group_size=max(256, tile.num_rows // 8))
+        print(f"{name}: {tbl.num_rows} -> {tbl.num_rows * mult} rows "
+              f"({mult} files)")
 
 
 if __name__ == "__main__":
