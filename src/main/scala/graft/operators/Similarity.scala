@@ -213,6 +213,47 @@ object Similarity {
     * HashPartitioning, so this picks the COUNT of the one existing
     * exchange rather than adding one (plan-pinned in
     * DedupSimilaritySpec). */
+  /** Triangle sub-blocking for quadratic within-bucket pair self-joins
+    * (r11, the CORES_SCALE/DevJobProfile compute-skew lesson): a pair
+    * join keyed on the bucket does |bucket|²/2 per-pair evaluations in
+    * ONE task per bucket, so a hot bucket is a straggler AQE's
+    * skew-split can never fix — its meter is shuffle bytes, the skew
+    * is flops (measured: one 3.1 s task was the wall of
+    * dedup_embed_lsh's verify join at any core count; semanticDedup's
+    * pair join had a 0.9 s twin). Each row in a bucket of
+    * m = ⌈count/blockRows⌉ chunks (chunk = hash of the id) is
+    * replicated once per unordered chunk pair it belongs to —
+    * (i, j) = (min(c, k), max(c, k)) for k < m — and the join adds
+    * (__i, __j) to its equi-keys, spreading the bucket over (m²+m)/2
+    * tasks of ≤ blockRows² pair evaluations. A pair with chunks
+    * (cx, cy) meets in EXACTLY the (min, max) task (each member has
+    * one replica there, k = the other chunk; equal chunks meet at
+    * (c, c)), and the caller's `a.id < b.id` kills the mirror — the
+    * pair set is bit-identical to the unchunked join (spec-pinned;
+    * the `semantic_dedup_chunked` registry sibling holds the helper
+    * to the full DuckDB oracle through semanticDedup). Buckets at or
+    * under blockRows get m = 1: a single (0, 0) replica, the original
+    * join with two constant key columns. Works for asymmetric sides
+    * (e.g. a home-rows-only b-side) as long as both sides are filters
+    * of the SAME chunked frame: the chunk count is a per-bucket
+    * window over the unfiltered rows.
+    */
+  private[graft] def chunkForPairJoin(df: DataFrame, keys: Seq[String],
+                                      idCol: String,
+                                      blockRows: Int): DataFrame = {
+    val cnt = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*))
+    val m = greatest(lit(1L),
+      ceil(cnt.cast("double") / blockRows).cast("long"))
+    df.withColumn("__m", m)
+      .withColumn("__c", pmod(xxhash64(col(idCol), lit(7L)), col("__m")))
+      .withColumn("__k", explode(sequence(lit(0L), col("__m") - 1)))
+      .withColumn("__i", least(col("__c"), col("__k")))
+      .withColumn("__j", greatest(col("__c"), col("__k")))
+      .drop("__m", "__c", "__k")
+  }
+
   private[graft] def sizedByHint(df: DataFrame, sizeHint: Option[Long],
                           rowsPerItem: Long, dim: Int,
                           keys: Seq[String]): DataFrame =
@@ -296,7 +337,8 @@ object Similarity {
                     seed: Long = 42L,
                     maxBucket: Int = 100000,
                     probes: Int = 1,
-                    sizeHint: Option[Long] = None): DataFrame = {
+                    sizeHint: Option[Long] = None,
+                    blockRows: Int = 2048): DataFrame = {
     require(probes == 1 || probes == 2,
       s"probes must be 1 (home bucket only) or 2 (+least-margin flip), " +
         s"got $probes")
@@ -310,9 +352,17 @@ object Similarity {
       rowsPerItem = tables.toLong * probes, dim = dim,
       keys = Seq("tbl", "bucket"))
     val pruned = pruneHomeProbe(sized, Seq("tbl", "bucket"), maxBucket)
-    pruned.as("a").join(pruned.where(col("kind") === 0).as("b"),
+    // [[chunkForPairJoin]]: a hot bucket's quadratic verify otherwise
+    // runs as ONE task (flop skew, invisible to AQE's byte meter) —
+    // the b-side home filter is applied AFTER chunking so both sides
+    // share the per-bucket chunk count.
+    val chunked = chunkForPairJoin(pruned, Seq("tbl", "bucket"), "id",
+      blockRows)
+    chunked.as("a").join(chunked.where(col("kind") === 0).as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
+          col("a.__i") === col("b.__i") &&
+          col("a.__j") === col("b.__j") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         (VectorQueries.dot(col("a.v"), col("b.v")) /
@@ -1418,34 +1468,14 @@ object Similarity {
       .withColumn("__cnt", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("cell")))
       .where(col("__cnt") <= maxCell)
-    // Compute-skew sub-blocking (r11, CORES_SCALE/DevJobProfile): the
-    // within-cell pair join does |cell|²/2 dot products PER CELL, and
-    // a hash exchange on `cell` puts each cell in ONE task — so a hot
-    // cell is a straggler that AQE's skew-split can never fix (its
-    // meter is shuffle BYTES; the skew here is flops: at the 200k-
-    // vector tier one ~0.9 s task held 25% of the query's wall at any
-    // core count). Triangle decomposition spreads it: each row in a
-    // cell of m = ⌈cnt/blockRows⌉ chunks is replicated once per
-    // unordered chunk pair it belongs to — key (cell, i, j) with
-    // i = min(chunk, k), j = max(chunk, k) over k < m — so the cell's
-    // quadratic work lands on (m²+m)/2 tasks of ≤ blockRows² pair
-    // evaluations, and the join keys on (cell, i, j). A pair with
-    // chunks (cx, cy) meets in EXACTLY the (min, max) task: each
-    // member has one replica there (k = the other chunk), and
-    // a.id < b.id kills the mirror — so the pair set is bit-identical
-    // to the unchunked join (spec-pinned chunked-vs-reference; the
-    // forced-route registry sibling `semantic_dedup_chunked` holds it
-    // to the DuckDB oracle). Cells at or under blockRows get m = 1 —
-    // a single (0,0) replica, the original join with two constant key
-    // columns.
-    val m = greatest(lit(1L),
-      ceil(col("__cnt").cast("double") / blockRows).cast("long"))
-    val chunked = counted
-      .withColumn("__c", pmod(xxhash64(col("id"), lit(7L)), m))
-      .withColumn("__k", explode(sequence(lit(0L), m - 1)))
-      .withColumn("__i", least(col("__c"), col("__k")))
-      .withColumn("__j", greatest(col("__c"), col("__k")))
-      .drop("__cnt", "__c", "__k")
+    // [[chunkForPairJoin]]: a hot cell's |cell|²/2 dot products
+    // otherwise run as ONE task — flop skew AQE's byte meter cannot
+    // split (one ~0.9 s task held 25% of this query's wall at the
+    // 200k-vector tier at ANY core count). Spec-pinned chunked ≡
+    // reference; the forced-route sibling `semantic_dedup_chunked`
+    // holds the shared helper to the full DuckDB oracle.
+    val chunked = chunkForPairJoin(counted.drop("__cnt"),
+      Seq("cell"), "id", blockRows)
     val rawPairs = chunked.as("a").join(chunked.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.__i") === col("b.__i") &&

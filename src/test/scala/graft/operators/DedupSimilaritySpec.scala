@@ -614,6 +614,32 @@ class DedupSimilaritySpec extends SparkSpec {
         "otherwise the equality is vacuous")
   }
 
+  test("lshDedupPairs pair-join chunking: hot-bucket triangle " +
+    "decomposition yields the identical pair set, including the " +
+    "asymmetric home-only b-side at probes=2") {
+    // nBits=2 → 4 buckets/table: ~75-row buckets on a 300-row corpus,
+    // so blockRows=16 forces m ≥ 5 everywhere. probes=2 exercises the
+    // asymmetry (a-side home+probe rows, b-side home-only) — both
+    // sides must share the per-bucket chunk count computed BEFORE the
+    // kind filter.
+    val u = emb.limit(300)
+    val plants = u.where(col("vec_id") % 10 === 0)
+      .select((-col("vec_id") - 1).as("vec_id"), col("label"),
+        col("embedding"))
+    val all = u.unionByName(plants) // exact copies → cos = 1 pairs
+    def run(blockRows: Int) = Similarity.lshDedupPairs(
+      all, threshold = 0.999, nBits = 2, probes = 2,
+      blockRows = blockRows)
+      .collect().map(_.toSeq).toSet
+    val reference = run(Int.MaxValue)
+    val chunked = run(16)
+    assert(chunked === reference,
+      "chunking must be invisible in the pair set")
+    assert(reference.nonEmpty,
+      "the fixture must produce pairs — otherwise the equality is " +
+        "vacuous")
+  }
+
   test("pruneHomeProbe: probe inflow never kills a bucket's home rows " +
     "(r7 ADVICE №2 — multi-probe only ADDS candidates)") {
     // (tbl=0, bucket b) populations; cap = 4

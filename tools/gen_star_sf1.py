@@ -110,30 +110,42 @@ def main():
     for name in SHIFT_COLS:
         tbl = pq.read_table(f"{SRC}/{name}.parquet")
         mult = emb_mult if name == "embeddings" else a.mult
-        # One FILE per tile inside a <name>.parquet directory, with
-        # ~8 row groups per file — the multi-file shape every real
-        # cluster output has. The previous single-file
-        # row_group_size=1_000_000 layout put documents (50k rows) and
-        # embeddings (200k rows) into ONE row group each — and a
-        # Parquet row group is the scan-split granularity, so every
-        # content-table scan (and the whole-stage-codegen pipeline
-        # fused into it: regex, shingling, dot products) ran in ONE
-        # task at any core count. The cores-axis harness
-        # (docs/CORES_SCALE.md) caught it: pii_scrub showed
-        # util=0.08 with maxTask≈wall. The same layout fed the sf10
-        # tier (100 tiles < 1M rows still = 1 row group), so the
-        # committed text-family timings there were single-core scans
-        # for BOTH engines (DuckDB parallelizes by row group too —
-        # the ratios stayed fair, the absolute times were inflated).
+        # A <name>.parquet DIRECTORY of ~8 MB files (≥ 8 of them) with
+        # ~4 row groups each — the multi-file shape every real cluster
+        # output has, at writer-realistic sizes. Two measured failure
+        # modes bracket this choice (CORES_SCALE.md r11):
+        #  - the old single-file row_group_size=1_000_000 layout put
+        #    documents (50k rows) and embeddings (200k rows) into ONE
+        #    row group each — and a Parquet row group is the
+        #    scan-split granularity, so every content-table scan (and
+        #    the codegen pipeline fused into it: regex, shingling,
+        #    dot products) ran in ONE task at any core count, at the
+        #    sf10 tier too (100 tiles still < 1M rows; DuckDB
+        #    parallelizes by row group as well, so the committed
+        #    ratios stayed fair while both engines ran serial scans);
+        #  - the first fix (one file per TILE) made embeddings 100 ×
+        #    0.31 MB files with 250-row row groups, and the
+        #    iterative/multi-pass vector ops paid per-split overhead
+        #    every pass (isolated A/B: dedup_embed_lsh 2.9 → 4.2 s,
+        #    ann_pq_probe 5.9 → 7.4 s vs the single-file control).
         out_dir = f"{a.out}/{name}.parquet"
         os.makedirs(out_dir, exist_ok=True)
-        for k in range(mult):
-            tile = shifted(tbl, name, k)
+        big = pa.concat_tables(
+            [shifted(tbl, name, k) for k in range(mult)])
+        total_bytes = os.path.getsize(f"{SRC}/{name}.parquet") * mult
+        n_files = max(8, round(total_bytes / (8 << 20)))
+        rows_per_file = -(-big.num_rows // n_files)  # ceil
+        row_group = max(1024, rows_per_file // 4)
+        i, part = 0, 0
+        while i < big.num_rows:
             pq.write_table(
-                tile, f"{out_dir}/part-{k:05d}.parquet",
-                row_group_size=max(256, tile.num_rows // 8))
-        print(f"{name}: {tbl.num_rows} -> {tbl.num_rows * mult} rows "
-              f"({mult} files)")
+                big.slice(i, rows_per_file),
+                f"{out_dir}/part-{part:05d}.parquet",
+                row_group_size=row_group)
+            i += rows_per_file
+            part += 1
+        print(f"{name}: {tbl.num_rows} -> {big.num_rows} rows "
+              f"({part} files, {row_group} rows/group)")
 
 
 if __name__ == "__main__":
