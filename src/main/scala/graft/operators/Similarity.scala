@@ -225,18 +225,28 @@ object Similarity {
     * replicated once per unordered chunk pair it belongs to —
     * (i, j) = (min(c, k), max(c, k)) for k < m — and the join adds
     * (__i, __j) to its equi-keys, spreading the bucket over (m²+m)/2
-    * tasks of ≤ blockRows² pair evaluations. A pair with chunks
-    * (cx, cy) meets in EXACTLY the (min, max) task (each member has
-    * one replica there, k = the other chunk; equal chunks meet at
-    * (c, c)), and the caller's `a.id < b.id` kills the mirror — the
-    * pair set is bit-identical to the unchunked join (spec-pinned;
-    * the `semantic_dedup_chunked` registry sibling holds the helper
-    * to the full DuckDB oracle through semanticDedup). Buckets at or
-    * under blockRows get m = 1: a single (0, 0) replica, the original
-    * join with two constant key columns. Works for asymmetric sides
-    * (e.g. a home-rows-only b-side) as long as both sides are filters
-    * of the SAME chunked frame: the chunk count is a per-bucket
-    * window over the unfiltered rows.
+    * tasks of ≤ blockRows² pair evaluations. Replica keys alone are
+    * NOT enough for exactly-once: a pair with distinct chunks
+    * (cx ≠ cy) meets only where the key multiset {cx, k} = {cy, k'}
+    * resolves — the (min, max) task — but a SAME-chunk pair (cx = cy)
+    * carries identical replica sets and would meet in all m tasks
+    * (and an off-diagonal (i, j) task holds both chunks' full row
+    * sets, so it would also evaluate their within-chunk pairs —
+    * ~2 × blockRows² per task, erasing half the decomposition's
+    * benefit; r11 ADVICE). The frame therefore keeps `__c`, and every
+    * consumer must AND [[chunkCanonical]] into its join condition —
+    * the task must BE the pair's (min(ca, cb), max(ca, cb)) — which
+    * pins each pair to exactly one task before the expensive
+    * verify expression runs; the caller's `a.id < b.id` kills the
+    * mirror. The pair set is then bit-identical to the unchunked
+    * join, exactly once (spec-pinned, including an exactly-once
+    * count; the `semantic_dedup_chunked` registry sibling holds the
+    * helper to the full DuckDB oracle through semanticDedup).
+    * Buckets at or under blockRows get m = 1: a single (0, 0)
+    * replica, the original join with constant key columns. Works for
+    * asymmetric sides (e.g. a home-rows-only b-side) as long as both
+    * sides are filters of the SAME chunked frame: the chunk count is
+    * a per-bucket window over the unfiltered rows.
     */
   private[graft] def chunkForPairJoin(df: DataFrame, keys: Seq[String],
                                       idCol: String,
@@ -251,8 +261,19 @@ object Similarity {
       .withColumn("__k", explode(sequence(lit(0L), col("__m") - 1)))
       .withColumn("__i", least(col("__c"), col("__k")))
       .withColumn("__j", greatest(col("__c"), col("__k")))
-      .drop("__m", "__c", "__k")
+      .drop("__m", "__k")
   }
+
+  /** The exactly-once predicate every [[chunkForPairJoin]] consumer
+    * ANDs into its join: of the replica tasks a pair's members share,
+    * keep only the one that IS (min(ca, cb), max(ca, cb)). Without it
+    * a same-chunk pair matches in all m tasks (see the scaladoc
+    * above). Evaluates on the already-matched equi-key rows, so it
+    * filters BEFORE the expensive verify expression in the caller's
+    * select. */
+  private[graft] def chunkCanonical(a: String, b: String): Column =
+    least(col(s"$a.__c"), col(s"$b.__c")) === col(s"$a.__i") &&
+      greatest(col(s"$a.__c"), col(s"$b.__c")) === col(s"$a.__j")
 
   private[graft] def sizedByHint(df: DataFrame, sizeHint: Option[Long],
                           rowsPerItem: Long, dim: Int,
@@ -363,6 +384,7 @@ object Similarity {
           col("a.bucket") === col("b.bucket") &&
           col("a.__i") === col("b.__i") &&
           col("a.__j") === col("b.__j") &&
+          chunkCanonical("a", "b") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         (VectorQueries.dot(col("a.v"), col("b.v")) /
@@ -1479,7 +1501,8 @@ object Similarity {
     val rawPairs = chunked.as("a").join(chunked.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.__i") === col("b.__i") &&
-          col("a.__j") === col("b.__j") && col("a.id") < col("b.id"))
+          col("a.__j") === col("b.__j") &&
+          chunkCanonical("a", "b") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         (VectorQueries.dot(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))

@@ -590,9 +590,10 @@ class DedupSimilaritySpec extends SparkSpec {
     // (55+ chunk-pair tasks). The pin is pair LOSS: a pair whose
     // chunk replicas never share a (cell, i, j) key would drop its
     // edge and split a duplicate cluster. (Pair DUPLICATION is
-    // output-invisible — dupComponents is set-based — and excluded
-    // by construction: a pair with chunks (cx, cy) shares exactly
-    // the (min, max) task.)
+    // output-invisible here — dupComponents is set-based — but NOT
+    // free: same-chunk pairs share every replica task, so the joins
+    // carry the chunkCanonical predicate; the exactly-once test
+    // below pins that each pair is evaluated in precisely one task.)
     val u = emb.limit(300)
     val plants = u.where(col("vec_id") % 10 === 0)
       .select((-col("vec_id") - 1).as("vec_id"), col("label"),
@@ -638,6 +639,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(reference.nonEmpty,
       "the fixture must produce pairs — otherwise the equality is " +
         "vacuous")
+  }
+
+  test("chunkForPairJoin + chunkCanonical: every pair matches in " +
+    "EXACTLY one chunk task, and no pair is lost (r11 ADVICE — " +
+    "same-chunk pairs carry identical replica sets, so without the " +
+    "canonicity predicate they match in all m tasks)") {
+    // one key group of 100 ids, blockRows=8 → m = 13 (91 chunk-pair
+    // tasks); with ~8 rows/chunk every chunk holds same-chunk pairs
+    val n = 100
+    val df = spark.range(n).select(lit(0).as("grp"), col("id"))
+    val chunked = Similarity.chunkForPairJoin(df, Seq("grp"), "id", 8)
+    val perPair = chunked.as("a").join(chunked.as("b"),
+        col("a.grp") === col("b.grp") &&
+          col("a.__i") === col("b.__i") &&
+          col("a.__j") === col("b.__j") &&
+          Similarity.chunkCanonical("a", "b") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id"), col("b.id")).count()
+      .select(col("count")).as[Long].collect()
+    assert(perPair.length === n * (n - 1) / 2,
+      "the chunked join must produce every unordered pair")
+    assert(perPair.forall(_ == 1L),
+      s"each pair must match exactly once, max=${perPair.max}")
+    // the control: WITHOUT the predicate, duplication exists — pins
+    // that the test (and the predicate) are non-vacuous
+    val dup = chunked.as("a").join(chunked.as("b"),
+        col("a.grp") === col("b.grp") &&
+          col("a.__i") === col("b.__i") &&
+          col("a.__j") === col("b.__j") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id"), col("b.id")).count()
+      .where(col("count") > 1).count()
+    assert(dup > 0,
+      "fixture must contain same-chunk pairs the predicate deduplicates")
   }
 
   test("pruneHomeProbe: probe inflow never kills a bucket's home rows " +
