@@ -89,12 +89,37 @@ object SkewScale {
     // NOT a write: the write command plans its own QueryExecution, so
     // only this way does df.queryExecution hold the EXECUTED adaptive
     // plan whose shuffle reads report the runtime skew split.
-    def timeIt(): (Double, String) = {
+    def timeIt(): (Double, org.apache.spark.sql.execution.SparkPlan) = {
       val df = joined
       val t0 = System.nanoTime()
       df.collect()
       val dt = (System.nanoTime() - t0) / 1e9
-      (dt, df.queryExecution.executedPlan.toString)
+      (dt, df.queryExecution.executedPlan)
+    }
+    // min-of-2 per config: a single wall-clock pair on a noisy host
+    // can flip an 1.1× comparison (r11 ADVICE)
+    def timeMin2(): (Double, org.apache.spark.sql.execution.SparkPlan) = {
+      val a = timeIt(); val b = timeIt()
+      if (a._1 <= b._1) a else b
+    }
+
+    // Skew-split detection, programmatic (r11 ADVICE: the old
+    // `toString.contains("skewed")` was Spark-version-fragile): walk
+    // the FINAL adaptive plan and ask each AQE shuffle read whether
+    // any of its partition specs is a PartialReducerPartitionSpec —
+    // the node OptimizeSkewedJoin installs when it splits a reducer
+    // partition.
+    def hasSkewSplit(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Boolean = {
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, AQEShuffleReadExec}
+      val finalPlan = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      finalPlan.collect {
+        case r: AQEShuffleReadExec => r.hasSkewedPartition
+      }.exists(identity)
     }
 
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -112,13 +137,13 @@ object SkewScale {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
     val warm = timeIt()  // warmup: JIT + parquet footer cache
-    val (tOn, planOn) = timeIt()
+    val (tOn, planOn) = timeMin2()
     val hOn = resultHash(joined)
-    val skewSplit = planOn.contains("skewed")
+    val skewSplit = hasSkewSplit(planOn)
 
     // --- AQE skew handling OFF (the straggler world) ---
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    val (tOff, planOff) = timeIt()
+    val (tOff, planOff) = timeMin2()
     val hOff = resultHash(joined)
 
     val md = new StringBuilder
@@ -129,12 +154,15 @@ object SkewScale {
       "(~37.5% of one task's join input at stock hashing); AQE " +
       "skew-split thresholds sized to the tier (64 MB threshold / " +
       "32 MB advisory) the same way Bench sizes scan splits.\n\n"
-    md ++= "| config | wall s | final-plan skew split |\n|---|---|---|\n"
+    md ++= "| config | wall s (min of 2) | final-plan skew split |\n|---|---|---|\n"
     md ++= f"| skewJoin ON | $tOn%.1f | ${if (skewSplit) "yes" else "NO"} |\n"
-    md ++= f"| skewJoin OFF | $tOff%.1f | ${if (planOff.contains("skewed")) "yes" else "no"} |\n\n"
-    md ++= s"- hot partition split by AQE: ${check(skewSplit, "no skew split in final plan")}\n"
+    md ++= f"| skewJoin OFF | $tOff%.1f | ${if (hasSkewSplit(planOff)) "yes" else "no"} |\n\n"
+    md ++= s"- hot partition split by AQE (PartialReducerPartitionSpec in an AQE shuffle read): ${check(skewSplit, "no skew split in final plan")}\n"
     md ++= s"- results identical ON vs OFF: ${check(hOn == hOff, s"result hash drift $hOn vs $hOff")}\n"
-    md ++= f"- split pays (tOn ≤ 1.1×tOff): ${check(tOn <= 1.1 * tOff, f"skew-on slower: $tOn%.1f vs $tOff%.1f")} " +
+    // ADVISORY, not a gate (r11 ADVICE): two wall clocks on a shared
+    // host are not a stable 1.1× comparator; the invariants this
+    // harness hard-gates are engagement + result equality above.
+    md ++= f"- split pays (advisory, tOn ≤ 1.1×tOff): ${if (tOn <= 1.1 * tOff) "PASS" else "noisy (not gated)"} " +
       f"(${tOff / tOn}%.2f× faster with split)\n"
     md ++= f"- warmup run (discarded): ${warm._1}%.1f s\n\n"
     md ++= "Reading: the engine never pre-salts its JOINS — on a " +
