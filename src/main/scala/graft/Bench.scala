@@ -167,24 +167,35 @@ object Bench {
     } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
-    // Final COMPACT line, sized for the driver's 2000-char tail
-    // capture: the full line above is ~8 KB (135 names alone are
-    // 1.8 KB), so it can never parse from the tail — BENCH_r08/r09
-    // both recorded `parsed: null`. This last line keeps the graded
-    // aggregates (total, calibration, errors) plus as many per-query
-    // mins as fit a fixed byte budget, slowest-first (the rows a
-    // perf judgment actually reads), and names the committed sidecar
-    // that holds the complete map. Budget 1500 B leaves room for
-    // sbt's trailing [success] line inside the 2000-char window.
-    val slowFirst = ok.toSeq.sortBy { case (_, (mn, _)) => -mn }
     // Locale.ROOT (advisory r10): a bare "%.3f".format under a
     // comma-decimal default locale would emit "value":1,234 — an
     // unparseable graded line.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Dedicated full-map line (r11 verdict item 5's alternate form):
+    // the complete 3-decimal per-query map on ONE greppable line,
+    // independent of the tail window below — anyone reading the raw
+    // round log (or the driver, if it ever scans whole stdout) gets
+    // all entries without opening the sidecar.
+    val slowFirst = ok.toSeq.sortBy { case (_, (mn, _)) => -mn }
+    println("[bench-queries] {" + slowFirst.map { case (k, (mn, _)) =>
+      "\"" + k + "\":" + f3(mn) }.mkString(",") + "}")
+    // Final COMPACT line, sized for the driver's 2000-char tail
+    // capture: the full line above is ~8 KB (139 names alone are
+    // 1,844 B), so it can never parse from the tail — BENCH_r08/r09
+    // both recorded `parsed: null`. ALL entries can never fit either:
+    // names alone (1,844 B) + per-entry JSON overhead (~550 B) exceed
+    // the 2000-char window before a single value is written, so the
+    // complete map lives in the committed sidecar and the
+    // [bench-queries] line; this last line keeps the graded
+    // aggregates (total, calibration, errors) plus as many per-query
+    // mins as fit, slowest-first (the rows a perf judgment actually
+    // reads). Budget: the window minus sbt's trailing "[success]
+    // Total time: …" line (~80 B measured in BENCH_r11.json's tail),
+    // minus slack for its variance — 1840 B total line length.
     val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${ok.size},"nerr":${errs.size}$calibJson,"sf":"$sfDir","full":"$outPath","queries":{"""
     val tailPart = "}}"
-    val budget = 1500 - head.length - tailPart.length
+    val budget = 1840 - head.length - tailPart.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     slowFirst.foreach { case (k, (mn, _)) =>
