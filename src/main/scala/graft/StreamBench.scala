@@ -51,15 +51,7 @@ object StreamBench {
     // switch lets the same harness measure both so the throughput
     // tax of the scalable provider is a committed number, not a
     // guess. Values: "hdfs" (default) | "rocksdb".
-    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER",
-      "hdfs").toLowerCase match {
-      case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider"
-      case "hdfs" => "org.apache.spark.sql.execution.streaming." +
-        "state.HDFSBackedStateStoreProvider"
-      case other => sys.error(
-        s"SPARK_GRAFT_STATE_PROVIDER must be hdfs|rocksdb, got $other")
-    }
+    val provider = graft.streaming.StateProvider.fromEnv()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -211,6 +203,61 @@ object StreamBench {
         col("event_type")),
       countWhere = Some("event_type <> 'sentinel'"))
 
+    // Interval-join state EVICTION under a long replay (r11 verdict
+    // item 2): gate 4 above runs a 45-day NO-evict watermark, so its
+    // state_rows reads as "buffered history" — 10,005,002 rows at the
+    // 10M tier (docs/STREAM_SCALE.md), linear in replay length by
+    // construction. This probe re-runs the same join with a 30-MINUTE
+    // watermark over 16 time-ordered slices of the same events: state
+    // must plateau at the live window's set while events keep
+    // flowing. The per-batch state-rows curve lands in the JSON (the
+    // committed STREAM_SCALE row per provider); the plateau is
+    // hard-asserted — a mid-replay batch and the last real-data batch
+    // must hold the same-order state, and the peak must sit far under
+    // the no-evict buffer.
+    val evictDir = s"$tmp/src_evict"
+    StreamFeed.mkSrc(spark, all, nEvents, evictDir, 16)
+    val eq = {
+      val s = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1").parquet(evictDir)
+      val pts = s.select(col("event_id"), col("ts"), col("value"))
+      val inc = s.where(col("event_type") === "signup")
+        .select(col("event_id").as("inc_id"), col("ts").as("lo"))
+      StreamingOps.streamingPointInIntervalJoin(pts, "ts", inc, "lo",
+        "15 minutes", grainSec = 900, watermark = "30 minutes")
+        .select(col("inc_id"), col("value"))
+    }.writeStream.format("parquet")
+      .option("path", s"$tmp/out_evict")
+      .option("checkpointLocation", s"$tmp/ckpt_evict")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    require(eq.awaitTermination(600000), "eviction probe hung")
+    val evictCurve = eq.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+    // last two batches are the far-future sentinels (watermark jumps
+    // years — state collapses to ~0); the plateau claim is about the
+    // REAL-data batches before them
+    val real = evictCurve.dropRight(2)
+    require(real.size >= 8, s"eviction probe: expected >=8 real " +
+      s"batches, got ${real.size} — curve $evictCurve")
+    val (evMid, evLast, evPeak) =
+      (real(real.size / 2), real.last, real.max)
+    require(evPeak <= nEvents / 4,
+      s"eviction probe: peak state $evPeak > ${nEvents / 4} " +
+        "(nEvents/4) — state grows with history, not the window")
+    require(evLast <= math.max((1.5 * evMid).toLong, evMid + 1000),
+      s"eviction probe: state still growing at end of replay " +
+        s"(mid=$evMid last=$evLast) — watermark is not evicting")
+    println(s"[streambench] interval_join_evict peak=$evPeak " +
+      s"mid=$evMid last=$evLast final=${evictCurve.last} " +
+      s"curve=${evictCurve.mkString(",")}")
+    val evictJson =
+      s""""interval_join_evict":{"watermark":"30 minutes",""" +
+        s""""slices":16,"peak_state_rows":$evPeak,""" +
+        s""""mid_state_rows":$evMid,"last_real_state_rows":$evLast,""" +
+        s""""final_state_rows":${evictCurve.last},""" +
+        s""""state_rows_curve":[${evictCurve.mkString(",")}]}"""
+
     val gatesJson = rows.map { g =>
       s""""${g.name}":{"streamed":[${g.sMin},${g.sMax}],""" +
         s""""batch":${g.b},""" +
@@ -225,7 +272,8 @@ object StreamBench {
     val line = s"""{"metric":"stream_bench","unit":"sec",""" +
       s""""n_events":$nEvents,"n_users":$nUsers,"cpus":$cpus,""" +
       s""""provider":"$providerShort",""" +
-      s""""total_streamed":${f2(totalStreamed)},"gates":$gatesJson}"""
+      s""""total_streamed":${f2(totalStreamed)},$evictJson,""" +
+      s""""gates":$gatesJson}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     println(line)

@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // State-provider axis (r11 verdict item 4): the *_state gates
+      // must be oracle-green under the documented 100-TB default
+      // (RocksDB), not only the stock HDFS provider — ci.sh re-runs
+      // the five gates with SPARK_GRAFT_STATE_PROVIDER=rocksdb.
+      // Default "hdfs" keeps the driver's gate unchanged.
+      .config(streaming.StateProvider.confKey,
+        streaming.StateProvider.fromEnv())
       .config("spark.ui.enabled", "false")
       // Reference semantics: pd.to_numeric(errors='coerce') — bad casts
       // null out instead of raising (SURVEY.md §1.3).

@@ -36,6 +36,22 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify $VSF $OUT" >/dev/null 2>&1
 python3 tools/oracle_check.py "$VSF" "$OUT" | tail -3
 
+echo "== Streaming state-provider axis (5 *_state gates, both providers) =="
+# RocksDB is the documented 100-TB state-store default
+# (docs/STREAM_SCALE.md); the gates must be oracle-green under it,
+# not only under the stock HDFS provider the main gate above runs.
+# Same correctness assertions, conf flip only (r11 verdict item 4).
+STATE_GATES="dedup_stream_state,interval_join_state,interval_join_evict_state,window_hourly_state,sessionize_state,sink_exactly_once_state"
+for state_provider in hdfs rocksdb; do
+  SOUT="$(mktemp -d)/verify_$state_provider"
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+    SPARK_GRAFT_STATE_PROVIDER="$state_provider" \
+    SPARK_GRAFT_ONLY="$STATE_GATES" \
+    sbt -batch "runMain graft.Verify $VSF $SOUT" >/dev/null 2>&1
+  echo -n "state_provider=$state_provider: "
+  python3 tools/oracle_check.py "$VSF" "$SOUT" | tail -1
+done
+
 echo "== Bench ($BSF) =="
 # cpus=32 is the driver's bench methodology — every committed timing
 # table (bench_results.json, docs/BENCH_*.md) uses it; a different
