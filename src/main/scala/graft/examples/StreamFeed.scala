@@ -44,17 +44,17 @@ object StreamFeed {
     import spark.implicits._
     (0 until quarters).foreach { q =>
       graft.streaming.StreamStage.stageFile(
-        all.where(col("event_id") >= lit(q * nEvents / 4) &&
-          col("event_id") < lit((q + 1) * nEvents / 4)),
-        dir, s"q$q", 1000000000000L + q * 2000L)
+        all.where(col("event_id") >= lit(q * nEvents / quarters) &&
+          col("event_id") < lit((q + 1) * nEvents / quarters)),
+        dir, f"q$q%02d", 1000000000000L + q * 2000L)
     }
     def sentinel(k: Int) = Seq(graft.streaming.StreamingOps.Event(
       -1L - k,
       new java.sql.Timestamp(BaseMs + (10L + k) * 365 * 86400000L),
       -1L, "sentinel", 0.0)).toDF()
     graft.streaming.StreamStage.stageFile(sentinel(0), dir,
-      "z_sentinel0", 1000000000000L + 10 * 2000L)
+      "z_sentinel0", 1000000000000L + (quarters + 10) * 2000L)
     graft.streaming.StreamStage.stageFile(sentinel(1), dir,
-      "z_sentinel1", 1000000000000L + 11 * 2000L)
+      "z_sentinel1", 1000000000000L + (quarters + 11) * 2000L)
   }
 }

@@ -24,7 +24,13 @@ import org.apache.spark.sql.streaming.Trigger
   * no state evicts and no late row drops mid-replay: eviction semantics
   * are spec-gated (StreamingOpsSpec, TextStreamingSpec) where arrival
   * order is controlled file-by-file; the driver gate certifies the
-  * end-to-end plumbing loses and duplicates nothing.
+  * end-to-end plumbing loses and duplicates nothing. The one
+  * deliberate exception is `interval_join_evict_state` (r12): it
+  * controls arrival order itself (mtime-staged non-overlapping time
+  * slices, one per micro-batch), so a TIGHT watermark evicts state
+  * between batches without ever making a row late — the full-join
+  * oracle still holds while the in-code state-peak check makes
+  * "bounded by the window, not by history" falsifiable per run.
   */
 object StreamGateQueries {
 
@@ -114,6 +120,88 @@ object StreamGateQueries {
           pts, "ts", inc, "lo", "15 minutes", grainSec = 900,
           watermark = "45 days")
         runToSink(joined.select(col("inc_id"), col("value")), base)
+          .groupBy("inc_id")
+          .agg(count(lit(1)).as("n_events"),
+            RelationalOps.exactSum(col("value"), 6).as("sum_value"))
+      },
+      "WITH p AS (SELECT event_id, ts, value FROM events " +
+        "WHERE ts IS NOT NULL), " +
+        "i AS (SELECT event_id AS inc_id, ts AS lo FROM events " +
+        "WHERE ts IS NOT NULL AND event_type = 'signup') " +
+        "SELECT inc_id, COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) " +
+        "AS sum_value FROM p JOIN i " +
+        "ON p.ts >= i.lo AND p.ts <= i.lo + INTERVAL 15 MINUTE " +
+        "GROUP BY inc_id"),
+
+    // Watermark EVICTION under the streaming interval join (r11
+    // verdict item 2 — the one sanctioned r12 registry addition):
+    // the gate above replays under a no-evict watermark, so its
+    // green proves the plumbing, not bounded state. This entry
+    // stages the SAME events as 16 NON-OVERLAPPING time slices
+    // (mtime-ordered, one file per micro-batch) and runs the
+    // identical join under a TIGHT 30-minute watermark, so eviction
+    // fires between almost every pair of batches (a slice spans
+    // ~days ≫ the 45 minutes of join reach) — yet no row is ever
+    // LATE: slice k's earliest timestamp is ≥ slice k-1's latest,
+    // so the watermark (max seen − 30 min) always trails the next
+    // batch's rows, and the inner join emits on match, so the sink
+    // still holds the complete pair set and hashes against the same
+    // full-join oracle. The state curve is asserted in-code: peak
+    // buffered rows must stay under totalRows/4 — the no-evict
+    // replay buffers ~ALL rows by the final batch (measured
+    // 10,005,002 at the 10M tier, docs/STREAM_SCALE.md) — turning
+    // "state is bounded by the window's live set, not replay
+    // history" into a per-run falsifiable check. The long-replay
+    // state-rows CURVE per provider is StreamBench's eviction probe.
+    "interval_join_evict_state" -> QDef(
+      (s, d) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_streamgate").toString
+        val srcDir = s"$base/src"
+        val ev = Tables.load(s, d, "events").where(col("ts").isNotNull)
+        val mm = ev.agg(min(col("ts")).cast("long").as("lo"),
+          max(col("ts")).cast("long").as("hi")).head()
+        val (loS, hiS) = (mm.getLong(0), mm.getLong(1))
+        val slices = 16
+        val span = math.max(1L, hiS - loS + 1)
+        val sliced = ev.withColumn("__slice",
+          least(lit(slices - 1), ((col("ts").cast("long") - lit(loS)) *
+            lit(slices.toLong) / lit(span)).cast("int")))
+        for (k <- 0 until slices)
+          StreamStage.stageFile(
+            sliced.where(col("__slice") === k).drop("__slice"),
+            srcDir, f"s$k%02d", 1000000000000L + k * 2000L)
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val pts = src.select(col("event_id"), col("ts"), col("value"))
+        val inc = src.where(col("event_type") === "signup")
+          .select(col("event_id").as("inc_id"), col("ts").as("lo"))
+        val joined = StreamingOps.streamingPointInIntervalJoin(
+          pts, "ts", inc, "lo", "15 minutes", grainSec = 900,
+          watermark = "30 minutes")
+        val q = joined.select(col("inc_id"), col("value"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(600000))
+          throw new IllegalStateException(
+            s"eviction gate hung past 600s (checkpoint $base/ckpt)")
+        val curve = q.recentProgress.toSeq
+          .filter(_.stateOperators.nonEmpty)
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+        val peak = if (curve.isEmpty) 0L else curve.max
+        val total = ev.count()
+        require(peak > 0,
+          "eviction gate: join buffered no state — vacuous run")
+        require(peak <= total / 4,
+          s"eviction gate: peak state $peak rows > ${total / 4} " +
+            "(totalRows/4) — state is growing with replay history, " +
+            "not bounded by the watermark's live window")
+        s.read.parquet(s"$base/out")
           .groupBy("inc_id")
           .agg(count(lit(1)).as("n_events"),
             RelationalOps.exactSum(col("value"), 6).as("sum_value"))
