@@ -94,8 +94,182 @@ object CoresScale {
       run(cores.toInt,
         rest.headOption.getOrElse("/tmp/graft_cores.tsv"))
     case "report" :: tsv :: out :: _ => report(tsv, out)
+    case "cluster" :: execs :: rest =>
+      runCluster(execs.toInt,
+        rest.headOption.getOrElse("/tmp/graft_cores_cluster.tsv"))
+    case "clusterReport" :: tsv :: out :: _ => clusterReport(tsv, out)
     case other => sys.error(
-      s"usage: run <cores> [tsv] | report <tsv> <outMd>; got $other")
+      s"usage: run <cores> [tsv] | report <tsv> <outMd> | " +
+        s"cluster <executors> [tsv] | clusterReport <tsv> <outMd>; " +
+        s"got $other")
+  }
+
+  /** The rows the single-JVM report re-classified CONTENTION (task
+    * time inflating ≥2× at 32 slots while util stays high) — the
+    * claim leans on exactly the boundary this mode crosses: a
+    * `local-cluster[n,4,…]` master runs n SEPARATE executor JVMs
+    * with PRIVATE heaps at 4 cores each, so if the inflation is the
+    * one shared JVM's allocation/GC + memory-bandwidth coupling it
+    * must disappear here, and if it survives private heaps it is a
+    * real shared-resource stage to fix (r11 verdict item 3). */
+  private val ContentionRows: Seq[String] = Seq(
+    "semantic_dedup", "dedup_ngram_jaccard", "resample_ffill",
+    "scan_project")
+
+  /** One tier of the cross-JVM re-run: `executors` × 4-core executor
+    * JVMs (2 GB heap each — the sf1 rows run comfortably in 2 GB
+    * once the state is split 4-8 ways), same pinned 32-partition
+    * plan, same meters (util, maxTask) as [[run]]. */
+  private def runCluster(executors: Int, outTsv: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
+    val slots = executors * 4
+    // Executor JVMs are launched by the in-process Worker from
+    // SPARK_HOME's launcher; they need the application classes
+    // (graft.*, scala-library) on THEIR classpath — hand them this
+    // JVM's own, which already holds target/classes + the Spark jars.
+    val appCp = sys.props("java.class.path")
+    // LocalSparkCluster's in-process Worker builds the executor
+    // command from spark.test.home / SPARK_HOME; under a forked sbt
+    // JVM neither reliably reaches it and the launcher dies with
+    // "Cannot find any build directories" — point it at the release
+    // layout explicitly.
+    sys.props("spark.test.home") =
+      sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/jdk.internal.ref",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master(s"local-cluster[$executors,4,2048]")
+      .config("spark.executor.memory", "2g")
+      .config("spark.executor.extraClassPath", appCp)
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.files.maxPartitionBytes", "16777216")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null) {
+          taskMs.addAndGet(e.taskInfo.duration)
+          maxTaskMs.accumulateAndGet(e.taskInfo.duration, Math.max(_, _))
+        }
+    })
+    val sel = ContentionRows.map(n => n -> SparkEntry.queries(n))
+    sel.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val sb = new StringBuilder
+    sel.foreach { case (name, fn) =>
+      System.gc()
+      def once(): (Double, Double, Double) = {
+        taskMs.set(0); maxTaskMs.set(0)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(250)
+        (dt, taskMs.get() / 1000.0 / (dt * slots),
+          maxTaskMs.get() / 1000.0)
+      }
+      val (a, b) = (once(), once())
+      val (t, util, maxT) = if (a._1 <= b._1) a else b
+      println(f"[cluster $executors%dx4] $name%-24s $t%6.2f s  " +
+        f"util=$util%.2f  maxTask=$maxT%.2f")
+      sb ++= f"$slots%d\t$name%s\t$t%.4f\t$util%.3f\t$maxT%.3f%n"
+    }
+    val p = java.nio.file.Paths.get(outTsv)
+    java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    spark.stop()
+  }
+
+  /** Append the cross-JVM verdict to CORES_SCALE.md: per row, wall +
+    * util per slot tier and the 4→32-slot WORK inflation (util ×
+    * slots × wall) — the meter whose ≥2× single-JVM reading drove the
+    * CONTENTION re-classification. Across private heaps, inflation
+    * ≈ 1 proves the claim; surviving inflation indicts the stage. */
+  private def clusterReport(tsv: String, outMd: String): Unit = {
+    val rows = scala.io.Source.fromFile(tsv).getLines().toSeq
+      .filter(_.nonEmpty).map { l =>
+        val a = l.split("\t")
+        (a(0).toInt, a(1), a(2).toDouble, a(3).toDouble, a(4).toDouble)
+      }
+    val tiers = rows.map(_._1).distinct.sorted
+    val byQ = rows.groupBy(_._2).map { case (q, rs) =>
+      q -> rs.map(r => r._1 -> (r._3, r._4, r._5)).toMap }
+    def workOf(t: Map[Int, (Double, Double, Double)], c: Int) =
+      t(c)._2 * c * t(c)._1
+    def inflOf(t: Map[Int, (Double, Double, Double)]): Double =
+      if (t.contains(4) && t.contains(32) && workOf(t, 4) > 0)
+        workOf(t, 32) / workOf(t, 4)
+      else Double.NaN
+    val calibInfl = byQ.get("scan_project").map(inflOf)
+      .getOrElse(Double.NaN)
+    val md = new StringBuilder
+    md ++= "\n## Appendix (r12): the CONTENTION rows re-run across " +
+      "separate executor JVMs\n\n"
+    md ++= s"`local-cluster[n,4,2048]` — ${tiers.mkString("/")} total " +
+      "slots as n separate 4-core 2 GB executor PROCESSES (private " +
+      "heaps, private allocators), same pinned 32-partition plan, " +
+      "same min-of-2 + util/maxTask meters as the single-JVM table. " +
+      "This crosses the JVM boundary the CONTENTION re-classification " +
+      "leaned on — but one boundary remains shared either way: the " +
+      "PHYSICAL BOX (memory bandwidth, page cache, one disk). The " +
+      "calibration row separates the two: `scan_project` has no " +
+      "shuffle, no agg state and trivially parallel tasks, so ITS " +
+      "work inflation at 32-way concurrency is the pure " +
+      "shared-machine floor, and an operator is only indicted if it " +
+      "inflates ≥1.5× MORE than that floor.\n\n"
+    md ++= "| query | " +
+      tiers.map(c => s"${c}sl s (util)").mkString(" | ") +
+      " | work ×(4→32sl) | vs calib floor | verdict |\n|" +
+      ("---|" * (tiers.size + 4)) + "\n"
+    byQ.toSeq.sortBy(_._1).foreach { case (q, t) =>
+      val infl = inflOf(t)
+      val rel = infl / calibInfl
+      val verdict =
+        if (q == "scan_project") "(calibration: the shared-box floor)"
+        else if (infl.isNaN) "incomplete tiers"
+        else if (rel < 1.5)
+          "no operator-specific contention — inflation tracks the " +
+            "trivial scan (shared-box artifact), single-JVM " +
+            "CONTENTION re-classification CONFIRMED"
+        else f"inflates ×$rel%.1f past the shared-box floor — real " +
+          "shared stage in the operator"
+      val cells = tiers.map { c =>
+        t.get(c).map { case (w, u, _) => f"$w%.2f ($u%.2f)" }
+          .getOrElse("—") }.mkString(" | ")
+      md ++= f"| $q | $cells | ${if (infl.isNaN) "—" else f"×$infl%.2f"} | " +
+        f"${if (rel.isNaN) "—" else f"×$rel%.2f"} | $verdict |\n"
+    }
+    md ++= "\nWall times across modes are not directly comparable to " +
+      "the single-JVM table (executor launch, cross-process shuffle " +
+      "and 2 GB heaps change the constants); the meter that carries " +
+      "the verdict is WORK inflation (util × slots × wall) 4 → 32 " +
+      "slots, mode-internal to local-cluster, normalized by the " +
+      "calibration row's own inflation — on one physical host even " +
+      "a trivial scan's tasks slow down under 32-way concurrency, " +
+      "which is precisely the shared-resource floor a multi-host " +
+      "cluster removes.\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
+      md.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(md.toString)
   }
 
   private def run(cores: Int, outTsv: String): Unit = {
