@@ -111,15 +111,21 @@ object SkewScale {
     // partition.
     def hasSkewSplit(plan: org.apache.spark.sql.execution.SparkPlan)
         : Boolean = {
+      import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{
-        AdaptiveSparkPlanExec, AQEShuffleReadExec}
-      val finalPlan = plan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      finalPlan.collect {
-        case r: AQEShuffleReadExec => r.hasSkewedPartition
-      }.exists(identity)
+        AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+      // Materialized stages appear as QueryStageExec LEAVES in the
+      // final adaptive plan — a plain collect() never descends into
+      // them (first version of this check silently found nothing),
+      // so walk across stage boundaries explicitly.
+      def anySkewRead(p: SparkPlan): Boolean =
+        p.collect { case n => n }.exists {
+          case a: AdaptiveSparkPlanExec => anySkewRead(a.executedPlan)
+          case qs: QueryStageExec => anySkewRead(qs.plan)
+          case r: AQEShuffleReadExec => r.hasSkewedPartition
+          case _ => false
+        }
+      anySkewRead(plan)
     }
 
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
