@@ -36,7 +36,7 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify $VSF $OUT" >/dev/null 2>&1
 python3 tools/oracle_check.py "$VSF" "$OUT" | tail -3
 
-echo "== Streaming state-provider axis (5 *_state gates, both providers) =="
+echo "== Streaming state-provider axis (6 *_state gates, both providers) =="
 # RocksDB is the documented 100-TB state-store default
 # (docs/STREAM_SCALE.md); the gates must be oracle-green under it,
 # not only under the stock HDFS provider the main gate above runs.
