@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Dev A/B: the LSH verify join WITH the triangle-chunking machinery
+  * (count window + explode + chunk join keys) vs WITHOUT it
+  * (blockRows = Int.MaxValue short-circuit), on a tier where every
+  * bucket is under blockRows so both compute the identical pair set
+  * with m = 1. Exists to attribute the sf10 dedup_embed_lsh delta
+  * (r10 pre-chunking doc claim 24.1 s vs r12 settled-layout reading
+  * 53-68 s; DevBuckets shows Σ(count²) unchanged, so the workload is
+  * the same and the plan is the suspect). Interleaved min-of-2 after
+  * a shared warmup, same constants as the registry query.
+  * Usage: SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 runMain graft.DevLshChunkAB
+  */
+object DevLshChunkAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "16777216")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val probes = e.where(col("vec_id") % 10 === 0)
+      .select((-col("vec_id") - 1).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val n = e.count()
+    def q(blockRows: Int) = Similarity.lshDedupPairs(
+      e.unionByName(probes), threshold = 0.95,
+      nBits = Similarity.adaptiveNBits(n), probes = 2,
+      sizeHint = Some(n + n / 10 + 1), blockRows = blockRows)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6))
+    // Per-job decomposition (the DevJobProfile listener) so a variant
+    // delta attributes to a STAGE, not just a wall-clock pair.
+    case class Job(id: Int, var taskMs: Long = 0L, var maxMs: Long = 0L,
+                   var n: Int = 0, var start: Long = 0L, var end: Long = 0L)
+    val jobs = scala.collection.mutable.LinkedHashMap.empty[Int, Job]
+    val stageToJob = scala.collection.mutable.HashMap.empty[Int, Int]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.synchronized {
+            jobs(e.jobId) = Job(e.jobId, start = e.time)
+            e.stageIds.foreach(s => stageToJob(s) = e.jobId)
+          }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs.synchronized {
+            jobs.get(e.jobId).foreach(_.end = e.time) }
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          jobs.synchronized {
+            stageToJob.get(e.stageId).flatMap(jobs.get).foreach { j =>
+              if (e.taskInfo != null) {
+                j.taskMs += e.taskInfo.duration
+                j.maxMs = math.max(j.maxMs, e.taskInfo.duration)
+                j.n += 1
+              }
+            }
+          }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = jobs.synchronized {
+          val si = e.stageInfo
+          println(f"[lsh-chunk-ab]   stage ${si.stageId}%3d " +
+            f"n=${si.numTasks}%4d ${si.name.take(90)}")
+        }
+      })
+    def time(blockRows: Int, label: String,
+             profile: Boolean): Double = {
+      jobs.synchronized { jobs.clear(); stageToJob.clear() }
+      val t0 = System.nanoTime()
+      q(blockRows).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      if (profile) jobs.synchronized {
+        println(f"[lsh-chunk-ab] $label wall=$dt%.2f per-job:")
+        jobs.values.foreach { j =>
+          println(f"[lsh-chunk-ab]   job ${j.id}%3d wall=${(j.end - j.start) / 1000.0}%7.2f taskSum=${j.taskMs / 1000.0}%8.2f maxTask=${j.maxMs / 1000.0}%7.2f n=${j.n}%4d")
+        }
+      }
+      dt
+    }
+    time(2048, "", profile = false) // shared warmup
+    var (tC, tU) = (Double.MaxValue, Double.MaxValue)
+    for (i <- 1 to 2) {
+      tC = math.min(tC, time(2048, s"chunked#$i", profile = true))
+      tU = math.min(tU, time(Int.MaxValue, s"unchunked#$i", profile = true))
+    }
+    println(f"[lsh-chunk-ab] n=$n chunked(blockRows=2048)=$tC%.2f s  " +
+      f"unchunked(MaxValue short-circuit)=$tU%.2f s  ratio=${tC / tU}%.2f")
+    spark.stop()
+  }
+}

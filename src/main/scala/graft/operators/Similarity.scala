@@ -181,6 +181,14 @@ object Similarity {
     * volume per bucket stays ≤ maxBucket·home + home²/2 while every
     * p=1 home pair survives. Both counts fold into ONE window over the
     * same partitioning the self-join shuffles by. */
+  /** The returned frame keeps `__bn` — the EXACT per-bucket count of
+    * the rows that survive this filter (home + probes-if-kept),
+    * folded into the SAME window as the prune counts — so
+    * [[chunkForPairJoin]] can size its chunks without a second
+    * WindowExec: at the 2M-vector tier the duplicate count window was
+    * a full extra sort of the vector-carrying exchange and alone
+    * priced dedup_embed_lsh at 2.3× (52.4 vs 22.6 s, DevLshChunkAB).
+    * Callers that don't chunk drop it. */
   private[graft] def pruneHomeProbe(df: DataFrame, keys: Seq[String],
                                     maxBucket: Int): DataFrame = {
     val gw = org.apache.spark.sql.expressions.Window
@@ -189,6 +197,8 @@ object Similarity {
         count(when(col("kind") === 0, lit(1))).over(gw))
       .withColumn("__pn",
         count(when(col("kind") === 1, lit(1))).over(gw))
+      .withColumn("__bn", col("__hn") +
+        when(col("__pn") <= maxBucket, col("__pn")).otherwise(lit(0L)))
       .where(col("__hn") <= maxBucket &&
         (col("kind") === 0 || col("__pn") <= maxBucket))
       .drop("__hn", "__pn")
@@ -247,21 +257,63 @@ object Similarity {
     * asymmetric sides (e.g. a home-rows-only b-side) as long as both
     * sides are filters of the SAME chunked frame: the chunk count is
     * a per-bucket window over the unfiltered rows.
+    *
+    * **OFF by default since r12** (callers default blockRows =
+    * Int.MaxValue, the windowless short-circuit): the chunk columns
+    * are born ABOVE the caller's sized (bucket-keyed) exchange, so a
+    * join that includes (__i, __j) in its equi-keys no longer finds
+    * its required distribution satisfied — the planner inserts a
+    * SECOND full shuffle of the payload-carrying rows at the SESSION
+    * partition count, precisely the spill-territory exchange shape
+    * [[sizedByBytes]] exists to prevent. Measured at the 2M-vector
+    * tier (DevLshChunkAB, per-stage listener): the chunked plan runs
+    * an extra 16M-row payload shuffle + a 32-task join stage of
+    * 1,400-1,700 core-seconds, pricing the whole query at 2.3-4.6×
+    * its unchunked twin — while every bucket sits under blockRows
+    * (census max 1,287 < 2,048), so all of it buys m = 1. Adaptive
+    * nBits keeps real corpora in that regime by construction (mean
+    * ≤ 128/bucket at every measured tier through 20M vectors), the
+    * maxBucket cap guard bounds the pathological single task, and
+    * the straggler chunking fixed was 3.1 s at the 200k tier — three
+    * orders smaller than the tax. The machinery stays available
+    * per-call (the forced `semantic_dedup_chunked` registry route
+    * holds it to the full DuckDB oracle) for data whose bucket
+    * distribution genuinely exceeds blockRows; a caller engaging it
+    * should expect the second exchange and size the session
+    * accordingly.
     */
   private[graft] def chunkForPairJoin(df: DataFrame, keys: Seq[String],
                                       idCol: String,
-                                      blockRows: Int): DataFrame = {
-    val cnt = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*))
-    val m = greatest(lit(1L),
-      ceil(cnt.cast("double") / blockRows).cast("long"))
+                                      blockRows: Int,
+                                      cntCol: Option[String] = None)
+      : DataFrame = {
+    // blockRows = Int.MaxValue ⇒ m = 1 for every group by definition:
+    // emit the constant chunk columns WITHOUT the count window — the
+    // window is a full extra sort of the (payload-carrying) exchange,
+    // which is pure tax when the caller already knows chunking cannot
+    // engage. Semantically identical to the windowed m=1 path
+    // (spec-pinned: the chunking specs' reference runs use exactly
+    // this branch).
+    if (blockRows == Int.MaxValue)
+      return df.drop(cntCol.toSeq: _*).withColumn("__c", lit(0L))
+        .withColumn("__i", lit(0L)).withColumn("__j", lit(0L))
+    // Per-group row count: from the caller's already-materialized
+    // count column when it has one (pruneHomeProbe's __bn,
+    // semanticDedup's __cnt — their guard windows run over the same
+    // partitioning anyway, so a separate count window here was a
+    // DUPLICATE full sort of the payload exchange: 2.3× the whole
+    // query at the 2M tier, DevLshChunkAB), else computed.
+    val cnt = cntCol.map(c => col(c).cast("double")).getOrElse(
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)).cast("double"))
+    val m = greatest(lit(1L), ceil(cnt / blockRows).cast("long"))
     df.withColumn("__m", m)
       .withColumn("__c", pmod(xxhash64(col(idCol), lit(7L)), col("__m")))
       .withColumn("__k", explode(sequence(lit(0L), col("__m") - 1)))
       .withColumn("__i", least(col("__c"), col("__k")))
       .withColumn("__j", greatest(col("__c"), col("__k")))
-      .drop("__m", "__k")
+      .drop("__m" +: "__k" +: cntCol.toSeq: _*)
   }
 
   /** The exactly-once predicate every [[chunkForPairJoin]] consumer
@@ -359,7 +411,7 @@ object Similarity {
                     maxBucket: Int = 100000,
                     probes: Int = 1,
                     sizeHint: Option[Long] = None,
-                    blockRows: Int = 2048): DataFrame = {
+                    blockRows: Int = Int.MaxValue): DataFrame = {
     require(probes == 1 || probes == 2,
       s"probes must be 1 (home bucket only) or 2 (+least-margin flip), " +
         s"got $probes")
@@ -376,9 +428,11 @@ object Similarity {
     // [[chunkForPairJoin]]: a hot bucket's quadratic verify otherwise
     // runs as ONE task (flop skew, invisible to AQE's byte meter) —
     // the b-side home filter is applied AFTER chunking so both sides
-    // share the per-bucket chunk count.
+    // share the per-bucket chunk count. OFF at the default blockRows
+    // (Int.MaxValue): engaging it re-shuffles the payload at session
+    // width — see the r12 note on chunkForPairJoin.
     val chunked = chunkForPairJoin(pruned, Seq("tbl", "bucket"), "id",
-      blockRows)
+      blockRows, cntCol = Some("__bn"))
     chunked.as("a").join(chunked.where(col("kind") === 0).as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") &&
@@ -1413,7 +1467,7 @@ object Similarity {
                     maxCell: Int = 100000,
                     probes: Int = 1,
                     sizeHint: Option[Long] = None,
-                    blockRows: Int = 2048): DataFrame = {
+                    blockRows: Int = Int.MaxValue): DataFrame = {
     require(centroids.nonEmpty, "semanticDedup needs >= 1 centroid")
     require(probes >= 1 && probes <= centroids.length,
       s"probes must be in 1..${centroids.length}, got $probes")
@@ -1496,8 +1550,8 @@ object Similarity {
     // 200k-vector tier at ANY core count). Spec-pinned chunked ≡
     // reference; the forced-route sibling `semantic_dedup_chunked`
     // holds the shared helper to the full DuckDB oracle.
-    val chunked = chunkForPairJoin(counted.drop("__cnt"),
-      Seq("cell"), "id", blockRows)
+    val chunked = chunkForPairJoin(counted,
+      Seq("cell"), "id", blockRows, cntCol = Some("__cnt"))
     val rawPairs = chunked.as("a").join(chunked.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.__i") === col("b.__i") &&
