@@ -35,11 +35,13 @@ object DevLshChunkAB {
       .select((-col("vec_id") - 1).as("vec_id"), col("label"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
     val n = e.count()
-    def q(blockRows: Int) = Similarity.lshDedupPairs(
-      e.unionByName(probes), threshold = 0.95,
-      nBits = Similarity.adaptiveNBits(n), probes = 2,
-      sizeHint = Some(n + n / 10 + 1), blockRows = blockRows)
-      .select(col("a_id"), col("b_id"), round(col("cos"), 6))
+    def q(blockRows: Int, auto: Boolean = false) =
+      Similarity.lshDedupPairs(
+        e.unionByName(probes), threshold = 0.95,
+        nBits = Similarity.adaptiveNBits(n), probes = 2,
+        sizeHint = Some(n + n / 10 + 1), blockRows = blockRows,
+        autoChunk = auto)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6))
     // Per-job decomposition (the DevJobProfile listener) so a variant
     // delta attributes to a STAGE, not just a wall-clock pair.
     case class Job(id: Int, var taskMs: Long = 0L, var maxMs: Long = 0L,
@@ -77,11 +79,11 @@ object DevLshChunkAB {
             f"n=${si.numTasks}%4d ${si.name.take(90)}")
         }
       })
-    def time(blockRows: Int, label: String,
+    def time(blockRows: Int, auto: Boolean, label: String,
              profile: Boolean): Double = {
       jobs.synchronized { jobs.clear(); stageToJob.clear() }
       val t0 = System.nanoTime()
-      q(blockRows).write.format("noop").mode("overwrite").save()
+      q(blockRows, auto).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       if (profile) jobs.synchronized {
@@ -92,14 +94,23 @@ object DevLshChunkAB {
       }
       dt
     }
-    time(2048, "", profile = false) // shared warmup
-    var (tC, tU) = (Double.MaxValue, Double.MaxValue)
+    time(Int.MaxValue, auto = false, "", profile = false) // warmup
+    // three-way: legacy windowed chunking (the r12-measured tax) /
+    // legacy short-circuit (the r12 default) / census auto (the r13
+    // default — clean census at this tier ⇒ windowless plan + the
+    // eager census job)
+    var (tC, tU, tA) = (Double.MaxValue, Double.MaxValue, Double.MaxValue)
     for (i <- 1 to 2) {
-      tC = math.min(tC, time(2048, s"chunked#$i", profile = true))
-      tU = math.min(tU, time(Int.MaxValue, s"unchunked#$i", profile = true))
+      tC = math.min(tC,
+        time(2048, auto = false, s"legacy-chunked#$i", profile = true))
+      tU = math.min(tU, time(Int.MaxValue, auto = false,
+        s"short-circuit#$i", profile = true))
+      tA = math.min(tA,
+        time(2048, auto = true, s"census-auto#$i", profile = true))
     }
-    println(f"[lsh-chunk-ab] n=$n chunked(blockRows=2048)=$tC%.2f s  " +
-      f"unchunked(MaxValue short-circuit)=$tU%.2f s  ratio=${tC / tU}%.2f")
+    println(f"[lsh-chunk-ab] n=$n legacyChunked(2048)=$tC%.2f s  " +
+      f"shortCircuit(MaxValue)=$tU%.2f s  censusAuto(2048)=$tA%.2f s  " +
+      f"chunked/sc=${tC / tU}%.2f auto/sc=${tA / tU}%.2f")
     spark.stop()
   }
 }

@@ -215,8 +215,14 @@ object StreamBench {
     // hard-asserted — a mid-replay batch and the last real-data batch
     // must hold the same-order state, and the peak must sit far under
     // the no-evict buffer.
+    // byTs: the probe slices by EVENT TIME (equal ts ranges), the
+    // same no-late-rows construction as the registry gate — id
+    // slicing's ~1 h boundary overlap would silently late-drop
+    // boundary-block rows under the 30-minute watermark (drops only
+    // shrink state, so the plateau claim held, but the curve would
+    // not be a lossless replay; r12 ADVICE).
     val evictDir = s"$tmp/src_evict"
-    StreamFeed.mkSrc(spark, all, nEvents, evictDir, 16)
+    StreamFeed.mkSrc(spark, all, nEvents, evictDir, 16, byTs = true)
     val eq = {
       val s = spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "1").parquet(evictDir)
@@ -231,15 +237,24 @@ object StreamBench {
       .option("checkpointLocation", s"$tmp/ckpt_evict")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     require(eq.awaitTermination(600000), "eviction probe hung")
-    val evictCurve = eq.recentProgress.toSeq
-      .filter(_.stateOperators.nonEmpty)
-      .map(_.stateOperators.map(_.numRowsTotal).sum)
-    // last two batches are the far-future sentinels (watermark jumps
-    // years — state collapses to ~0); the plateau claim is about the
-    // REAL-data batches before them
+    // Batch identification by CONTENT, not curve position (r12
+    // ADVICE): maxFilesPerTrigger=1 over 16 staged slices + 2
+    // sentinel files ⇒ exactly 18 data-carrying batches; a trailing
+    // no-data micro-batch (on by default for watermarked queries)
+    // adds a numInputRows=0 progress entry that a positional
+    // dropRight(2) would let slide a collapsed-state sentinel batch
+    // into `real`, making the plateau assertion vacuous.
+    val withData = eq.recentProgress.toSeq
+      .filter(p => p.numInputRows > 0 && p.stateOperators.nonEmpty)
+    require(withData.size == 18,
+      s"eviction probe: expected exactly 18 data batches (16 slices " +
+        s"+ 2 sentinels, one file per trigger), got ${withData.size}")
+    val evictCurve =
+      withData.map(_.stateOperators.map(_.numRowsTotal).sum)
+    // last two data batches are the far-future sentinels (watermark
+    // jumps years — state collapses); the plateau claim is about the
+    // 16 REAL-data batches before them
     val real = evictCurve.dropRight(2)
-    require(real.size >= 8, s"eviction probe: expected >=8 real " +
-      s"batches, got ${real.size} — curve $evictCurve")
     val (evMid, evLast, evPeak) =
       (real(real.size / 2), real.last, real.max)
     require(evPeak <= nEvents / 4,
@@ -248,6 +263,21 @@ object StreamBench {
     require(evLast <= math.max((1.5 * evMid).toLong, evMid + 1000),
       s"eviction probe: state still growing at end of replay " +
         s"(mid=$evMid last=$evLast) — watermark is not evicting")
+    // Post-sentinel RESIDUE bound (r12 verdict item 4): the global
+    // watermark is min-of-inputs, and only the points side sees the
+    // sentinel rows (they aren't signups), so it stalls 30 minutes
+    // behind the interval side's max — the residue after both
+    // sentinel batches is ≈ one watermark-window of buffered points
+    // (measured 26,591 at 2M / 131,822 at 10M ≈ 0.2× the plateau),
+    // NOT zero and NOT the plateau. Bounding it at half the
+    // mid-replay plateau turns a future multi-watermark regression
+    // (residue silently growing toward buffered history) into a
+    // hard failure.
+    require(evictCurve.last <= math.max(evMid / 2, 1000L),
+      s"eviction probe: post-sentinel residue ${evictCurve.last} > " +
+        s"max(mid-plateau/2 = ${evMid / 2}, 1000) — the stalled " +
+        "min-of-inputs watermark should strand only ~one window of " +
+        "points, not a growing share of history")
     println(s"[streambench] interval_join_evict peak=$evPeak " +
       s"mid=$evMid last=$evLast final=${evictCurve.last} " +
       s"curve=${evictCurve.mkString(",")}")

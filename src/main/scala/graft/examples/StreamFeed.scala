@@ -38,14 +38,39 @@ object StreamFeed {
     * sentinel files (the first advances the watermark past every real
     * session/window, the second's batch then runs timeout/emission
     * under that advanced watermark — so a full append-mode flush
-    * never depends on a trailing no-data micro-batch). */
+    * never depends on a trailing no-data micro-batch).
+    *
+    * `byTs = false` slices by event_id — fine for the wide-watermark
+    * gates, but ts is only hour-granular in id order (uniform 0-60 min
+    * jitter within an hour block), so adjacent id slices overlap by up
+    * to ~1 h of EVENT time: under a tight watermark, boundary-block
+    * rows arriving in slice k+1 with ts < maxTs(slice k) − watermark
+    * are silently dropped as late (r12 ADVICE). `byTs = true` slices
+    * by equal ts ranges instead — slice k's earliest timestamp is ≥
+    * slice k-1's latest, the same no-late-rows construction as the
+    * `interval_join_evict_state` registry gate — so a tight-watermark
+    * replay over these files is lossless, at the cost of one min/max
+    * aggregation job over `all` at staging time. */
   def mkSrc(spark: SparkSession, all: DataFrame, nEvents: Long,
-            dir: String, quarters: Int): Unit = {
+            dir: String, quarters: Int, byTs: Boolean = false): Unit = {
     import spark.implicits._
+    val sliceOf: Int => org.apache.spark.sql.Column =
+      if (byTs) {
+        val mm = all.agg(min(col("ts")).cast("long").as("lo"),
+          max(col("ts")).cast("long").as("hi")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val span = math.max(1L, hi - lo + 1)
+        val bucket = least(lit(quarters - 1),
+          ((col("ts").cast("long") - lit(lo)) *
+            lit(quarters.toLong) / lit(span)).cast("int"))
+        q => bucket === lit(q)
+      } else {
+        q => col("event_id") >= lit(q * nEvents / quarters) &&
+          col("event_id") < lit((q + 1) * nEvents / quarters)
+      }
     (0 until quarters).foreach { q =>
       graft.streaming.StreamStage.stageFile(
-        all.where(col("event_id") >= lit(q * nEvents / quarters) &&
-          col("event_id") < lit((q + 1) * nEvents / quarters)),
+        all.where(sliceOf(q)),
         dir, f"q$q%02d", 1000000000000L + q * 2000L)
     }
     def sentinel(k: Int) = Seq(graft.streaming.StreamingOps.Event(

@@ -258,8 +258,9 @@ object Similarity {
     * sides are filters of the SAME chunked frame: the chunk count is
     * a per-bucket window over the unfiltered rows.
     *
-    * **OFF by default since r12** (callers default blockRows =
-    * Int.MaxValue, the windowless short-circuit): the chunk columns
+    * **The WINDOWED engage was turned off by default in r12**
+    * (callers then defaulted blockRows = Int.MaxValue, the windowless
+    * short-circuit): the chunk columns
     * are born ABOVE the caller's sized (bucket-keyed) exchange, so a
     * join that includes (__i, __j) in its equi-keys no longer finds
     * its required distribution satisfied — the planner inserts a
@@ -276,11 +277,31 @@ object Similarity {
     * maxBucket cap guard bounds the pathological single task, and
     * the straggler chunking fixed was 3.1 s at the 200k tier — three
     * orders smaller than the tax. The machinery stays available
-    * per-call (the forced `semantic_dedup_chunked` registry route
-    * holds it to the full DuckDB oracle) for data whose bucket
-    * distribution genuinely exceeds blockRows; a caller engaging it
+    * per-call for data whose bucket distribution genuinely exceeds
+    * blockRows; a caller engaging it through THIS (windowed) route
     * should expect the second exchange and size the session
     * accordingly.
+    *
+    * **Census-gated auto-engagement since r13** (the r12 verdict's
+    * top item): the default callers no longer choose between "always
+    * chunk" (the r12-measured double-shuffle tax) and "never chunk"
+    * (a >blockRows bucket runs as one guarded task of up to
+    * ~maxBucket²/2 pair evaluations). [[hotCensus]] runs ONE narrow
+    * eager aggregation over the keyed rows — per-group counts, tiny
+    * shuffle, only over-threshold groups collected — and the DRIVER
+    * picks the plan: no hot group ⇒ the exact windowless
+    * short-circuit plan (this branch, zero extra exchange, and the
+    * prune window is provably a no-op so it is dropped too); hot
+    * groups exist ⇒ their exact counts ride back as a broadcast
+    * literal, prune + per-group chunk keys evaluate MAP-SIDE below
+    * the payload's single exchange, and that one exchange is keyed
+    * on the FULL (group, __i, __j) join keys — so the
+    * all-cluster-keys co-partition requirement is met without a
+    * second payload shuffle, which is exactly what this windowed
+    * route cannot do (its chunk keys are born above the
+    * group-keyed exchange). `semantic_dedup_chunked` forces the
+    * census route's engaged branch at the gate tier and holds it to
+    * the full DuckDB oracle.
     */
   private[graft] def chunkForPairJoin(df: DataFrame, keys: Seq[String],
                                       idCol: String,
@@ -372,6 +393,71 @@ object Similarity {
       case None => df
     }
 
+  /** The eager half of census-gated auto-chunking (see the
+    * [[chunkForPairJoin]] scaladoc): per-group counts as ONE narrow
+    * aggregation job — partial counts fold map-side, the shuffle
+    * ships only (keys, counts) rows, and the collect is filtered to
+    * groups matching `hotPred` (over-blockRows or over-cap), so the
+    * driver holds exact counts for exactly the groups whose plan
+    * treatment differs from the default. Returns None when no group
+    * qualifies — the caller keeps its zero-extra-exchange
+    * short-circuit plan, now provably safe rather than assumed.
+    * `guard` bounds the collect (2²¹ groups ≈ tens of MB of driver
+    * heap); past it the data has ≥ guard·blockRows rows in hot
+    * groups alone and the caller must re-bucket (more tables/bits/
+    * cells), so this fails loudly instead of silently OOM-ing the
+    * driver. The census costs one extra narrow pass over the keyed
+    * rows at every tier — the price of an exact engage decision; the
+    * r12 lesson was that SKIPPING that check (chunk always) cost
+    * 2.3-4.6× of the whole query at tiers where no group was hot. */
+  private[graft] def hotCensus(df: DataFrame, keys: Seq[String],
+                               aggs: Seq[Column], hotPred: Column,
+                               guard: Int = 1 << 21)
+      : Option[DataFrame] = {
+    val census = df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*).where(hotPred)
+    val rows = census.limit(guard + 1).collect()
+    require(rows.length <= guard,
+      s"hotCensus: > $guard groups exceed the chunk/prune thresholds " +
+        s"on keys ${keys.mkString(",")} — the bucketing is too coarse " +
+        "for this corpus; raise nBits/tables/cells instead of " +
+        "collecting an unbounded census")
+    if (rows.isEmpty) None
+    else {
+      val s = df.sparkSession
+      Some(s.createDataFrame(
+        s.sparkContext.parallelize(rows.toSeq, 1),
+        census.schema))
+    }
+  }
+
+  /** The census-route payload exchange, placed explicitly BELOW the
+    * caller's (possibly asymmetric — lshDedupPairs filters kind=0 on
+    * its b-side) self-join inputs so ReuseExchange computes the
+    * indexing subtree ONCE; left implicit, EnsureRequirements would
+    * insert one exchange per side above the asymmetric filters —
+    * non-identical subtrees, no reuse, the whole scan+kernel pass
+    * twice. Sizing is [[sizedByBytes]]'s two-condition gate verbatim;
+    * under the spill bar the count is OMITTED (`repartition(cols*)`)
+    * so AQE keeps its coalescing freedom over this exchange, same as
+    * it has over an implicit one. */
+  private[graft] def lowExchange(df: DataFrame, sizeHint: Option[Long],
+                                 rowsPerItem: Long, rowBytes: Long,
+                                 keys: Seq[String]): DataFrame = {
+    val cols = keys.map(col)
+    val sessionParts = df.sparkSession.sessionState.conf
+      .numShufflePartitions
+    sizeHint match {
+      case Some(n)
+          if (n * rowsPerItem * rowBytes / (64L << 20)).toInt + 1 >
+            4 * sessionParts =>
+        df.repartition(
+          (n * rowsPerItem * rowBytes / (64L << 20)).toInt + 1,
+          cols: _*)
+      case _ => df.repartition(cols: _*)
+    }
+  }
+
   /** Embedding near-dup pairs via LSH-bucketed candidate generation —
     * the scale-safe replacement for blocked all-pairs cosine: the corpus
     * is indexed once (L hyperplane tables), candidates are the
@@ -411,7 +497,8 @@ object Similarity {
                     maxBucket: Int = 100000,
                     probes: Int = 1,
                     sizeHint: Option[Long] = None,
-                    blockRows: Int = Int.MaxValue): DataFrame = {
+                    blockRows: Int = 2048,
+                    autoChunk: Boolean = true): DataFrame = {
     require(probes == 1 || probes == 2,
       s"probes must be 1 (home bucket only) or 2 (+least-margin flip), " +
         s"got $probes")
@@ -421,30 +508,90 @@ object Similarity {
       else
         lshIndexKernel(emb, nBits, dim, tables, seed, withFlip = false)
           .withColumn("kind", lit(0))
-    val sized = sizedByHint(indexed, sizeHint,
-      rowsPerItem = tables.toLong * probes, dim = dim,
-      keys = Seq("tbl", "bucket"))
-    val pruned = pruneHomeProbe(sized, Seq("tbl", "bucket"), maxBucket)
-    // [[chunkForPairJoin]]: a hot bucket's quadratic verify otherwise
-    // runs as ONE task (flop skew, invisible to AQE's byte meter) —
-    // the b-side home filter is applied AFTER chunking so both sides
-    // share the per-bucket chunk count. OFF at the default blockRows
-    // (Int.MaxValue): engaging it re-shuffles the payload at session
-    // width — see the r12 note on chunkForPairJoin.
-    val chunked = chunkForPairJoin(pruned, Seq("tbl", "bucket"), "id",
-      blockRows, cntCol = Some("__bn"))
-    chunked.as("a").join(chunked.where(col("kind") === 0).as("b"),
-        col("a.tbl") === col("b.tbl") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.__i") === col("b.__i") &&
-          col("a.__j") === col("b.__j") &&
-          chunkCanonical("a", "b") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        (VectorQueries.dot(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .where(col("cos") >= threshold)
-      .dropDuplicates("a_id", "b_id")
+    // The shared within-bucket exact-cosine verify: the b-side home
+    // filter keeps probe pairs one-directional; chunkCanonical pins
+    // chunked pairs to exactly one task; at m = 1 the constant chunk
+    // keys fold out of the equi-keys so the join runs on
+    // (tbl, bucket) alone.
+    def verifyJoin(chunked: DataFrame): DataFrame =
+      chunked.as("a").join(chunked.where(col("kind") === 0).as("b"),
+          col("a.tbl") === col("b.tbl") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.__i") === col("b.__i") &&
+            col("a.__j") === col("b.__j") &&
+            chunkCanonical("a", "b") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          (VectorQueries.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .where(col("cos") >= threshold)
+        .dropDuplicates("a_id", "b_id")
+    // Legacy window route (autoChunk = false): per-bucket counts from
+    // a window over the bucket-keyed exchange. At finite blockRows the
+    // chunk keys are born ABOVE that exchange, so the 4-key join
+    // re-shuffles the payload at session width — the r12-measured
+    // 2.3-4.6× tax; kept for A/B attribution (DevLshChunkAB) and as
+    // the fallback where an eager census job is unacceptable.
+    def windowRoute(block: Int): DataFrame = {
+      val sized = sizedByHint(indexed, sizeHint,
+        rowsPerItem = tables.toLong * probes, dim = dim,
+        keys = Seq("tbl", "bucket"))
+      val pruned = pruneHomeProbe(sized, Seq("tbl", "bucket"), maxBucket)
+      verifyJoin(chunkForPairJoin(pruned, Seq("tbl", "bucket"), "id",
+        block, cntCol = Some("__bn")))
+    }
+    if (!autoChunk) windowRoute(blockRows)
+    else hotCensus(indexed, Seq("tbl", "bucket"),
+      Seq(count(when(col("kind") === 0, lit(1))).as("__hn"),
+        count(when(col("kind") === 1, lit(1))).as("__pn")),
+      col("__hn") > maxBucket || col("__pn") > maxBucket ||
+        col("__hn") + col("__pn") > blockRows) match {
+      case None =>
+        // Census-clean: the r12 windowless-chunk plan VERBATIM — the
+        // census bought the proof that no bucket needs chunking, not
+        // a plan change. The prune window stays even though the
+        // census proves it a no-op: it is ALSO the plan's reuse
+        // anchor — without it, Catalyst pushes the b-side kind=0
+        // filter below the bucket exchange, splitting it into two
+        // non-reusable exchanges (full + home rows: 1.5× the payload
+        // shuffled and the index kernel computed twice), while the
+        // window blocks that pushdown and both sides reuse ONE
+        // exchange (plan-pinned at 3 shuffles in PlanShapeSpec).
+        windowRoute(Int.MaxValue)
+      case Some(hotDf) =>
+        // Hot buckets exist: their exact census counts ride back as a
+        // broadcast literal (no plan subtree — the census already
+        // ran), prune + per-bucket chunk keys evaluate map-side, and
+        // the payload exchanges are keyed directly on the full 4-key
+        // join keys — no windowed count, so the r12 double-shuffle
+        // shape (bucket-keyed exchange THEN a second full session-
+        // width exchange for the chunk keys) cannot arise. Catalyst
+        // pushes the b-side kind=0 filter below its repartition, so
+        // the sides don't reuse one exchange: the a-side ships all
+        // rows, the b-side ships HOME rows only (~half at probes=2,
+        // pre-filtered before the shuffle) — ~1.5× the rows of a
+        // shared exchange written, but each read once, with the
+        // index kernel computed once per side over the reused
+        // round-robin. Unlisted buckets are ≤ blockRows ≤ the caps
+        // by census, so they pass the prune and get m = 1 (__bn = 1
+        // is only ever divided by blockRows).
+        val joined = indexed.join(broadcast(hotDf),
+          Seq("tbl", "bucket"), "left")
+        val pruned = joined
+          .where(coalesce(col("__hn") <= maxBucket, lit(true)) &&
+            (col("kind") === 0 ||
+              coalesce(col("__pn") <= maxBucket, lit(true))))
+          .withColumn("__bn", coalesce(col("__hn") +
+            when(col("__pn") <= maxBucket, col("__pn"))
+              .otherwise(lit(0L)), lit(1L)))
+          .drop("__hn", "__pn")
+        val chunked = chunkForPairJoin(pruned, Seq("tbl", "bucket"),
+          "id", blockRows, cntCol = Some("__bn"))
+        verifyJoin(lowExchange(chunked, sizeHint,
+          rowsPerItem = tables.toLong * probes,
+          rowBytes = 8L * dim + 128L,
+          keys = Seq("tbl", "bucket", "__i", "__j")))
+    }
   }
 
   /** IVF (inverted-file) index: a k-means coarse quantizer partitions
@@ -1467,7 +1614,8 @@ object Similarity {
                     maxCell: Int = 100000,
                     probes: Int = 1,
                     sizeHint: Option[Long] = None,
-                    blockRows: Int = Int.MaxValue): DataFrame = {
+                    blockRows: Int = 2048,
+                    autoChunk: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "semanticDedup needs >= 1 centroid")
     require(probes >= 1 && probes <= centroids.length,
       s"probes must be in 1..${centroids.length}, got $probes")
@@ -1533,25 +1681,60 @@ object Similarity {
         (c.withColumn("cell", col("cells")(0)).drop("cells"),
           c.withColumn("cell", explode(col("cells"))).drop("cells"))
       }
-    // same cell-keyed vector exchange as lshDedupPairs' — the gate
-    // prune window and the pair self-join ride one HashPartitioning
-    val sizedSource = sizedByHint(pairSource, sizeHint,
-      rowsPerItem = probes.toLong, dim = cts(0).length,
-      keys = Seq("cell"))
-    // Per-cell count window = pruneOversized's gate, kept as a column
-    // because it also sizes the pair-join CHUNKING below.
-    val counted = sizedSource
-      .withColumn("__cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
-      .where(col("__cnt") <= maxCell)
     // [[chunkForPairJoin]]: a hot cell's |cell|²/2 dot products
     // otherwise run as ONE task — flop skew AQE's byte meter cannot
     // split (one ~0.9 s task held 25% of this query's wall at the
-    // 200k-vector tier at ANY core count). Spec-pinned chunked ≡
-    // reference; the forced-route sibling `semantic_dedup_chunked`
-    // holds the shared helper to the full DuckDB oracle.
-    val chunked = chunkForPairJoin(counted,
-      Seq("cell"), "id", blockRows, cntCol = Some("__cnt"))
+    // 200k-vector tier at ANY core count). Unlike [[lshDedupPairs]],
+    // the DEFAULT here is the WINDOWED per-cell engage (autoChunk =
+    // false, blockRows = 2048 — the shape every committed
+    // semantic_dedup number was measured on): the window's count
+    // auto-sizes m per cell on the same exchange, and the chunk-key
+    // join's extra exchange re-ships only the 1× n-row cell payload —
+    // cheap next to the n·√n·dim assignment kernel that dominates
+    // this operator — whereas an eager census (autoChunk = true,
+    // available and spec-pinned) must re-run that assignment kernel
+    // to see the cells at all: ~20 s of the 56.5 s sf10 reading for
+    // a decision the window makes in-plan. The asymmetry is the
+    // measured payload-vs-kernel ratio, deliberately opposite to
+    // lshDedupPairs' census default (tables×probes = 8× payload
+    // amplification there, kernel a few percent).
+    // `semantic_dedup_chunked` (blockRows = 64) forces the engaged
+    // windowed route at the gate tier and holds it to the full
+    // DuckDB oracle.
+    val chunked: DataFrame =
+      if (!autoChunk) {
+        // same cell-keyed vector exchange as lshDedupPairs' — the
+        // gate prune window and the pair self-join ride one
+        // HashPartitioning
+        val sizedSource = sizedByHint(pairSource, sizeHint,
+          rowsPerItem = probes.toLong, dim = cts(0).length,
+          keys = Seq("cell"))
+        val counted = sizedSource
+          .withColumn("__cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("cell")))
+          .where(col("__cnt") <= maxCell)
+        chunkForPairJoin(counted,
+          Seq("cell"), "id", blockRows, cntCol = Some("__cnt"))
+      } else hotCensus(pairSource, Seq("cell"),
+        Seq(count(lit(1)).as("__cnt")),
+        col("__cnt") > maxCell || col("__cnt") > blockRows) match {
+        case None =>
+          chunkForPairJoin(lowExchange(pairSource, sizeHint,
+            rowsPerItem = probes.toLong,
+            rowBytes = 8L * cts(0).length + 128L, keys = Seq("cell")),
+            Seq("cell"), "id", Int.MaxValue)
+        case Some(hotDf) =>
+          val pruned = pairSource
+            .join(broadcast(hotDf), Seq("cell"), "left")
+            .where(coalesce(col("__cnt") <= maxCell, lit(true)))
+            .withColumn("__cnt", coalesce(col("__cnt"), lit(1L)))
+          lowExchange(chunkForPairJoin(pruned,
+            Seq("cell"), "id", blockRows, cntCol = Some("__cnt")),
+            sizeHint, rowsPerItem = probes.toLong,
+            rowBytes = 8L * cts(0).length + 128L,
+            keys = Seq("cell", "__i", "__j"))
+      }
     val rawPairs = chunked.as("a").join(chunked.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.__i") === col("b.__i") &&

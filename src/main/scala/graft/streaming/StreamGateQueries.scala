@@ -148,8 +148,12 @@ object StreamGateQueries {
     // batch's rows, and the inner join emits on match, so the sink
     // still holds the complete pair set and hashes against the same
     // full-join oracle. The state curve is asserted in-code: peak
-    // buffered rows must stay under totalRows/4 — the no-evict
-    // replay buffers ~ALL rows by the final batch (measured
+    // buffered rows must stay under totalRows/2 (maxFilesPerTrigger=4
+    // batches ~4 slices per trigger here, so the live set spans up to
+    // ~2 of 16 slices + the 30-minute tail; the tighter nEvents/4
+    // bound belongs to StreamBench's strict one-file-per-trigger
+    // probe) — the no-evict replay buffers ~ALL rows by the final
+    // batch (measured
     // 10,005,002 at the 10M tier, docs/STREAM_SCALE.md) — turning
     // "state is bounded by the window's live set, not replay
     // history" into a per-run falsifiable check. The long-replay

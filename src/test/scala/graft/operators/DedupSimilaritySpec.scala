@@ -603,13 +603,17 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def run(blockRows: Int) = Similarity.semanticDedup(
-      all, cents, threshold = 0.44, blockRows = blockRows)
+    def run(blockRows: Int, auto: Boolean) = Similarity.semanticDedup(
+      all, cents, threshold = 0.44, blockRows = blockRows,
+      autoChunk = auto)
       .collect().map(_.toSeq).toSet
-    val reference = run(Int.MaxValue) // m = 1 everywhere
-    val chunked = run(32)
+    val reference = run(Int.MaxValue, auto = false) // m = 1 everywhere
+    val chunked = run(32, auto = false) // legacy window route
+    val auto = run(32, auto = true) // census route, engaged (330 > 32)
     assert(chunked === reference,
       "chunking must be invisible in the verdicts")
+    assert(auto === reference,
+      "census auto-chunking must be invisible in the verdicts")
     assert(reference.exists(r => r(3) == 0),
       "the planted copies must produce at least one dropped row — " +
         "otherwise the equality is vacuous")
@@ -628,14 +632,17 @@ class DedupSimilaritySpec extends SparkSpec {
       .select((-col("vec_id") - 1).as("vec_id"), col("label"),
         col("embedding"))
     val all = u.unionByName(plants) // exact copies → cos = 1 pairs
-    def run(blockRows: Int) = Similarity.lshDedupPairs(
+    def run(blockRows: Int, auto: Boolean) = Similarity.lshDedupPairs(
       all, threshold = 0.999, nBits = 2, probes = 2,
-      blockRows = blockRows)
+      blockRows = blockRows, autoChunk = auto)
       .collect().map(_.toSeq).toSet
-    val reference = run(Int.MaxValue)
-    val chunked = run(16)
+    val reference = run(Int.MaxValue, auto = false)
+    val chunked = run(16, auto = false) // legacy window route
+    val auto = run(16, auto = true) // census route, every bucket hot
     assert(chunked === reference,
       "chunking must be invisible in the pair set")
+    assert(auto === reference,
+      "census auto-chunking must be invisible in the pair set")
     assert(reference.nonEmpty,
       "the fixture must produce pairs — otherwise the equality is " +
         "vacuous")
@@ -673,6 +680,123 @@ class DedupSimilaritySpec extends SparkSpec {
       .where(col("count") > 1).count()
     assert(dup > 0,
       "fixture must contain same-chunk pairs the predicate deduplicates")
+    // the census feed: the same exactly-once property when the count
+    // arrives as a pre-materialized column (the broadcast-literal
+    // census in the operators) instead of the window
+    val fed = Similarity.chunkForPairJoin(
+      df.withColumn("__bn", lit(100L)), Seq("grp"), "id", 8,
+      cntCol = Some("__bn"))
+    val perPairFed = fed.as("a").join(fed.as("b"),
+        col("a.grp") === col("b.grp") &&
+          col("a.__i") === col("b.__i") &&
+          col("a.__j") === col("b.__j") &&
+          Similarity.chunkCanonical("a", "b") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id"), col("b.id")).count()
+      .select(col("count")).as[Long].collect()
+    assert(perPairFed.length === n * (n - 1) / 2,
+      "the census-fed chunked join must produce every unordered pair")
+    assert(perPairFed.forall(_ == 1L),
+      s"census-fed: each pair exactly once, max=${perPairFed.max}")
+  }
+
+  test("lshDedupPairs census auto-chunk: a planted over-blockRows " +
+    "bucket engages map-side chunking — pair set identical to both " +
+    "references, exactly ONE payload exchange keyed on the chunk " +
+    "keys, and no count window (r12 verdict item 1)") {
+    // 64 positive-scaled copies of one direction land in ONE bucket
+    // per table (identical hyperplane signs at any nBits), so with
+    // blockRows = 32 the census finds exactly those 4 (tbl, bucket)
+    // groups hot (~65 rows, m ≥ 3) while the ~5-row natural buckets
+    // stay on the m = 1 path — the mixed hot/cold case the auto
+    // default exists for.
+    val base = emb.limit(300)
+    val one = base.limit(1).select(col("label"), col("embedding"))
+    val plant = spark.range(64).crossJoin(one)
+      .select((lit(1000000L) + col("id")).as("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => x * (lit(1.0f) + col("id").cast("float") * lit(0.001f)))
+          .as("embedding"))
+    val all = base.unionByName(plant)
+    def run(blockRows: Int, auto: Boolean) = Similarity.lshDedupPairs(
+      all, threshold = 0.999, blockRows = blockRows, autoChunk = auto)
+    val reference =
+      run(Int.MaxValue, auto = false).collect().map(_.toSeq).toSet
+    val legacy = run(32, auto = false).collect().map(_.toSeq).toSet
+    val autoDf = run(32, auto = true)
+    val autoRows = autoDf.collect().map(_.toSeq).toSet
+    assert(reference.size >= 64 * 63 / 2,
+      "the planted copies must pair up — otherwise the test is vacuous")
+    assert(legacy === reference,
+      "legacy window chunking must be invisible in the pair set")
+    assert(autoRows === reference,
+      "census auto-chunking must be invisible in the pair set")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case qs: QueryStageExec => qs +: nodes(qs.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    // the verify-join payload exchange is the one shipping the vectors
+    // ALREADY keyed by bucket — the narrow pre-kernel cpuRebalance
+    // (round-robin, no bucket column) and the tiny census aggregation
+    // (no vector column) don't count
+    def payloadShuffles(df: org.apache.spark.sql.DataFrame) =
+      nodes(df.queryExecution.executedPlan).collect {
+        case s: ShuffleExchangeLike
+            if s.output.exists(_.name == "v") &&
+              s.output.exists(_.name == "bucket") => s
+      }
+    def hasWindow(df: org.apache.spark.sql.DataFrame) =
+      nodes(df.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    val hotShuffles = payloadShuffles(autoDf)
+    // the r12 regression shape was SERIAL: a session-width chunk-key
+    // exchange stacked ON TOP of the bucket-keyed payload exchange.
+    // The census route keys its payload exchanges on the chunk keys
+    // DIRECTLY (at most two SIBLING exchanges — Catalyst pushes the
+    // b-side kind filter below its repartition, so the b-side ships
+    // home rows only instead of reusing the a-side's full exchange);
+    // a payload exchange nested inside another is the regression.
+    assert(hotShuffles.nonEmpty && hotShuffles.size <= 2,
+      s"census route: expected 1-2 sibling payload exchanges, got " +
+        s"${hotShuffles.size}:\n${autoDf.queryExecution.executedPlan}")
+    assert(hotShuffles.forall(
+      _.outputPartitioning.toString.contains("__i")),
+      "every payload exchange must be keyed on the chunk join keys")
+    assert(hotShuffles.forall(s =>
+      s.children.flatMap(nodes).forall {
+        case c: ShuffleExchangeLike =>
+          !(c.output.exists(_.name == "v") &&
+            c.output.exists(_.name == "bucket"))
+        case _ => true
+      }),
+      "a payload exchange is stacked on another payload exchange — " +
+        "the r12 serial double-shuffle is back:\n" +
+        autoDf.queryExecution.executedPlan)
+    assert(!hasWindow(autoDf),
+      "census route must not compute a count window")
+    // the clean-census default (blockRows = 2048, nothing hot): the
+    // census buys the PROOF, not a plan change — the r12 windowed
+    // short-circuit plan verbatim (the prune window doubles as the
+    // reuse anchor and pushdown barrier; PlanShapeSpec pins its 3
+    // shuffles), so exactly one bucket-keyed payload exchange and no
+    // chunk keys anywhere
+    val clean = run(2048, auto = true)
+    clean.collect()
+    val cleanShuffles = payloadShuffles(clean)
+    assert(cleanShuffles.size === 1,
+      "clean census must keep the single shared bucket-keyed " +
+        s"exchange:\n${clean.queryExecution.executedPlan}")
+    assert(
+      !cleanShuffles.head.outputPartitioning.toString.contains("__i"),
+      "clean census must not pay chunk keys in the exchange")
+    assert(hasWindow(clean),
+      "clean census must keep the r12 windowed plan (the window is " +
+        "the exchange-reuse anchor)")
   }
 
   test("pruneHomeProbe: probe inflow never kills a bucket's home rows " +
