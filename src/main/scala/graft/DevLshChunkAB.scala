@@ -109,7 +109,8 @@ object DevLshChunkAB {
         time(2048, auto = true, s"census-auto#$i", profile = true))
     }
     println(f"[lsh-chunk-ab] n=$n legacyChunked(2048)=$tC%.2f s  " +
-      f"shortCircuit(MaxValue)=$tU%.2f s  censusAuto(2048)=$tA%.2f s  " +
+      f"shortCircuit(MaxValue)=$tU%.2f s  " +
+      f"censusAuto(block=2048,engage=4096)=$tA%.2f s  " +
       f"chunked/sc=${tC / tU}%.2f auto/sc=${tA / tU}%.2f")
     spark.stop()
   }

@@ -288,7 +288,9 @@ object Similarity {
     * (a >blockRows bucket runs as one guarded task of up to
     * ~maxBucket²/2 pair evaluations). [[hotCensus]] runs ONE narrow
     * eager aggregation over the keyed rows — per-group counts, tiny
-    * shuffle, only over-threshold groups collected — and the DRIVER
+    * shuffle, only groups past the ENGAGE threshold collected (a
+    * straggler-tolerance bound looser than the chunk size; see the
+    * engageRows note in [[lshDedupPairs]]) — and the DRIVER
     * picks the plan: no hot group ⇒ the exact windowless
     * short-circuit plan (this branch, zero extra exchange, and the
     * prune window is provably a no-op so it is dropped too); hot
@@ -498,6 +500,7 @@ object Similarity {
                     probes: Int = 1,
                     sizeHint: Option[Long] = None,
                     blockRows: Int = 2048,
+                    engageRows: Int = 4096,
                     autoChunk: Boolean = true): DataFrame = {
     require(probes == 1 || probes == 2,
       s"probes must be 1 (home bucket only) or 2 (+least-margin flip), " +
@@ -540,12 +543,25 @@ object Similarity {
       verifyJoin(chunkForPairJoin(pruned, Seq("tbl", "bucket"), "id",
         block, cntCol = Some("__bn")))
     }
+    // The engage threshold is deliberately LOOSER than the chunk
+    // size: blockRows bounds a chunk task's pair evaluations
+    // (2048² ≈ 4M ≈ 4 s at the measured ~1 µs/SMJ-row eval), while
+    // engageRows is the straggler-tolerance bound — a bucket at or
+    // under it runs unchunked because the hot route's fixed overhead
+    // (the b-side's own exchange, the kernel once per side, m-fold
+    // payload replicas) costs more than the straggler it removes.
+    // Measured at the 2M tier (DevLshChunkAB r13): hottest bucket
+    // 2,574 rows = a 3.3 s straggler, vs +8 s for the engaged route —
+    // engage-at-blockRows was a net loss there, while a bucket past
+    // 4096 (≥ 8 s, growing quadratically toward the ~85-minute
+    // 10⁵-row guard case) pays for the route.
     if (!autoChunk) windowRoute(blockRows)
     else hotCensus(indexed, Seq("tbl", "bucket"),
       Seq(count(when(col("kind") === 0, lit(1))).as("__hn"),
         count(when(col("kind") === 1, lit(1))).as("__pn")),
       col("__hn") > maxBucket || col("__pn") > maxBucket ||
-        col("__hn") + col("__pn") > blockRows) match {
+        col("__hn") + col("__pn") >
+          math.max(blockRows.toLong, engageRows.toLong)) match {
       case None =>
         // Census-clean: the r12 windowless-chunk plan VERBATIM — the
         // census bought the proof that no bucket needs chunking, not

@@ -581,14 +581,14 @@ object VectorQueries {
     // output. The m-fold replica exchange is the forced-witness cost;
     // the DEFAULT never pays it on a clean census.
     "dedup_embed_lsh_chunked" -> QDef(
-      embedLshFn(blockRows = 64), EmbedLshSql)
+      embedLshFn(blockRows = 64, engageRows = 64), EmbedLshSql)
   )
 
   /** The dedup_embed_lsh gate body, parameterized on blockRows so the
     * forced census-engaged sibling runs the IDENTICAL workload with
     * auto-chunking tripped (the pair set is the same, so both entries
     * share one oracle SQL). */
-  private def embedLshFn(blockRows: Int)
+  private def embedLshFn(blockRows: Int, engageRows: Int = 4096)
       : (org.apache.spark.sql.SparkSession, String) => DataFrame =
     (s, d) => {
       val e = Tables.load(s, d, "embeddings")
@@ -608,7 +608,8 @@ object VectorQueries {
       Similarity.lshDedupPairs(e.unionByName(probes),
           threshold = 0.95,
           nBits = Similarity.adaptiveNBits(n), probes = 2,
-          sizeHint = Some(n + n / 10 + 1), blockRows = blockRows)
+          sizeHint = Some(n + n / 10 + 1), blockRows = blockRows,
+          engageRows = engageRows)
         .select(col("a_id"), col("b_id"),
           round(col("cos"), 6).as("cosine"))
     }

@@ -634,7 +634,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val all = u.unionByName(plants) // exact copies → cos = 1 pairs
     def run(blockRows: Int, auto: Boolean) = Similarity.lshDedupPairs(
       all, threshold = 0.999, nBits = 2, probes = 2,
-      blockRows = blockRows, autoChunk = auto)
+      blockRows = blockRows, engageRows = blockRows, autoChunk = auto)
       .collect().map(_.toSeq).toSet
     val reference = run(Int.MaxValue, auto = false)
     val chunked = run(16, auto = false) // legacy window route
@@ -719,7 +719,8 @@ class DedupSimilaritySpec extends SparkSpec {
           .as("embedding"))
     val all = base.unionByName(plant)
     def run(blockRows: Int, auto: Boolean) = Similarity.lshDedupPairs(
-      all, threshold = 0.999, blockRows = blockRows, autoChunk = auto)
+      all, threshold = 0.999, blockRows = blockRows,
+      engageRows = blockRows, autoChunk = auto)
     val reference =
       run(Int.MaxValue, auto = false).collect().map(_.toSeq).toSet
     val legacy = run(32, auto = false).collect().map(_.toSeq).toSet
