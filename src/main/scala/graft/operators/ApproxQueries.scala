@@ -42,6 +42,21 @@ object ApproxQueries {
     * `ann_pq_probe` and `ann_ivf_pq_probe` — the latter probes every
     * cell, which provably collapses the composed IVF-PQ result to
     * this same dense ADC scan. */
+  /** Corpus-relative probe stride for the PQ gates — the
+    * [[VectorQueries.knnProbeStep]] doctrine with this gate's floor:
+    * a FIXED `% 25` makes the probe's query count grow with the
+    * corpus while each query's dense ADC scan also grows with it —
+    * n²/25 total work, measured 419 s isolated at the 2M-vector
+    * tier (DevJobProfile: one perfectly parallel 12,820-core-second
+    * scan stage, util 0.96 — not skew, just quadratic work the gate
+    * never needed). max(25, ceil(n/4000)) caps the query count at
+    * ~4,000 — linear total work — while the floor pins the sf0.01
+    * gate AND sf0.1 bench strides (both under the 100k-row
+    * crossover) so every committed oracle hash is untouched; the
+    * replay SQL computes the SAME stride from its own COUNT(*). */
+  private[graft] def pqProbeStep(n: Long): Long =
+    math.max(25L, math.ceil(n.toDouble / 4000).toLong)
+
   private val pqProbeReplaySql: String =
     "WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) " +
       "AS x, generate_subscripts(embedding, 1) AS pos " +
@@ -54,7 +69,9 @@ object ApproxQueries {
       "THEN -2.0 + 0.25 * li " +
       "ELSE -2.0 + 0.25 * LEAST(li + 1, 15) END AS s FROM lo), " +
       "q AS (SELECT vec_id AS q_id, pos, s AS qs FROM sn " +
-      "WHERE vec_id % 25 = 0), " +
+      "WHERE vec_id % (SELECT GREATEST(25, " +
+      "CAST(CEIL(COUNT(*) / 4000.0) AS BIGINT)) FROM embeddings) " +
+      "= 0), " +
       "p AS (SELECT q.q_id, c.vec_id AS neighbor_id, " +
       "SUM((q.qs - c.s) * (q.qs - c.s)) AS adc FROM q " +
       "JOIN sn c ON q.pos = c.pos AND c.vec_id <> q.q_id " +
@@ -332,8 +349,10 @@ object ApproxQueries {
         val e = Tables.load(s, d, "embeddings")
         val cbs = Similarity.gridCodebooks(dim = 64)
         val codes = Similarity.pqEncode(e, cbs)
+        // corpus-relative stride: 25 at gate/bench tiers (oracle
+        // hashes pinned), ~4k queries max off-tier — see pqProbeStep
         val queries = Similarity.pqDecode(
-          codes.where(col("id") % 25 === 0), cbs)
+          codes.where(col("id") % pqProbeStep(e.count()) === 0), cbs)
         Similarity.pqTopK(codes, cbs, queries, k = 5)
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
             round(col("adc"), 6).as("adc_dist"))
@@ -381,8 +400,10 @@ object ApproxQueries {
         val cbs = Similarity.gridCodebooks(dim = 64)
         val (centroids, codes) = Similarity.ivfPqIndex(e, nlist = 8,
           cbs)
+        // same corpus-relative stride as ann_pq_probe (shared replay
+        // SQL computes it from its own COUNT(*))
         val queries = Similarity.pqDecode(
-          codes.where(col("id") % 25 === 0), cbs)
+          codes.where(col("id") % pqProbeStep(e.count()) === 0), cbs)
         Similarity.ivfPqTopK(centroids, codes, cbs, queries,
           k = 5, nprobe = 8)
           .select(col("q_id"), col("neighbor_id"), col("nn_rank"),
