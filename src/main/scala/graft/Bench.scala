@@ -1,7 +1,234 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Env-var parse with a message naming the variable (r13 ADVICE): a
+    * bare `.toInt` crashed the whole bench with an anonymous
+    * NumberFormatException before any query ran, and a zero/negative
+    * cap would silently cap every query instantly. */
+  private def posIntEnv(name: String): Option[Int] =
+    sys.env.get(name).map { v =>
+      val n =
+        try v.trim.toInt
+        catch { case _: NumberFormatException =>
+          sys.error(s"$name must be a positive integer, got '$v'") }
+      require(n > 0, s"$name must be a positive integer, got '$v'")
+      n
+    }
+
+  /** Marker prefix for per-query wall-cap errors — the isolate-on-cap
+    * child greps for it to decide "restart the JVM here". */
+  private val CappedPrefix = "capped at "
+
+  // ---------------------------------------------------------------
+  // Multi-JVM orchestration (r13 verdict items 2 + 3). Both modes are
+  // OFF-TIER tools — the graded tiers run the plain single-JVM path
+  // (neither env var set), byte-identical to r13.
+  //
+  //  SPARK_GRAFT_BENCH_JVMS=k      min-over-JVMs: run the selected set
+  //    k times, each in a FRESH child JVM, report per-query min across
+  //    JVMs (plus the per-JVM readings in the sidecar). The sf1
+  //    shingle-family attribution proved a ~1.5x INTER-JVM band that
+  //    within-JVM min-of-2 structurally cannot see (BENCH_SF1.md);
+  //    this encodes min-over-JVMs in the tool instead of in prose.
+  //  SPARK_GRAFT_BENCH_ISOLATE=oncap   restart the JVM after any cap
+  //    hit: r13's capped sf10 sweep showed cap-cancellation debris
+  //    poisons every subsequent reading in a shared JVM (asof_join
+  //    83.8 s in-sweep vs 6.6 s fresh). The parent reruns the
+  //    remaining queries in a fresh child after each cap, so every
+  //    reading comes from a JVM that never cancelled a job group.
+  // ---------------------------------------------------------------
+
+  /** Spawn one child graft.Bench JVM with this JVM's exact args
+    * (add-opens, -Xmx) and classpath; the orchestration env vars are
+    * dropped and `extra` is added. Child stdout/stderr pass through. */
+  private def spawnChild(extra: Map[String, String]): Int = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.inheritIO()
+    val env = pb.environment()
+    Seq("SPARK_GRAFT_BENCH_JVMS", "SPARK_GRAFT_BENCH_ISOLATE",
+      "SPARK_GRAFT_ONLY", "SPARK_GRAFT_BENCH_OUT").foreach(env.remove)
+    env.put("SPARK_GRAFT_BENCH_CHILD", "1")
+    extra.foreach { case (k, v) => env.put(k, v) }
+    pb.start().waitFor()
+  }
+
+  /** Read a child sidecar's queries/runs/errors maps (Jackson — on the
+    * classpath via the Spark jars; no SparkSession in the parent). */
+  private def readSidecar(path: String)
+      : (Seq[(String, (Double, Double))], Seq[(String, String)]) = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(new java.io.File(path))
+    import scala.jdk.CollectionConverters._
+    val runs = Option(root.get("runs")).map { r =>
+      r.fields().asScala.toSeq.map { e =>
+        e.getKey -> (e.getValue.get(0).asDouble,
+          e.getValue.get(1).asDouble)
+      }
+    }.getOrElse(Seq.empty)
+    val errs = Option(root.get("errors")).map { r =>
+      r.fields().asScala.toSeq.map(e =>
+        e.getKey -> e.getValue.asText)
+    }.getOrElse(Seq.empty)
+    (runs, errs)
+  }
+
+  /** min-over-JVMs driver: k sequential fresh-JVM full runs of the
+    * selected set; per-query result is the min across JVMs (each
+    * child's own reading is already its within-JVM min-of-runs). A
+    * query errors only if it errored in EVERY JVM. The sidecar gains
+    * "bench_jvms" and a per-query "jvms" array so a cross-round
+    * attribution can quote the band, not just the min. */
+  private def minOverJvms(k: Int): Unit = {
+    val onlyEnv = sys.env.get("SPARK_GRAFT_ONLY")
+    val childOuts = (1 to k).map(i => s"/tmp/graft_bench_jvm$i.json")
+    childOuts.foreach { out =>
+      val rc = spawnChild(
+        Map("SPARK_GRAFT_BENCH_OUT" -> out) ++
+          onlyEnv.map("SPARK_GRAFT_ONLY" -> _))
+      // a child with per-query errors exits 1 after writing its
+      // sidecar — keep going; a child that wrote nothing is fatal
+      require(new java.io.File(out).isFile,
+        s"min-over-JVMs child (rc=$rc) wrote no sidecar at $out")
+    }
+    val perJvm = childOuts.map(readSidecar)
+    val names = perJvm.flatMap { case (r, e) =>
+      r.map(_._1) ++ e.map(_._1) }.distinct
+    val merged = names.map { n =>
+      val oks = perJvm.flatMap(_._1.collectFirst {
+        case (`n`, v) => v })
+      val errsFor = perJvm.flatMap(_._2.collectFirst {
+        case (`n`, e) => e })
+      if (oks.nonEmpty)
+        n -> Right((oks.map(_._1).min, oks.map(_._1).max,
+          oks.map(_._1)))
+      else n -> Left(errsFor.headOption.getOrElse("no reading"))
+    }
+    val ok = merged.collect { case (n, Right(v)) => n -> v }
+    val errs = merged.collect { case (n, Left(e)) => n -> e }
+    val total = ok.map(_._2._1).sum
+    val calib = ok.collectFirst {
+      case ("scan_project", (mn, _, _)) => mn }
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = ok.map { case (n, (mn, _, _)) => "\"" + n + "\":" + mn }
+      .mkString("{", ",", "}")
+    // "runs" = [min-over-JVMs, max-over-JVMs]: the inter-JVM band
+    val rs = ok.map { case (n, (mn, mx, _)) =>
+      "\"" + n + "\":[" + mn + "," + mx + "]" }.mkString("{", ",", "}")
+    val js = ok.map { case (n, (_, _, all)) =>
+      "\"" + n + "\":[" + all.mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val es = errs.map { case (n, e) => "\"" + n + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val calibJson = calib
+      .map(c => s""","calibration_scan_project":$c""").getOrElse("")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","bench_jvms":$k,"queries":$qs,"runs":$rs,"jvms":$js,"errors":$es$calibJson,"sf":"$sfDir"}"""
+    // Never the committed graded sidecar by default: this is a dev
+    // mode, and a full fanout at an off-tier must not clobber
+    // bench_results.json (the r13 copy-then-checkout dance).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_jvms.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] min-over-$k-JVMs results in $outPath")
+    println(line)
+    println("[bench-queries] {" +
+      ok.sortBy { case (_, (mn, _, _)) => -mn }
+        .map { case (n, (mn, _, _)) => "\"" + n + "\":" + f3(mn) }
+        .mkString(",") + "}")
+    if (errs.nonEmpty) sys.exit(1)
+  }
+
+  /** Isolate-on-cap driver: run the selected set in registry order in
+    * a child JVM that EXITS after its first cap hit; restart a fresh
+    * child on the remaining queries until done. Every reading in the
+    * merged sidecar comes from a JVM with zero prior job-group
+    * cancellations — a measurement, not a screen. */
+  private def isolateOnCap(): Unit = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_(n)))
+    var remaining = selected
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, Either[String, (Double, Double)]]
+    var round = 0
+    while (remaining.nonEmpty) {
+      round += 1
+      val out = s"/tmp/graft_bench_isolate_r$round.json"
+      new java.io.File(out).delete()
+      spawnChild(Map(
+        "SPARK_GRAFT_ONLY" -> remaining.mkString(","),
+        "SPARK_GRAFT_BENCH_OUT" -> out,
+        "SPARK_GRAFT_EXIT_ON_CAP" -> "1"))
+      require(new java.io.File(out).isFile,
+        s"isolate-on-cap child $round wrote no sidecar — aborting " +
+          s"with ${remaining.size} queries unmeasured")
+      val (runs, errs) = readSidecar(out)
+      runs.foreach { case (n, v) => acc(n) = Right(v) }
+      errs.foreach { case (n, e) => acc(n) = Left(e) }
+      val done = (runs.map(_._1) ++ errs.map(_._1)).toSet
+      val before = remaining.size
+      remaining = remaining.filterNot(done)
+      require(remaining.size < before,
+        s"isolate-on-cap child $round recorded nothing — aborting")
+      if (remaining.nonEmpty)
+        System.err.println(s"[bench] isolate-on-cap: restarting " +
+          s"after cap (${remaining.size} queries remain)")
+    }
+    val ok = acc.toSeq.collect { case (n, Right(v)) => n -> v }
+    val errs = acc.toSeq.collect { case (n, Left(e)) => n -> e }
+    val total = ok.map(_._2._1).sum
+    val calib = ok.collectFirst { case ("scan_project", (mn, _)) => mn }
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = ok.map { case (n, (mn, _)) => "\"" + n + "\":" + mn }
+      .mkString("{", ",", "}")
+    val rs = ok.map { case (n, (mn, mx)) =>
+      "\"" + n + "\":[" + mn + "," + mx + "]" }.mkString("{", ",", "}")
+    val es = errs.map { case (n, e) => "\"" + n + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val calibJson = calib
+      .map(c => s""","calibration_scan_project":$c""").getOrElse("")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","isolate":"oncap","jvm_restarts":${round - 1},"queries":$qs,"runs":$rs,"errors":$es$calibJson,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_isolate.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] isolate-on-cap results in $outPath " +
+      s"(${round - 1} JVM restarts)")
+    println(line)
+    println("[bench-queries] {" +
+      ok.sortBy { case (_, (mn, _)) => -mn }
+        .map { case (n, (mn, _)) => "\"" + n + "\":" + f3(mn) }
+        .mkString(",") + "}")
+    // cap errors are the EXPECTED outcome for by-design capped
+    // witnesses in this mode; only a non-cap error fails the sweep
+    if (errs.exists(!_._2.startsWith(CappedPrefix))) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
+    val jvms = posIntEnv("SPARK_GRAFT_BENCH_JVMS")
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE")
+    isolate.foreach(v => require(v == "oncap",
+      s"SPARK_GRAFT_BENCH_ISOLATE: unknown mode '$v' (only 'oncap')"))
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) {
+      if (jvms.exists(_ > 1)) { minOverJvms(jvms.get); return }
+      if (isolate.contains("oncap")) { isolateOnCap(); return }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries —
@@ -71,9 +298,9 @@ object Bench {
     // unboundedly off-tier; the cap records it as an error
     // ("capped at Ns") instead of stalling the sweep. UNSET on every
     // graded tier — the default path is byte-identical to uncapped.
-    val capS = sys.env.get("SPARK_GRAFT_QUERY_CAP_S").map(_.toInt)
-    val runsPer = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .map(_.toInt).getOrElse(2)
+    val capS = posIntEnv("SPARK_GRAFT_QUERY_CAP_S")
+    val runsPer = posIntEnv("SPARK_GRAFT_BENCH_RUNS").getOrElse(2)
+    val exitOnCap = sys.env.contains("SPARK_GRAFT_EXIT_ON_CAP")
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -91,22 +318,42 @@ object Bench {
           case Some(c) =>
             // the job group is thread-local: set it INSIDE the future
             // (the thread that triggers the jobs) so the cancel from
-            // this thread reaches the query's jobs and nothing else
+            // this thread reaches the query's jobs and nothing else.
+            // The latch (r13 ADVICE) closes the cancel race: the
+            // timeout clock starts only AFTER the group is set, so a
+            // saturated EC can't make cancelJobGroup a no-op; and on
+            // timeout the cancel repeats until the future actually
+            // completes — a multi-job query that submits its next job
+            // after a single cancel landed between jobs would
+            // otherwise keep running in the background, consuming
+            // executor slots and contaminating every later timing.
             val gid = s"bench-cap-${System.nanoTime()}"
+            val started = new java.util.concurrent.CountDownLatch(1)
             import scala.concurrent.{Await, Future}
             import scala.concurrent.duration._
             import scala.concurrent.ExecutionContext.Implicits.global
             val f = Future {
               spark.sparkContext.setJobGroup(gid, "bench query cap",
                 interruptOnCancel = true)
+              started.countDown()
               try fn(spark, sfDir).write.format("noop")
                 .mode("overwrite").save()
               finally spark.sparkContext.clearJobGroup()
             }
+            started.await()
             try Await.result(f, c.seconds)
             catch { case _: java.util.concurrent.TimeoutException =>
-              spark.sparkContext.cancelJobGroup(gid)
-              throw new RuntimeException(s"capped at ${c}s")
+              var done = false
+              while (!done) {
+                spark.sparkContext.cancelJobGroup(gid)
+                done =
+                  try { Await.ready(f, 2.seconds); true }
+                  catch {
+                    case _: java.util.concurrent.TimeoutException =>
+                      false
+                  }
+              }
+              throw new RuntimeException(s"$CappedPrefix${c}s")
             }
         }
         Right((System.nanoTime() - t0) / 1e9)
@@ -136,11 +383,63 @@ object Bench {
     val selected = only
       .map(o => SparkEntry.queries.filter(kv => o(kv._1)))
       .getOrElse(SparkEntry.queries)
-    selected.foreach { case (_, fn) =>
+    // Under EXIT_ON_CAP the global warmup pass is SKIPPED: a cap hit
+    // during it would dirty the JVM for every query timed after, which
+    // is exactly what this mode exists to prevent. Warmup moves
+    // per-query (interleaved below): earlier queries in the same child
+    // warm the shared JVM machinery, and each query's own untimed
+    // warmup run amortizes its JIT before its timed runs.
+    if (!exitOnCap) selected.foreach { case (_, fn) =>
       timeOnce(fn) // warmup: errors (and cap hits) surface in the
       ()           // timed runs where they are recorded per-query
+    } else {
+      // Whole-JVM warmup that is NOT subject to the cap: after each
+      // isolate-on-cap restart the first query would otherwise pay
+      // JVM cold start (classloading, codegen compiler, parquet
+      // reader, noop committer) inside its CAPPED warmup run — a
+      // 2-5 s tax that spuriously capped a 0.3 s query in testing.
+      // One tiny shuffle+noop write and one small parquet scan warm
+      // the shared machinery; per-query JIT still comes from each
+      // query's own warmup below.
+      try {
+        spark.range(100000L)
+          .groupBy(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.lit(100L)))
+          .count().write.format("noop").mode("overwrite").save()
+        Tables.load(spark, sfDir, "nation").write.format("noop")
+          .mode("overwrite").save()
+      } catch { case _: Throwable => () }
     }
-    val results = selected.map { case (name, fn) =>
+    // both runs kept, sorted: "queries" reports the min (steady
+    // state, the graded number), "runs" reports [min, max] so a
+    // contended host is diagnosable from the JSON alone — a 10×
+    // max/min spread is noise-on-this-box, a tight pair that is
+    // uniformly slower than last round is a real regression. A
+    // first-run error (incl. a cap hit) short-circuits: re-running
+    // a known-capped query would double the sweep's stall budget.
+    // min-of-1 for OFF-TIER sweeps (SPARK_GRAFT_BENCH_RUNS=1,
+    // paired with the query cap): [min,max] collapse to the one
+    // reading; every graded tier keeps the min-of-2 default.
+    def timedRuns(fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame)
+        : Either[String, (Double, Double)] =
+      timeOnce(fn) match {
+        case Left(e) => Left(e)
+        case Right(a) if runsPer <= 1 => Right((a, a))
+        case Right(a) => timeOnce(fn) match {
+          case Right(b) => Right((math.min(a, b), math.max(a, b)))
+          case Left(e) => Left(e)
+        }
+      }
+    def isCap(r: Either[String, (Double, Double)]): Boolean =
+      r.left.exists(_.startsWith(CappedPrefix))
+    val buf = scala.collection.mutable.ListBuffer
+      .empty[(String, Either[String, (Double, Double)])]
+    val it = selected.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val (name, fn) = it.next()
       // Untimed inter-query hygiene: an explicit GC lets Spark's
       // ContextCleaner reclaim the previous queries' broadcasts and
       // shuffle state NOW instead of mid-way through a later query's
@@ -148,26 +447,23 @@ object Bench {
       // unrelated queries' readings up to 15×; with 24g + this, a
       // query's full-run timing tracks its isolated cost.
       System.gc()
-      // both runs kept, sorted: "queries" reports the min (steady
-      // state, the graded number), "runs" reports [min, max] so a
-      // contended host is diagnosable from the JSON alone — a 10×
-      // max/min spread is noise-on-this-box, a tight pair that is
-      // uniformly slower than last round is a real regression. A
-      // first-run error (incl. a cap hit) short-circuits: re-running
-      // a known-capped query would double the sweep's stall budget.
-      val r = timeOnce(fn) match {
-        case Left(e) => Left(e)
-        // min-of-1 for OFF-TIER sweeps (SPARK_GRAFT_BENCH_RUNS=1,
-        // paired with the query cap): [min,max] collapse to the one
-        // reading; every graded tier keeps the min-of-2 default
-        case Right(a) if runsPer <= 1 => Right((a, a))
-        case Right(a) => timeOnce(fn) match {
-          case Right(b) => Right((math.min(a, b), math.max(a, b)))
-          case Left(e) => Left(e)
+      val r =
+        if (!exitOnCap) timedRuns(fn)
+        else timeOnce(fn) match {
+          // per-query warmup (the interleaved form — see above); a
+          // warmup cap counts as THIS query's cap, the timed run
+          // would only re-pay it. Other warmup errors are swallowed
+          // and re-surface in the timed runs, as in the global pass.
+          case Left(e) if e.startsWith(CappedPrefix) => Left(e)
+          case _ => timedRuns(fn)
         }
-      }
-      name -> r
+      buf += name -> r
+      // EXIT_ON_CAP: record the capped query, then stop — the parent
+      // restarts a fresh JVM on the rest, so no reading ever comes
+      // from a JVM that cancelled a job group.
+      if (exitOnCap && isCap(r)) stop = true
     }
+    val results = buf.toList
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errs = results.collect { case (k, Left(e)) => k -> e }
     val qs = ok.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
@@ -177,12 +473,12 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errs.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
+    val total = if (ok.nonEmpty) ok.map(_._2._1).sum else 0.0
     // Per-run noise calibration (r8 verdict item 7): scan_project is a
     // fixed 0-shuffle scan whose cost can only move with the host, so
     // its min is this run's noise constant — cross-round comparisons
     // divide by it before attributing a delta to a plan change.
-    val calib = ok.get("scan_project").map(_._1)
+    val calib = ok.collectFirst { case ("scan_project", (mn, _)) => mn }
     val calibJson = calib.map(c => s""","calibration_scan_project":$c""")
       .getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$es$calibJson,"sf":"$sfDir"}"""
@@ -217,7 +513,7 @@ object Bench {
     // independent of the tail window below — anyone reading the raw
     // round log (or the driver, if it ever scans whole stdout) gets
     // all entries without opening the sidecar.
-    val slowFirst = ok.toSeq.sortBy { case (_, (mn, _)) => -mn }
+    val slowFirst = ok.sortBy { case (_, (mn, _)) => -mn }
     println("[bench-queries] {" + slowFirst.map { case (k, (mn, _)) =>
       "\"" + k + "\":" + f3(mn) }.mkString(",") + "}")
     // Final COMPACT line, sized for the driver's 2000-char tail
@@ -246,6 +542,11 @@ object Bench {
     System.out.flush(); System.err.flush()
     println(head + entries.mkString(",") + tailPart)
     spark.stop()
+    // EXIT_ON_CAP: exit 3 tells the parent "stopped at a cap, restart
+    // me on the rest" — distinct from 1 (real error)
+    if (exitOnCap &&
+        errs.exists(_._2.startsWith(CappedPrefix)) &&
+        results.size < selected.size) sys.exit(3)
     if (errs.nonEmpty) sys.exit(1)
   }
 }

@@ -41,6 +41,37 @@ object DevSemTime {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
     println(s"[semtime] n=$n step=$step centroids=${cents.length}")
     val all = e.unionByName(plants)
+    // Interleaved A/B (r13 verdict item 4): the WINDOWED per-cell
+    // engage (autoChunk=false, the committed default) vs the CENSUS
+    // route now that it persists the celled frame (the census's count
+    // job materializes the assignment kernel instead of re-running
+    // it). Registry-identical workload; cache cleared before every
+    // run so each reading pays its own materialization.
+    // `runMain graft.DevSemTime <sfDir> ab [rounds]`
+    if (args.lift(1).contains("ab")) {
+      val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+      def run(auto: Boolean): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        Similarity.semanticDedup(all, cents, threshold = 0.44,
+          sizeHint = Some(n + n / 100 + 1), blockRows = 2048,
+          autoChunk = auto)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(auto = false); run(auto = true) // shared warmup
+      val (ws, cs) = (Array.fill(rounds)(0.0), Array.fill(rounds)(0.0))
+      (0 until rounds).foreach { r =>
+        ws(r) = run(auto = false)
+        cs(r) = run(auto = true)
+        println(f"[semab] round ${r + 1}: window=${ws(r)}%.2f s " +
+          f"census_cached=${cs(r)}%.2f s")
+      }
+      println(f"[semab] MIN window=${ws.min}%.2f s " +
+        f"census_cached=${cs.min}%.2f s ratio=${cs.min / ws.min}%.3f")
+      spark.stop()
+      return
+    }
     // construction runs the pair pipeline + components EAGERLY
     // (dupComponents checkpoints per round); the write then runs the
     // verdict join (one more assignment pass over `celled`)

@@ -222,7 +222,12 @@ object StreamBench {
     // shrink state, so the plateau claim held, but the curve would
     // not be a lossless replay; r12 ADVICE).
     val evictDir = s"$tmp/src_evict"
-    StreamFeed.mkSrc(spark, all, nEvents, evictDir, 16, byTs = true)
+    // single source of truth for the slice count: the batch-count
+    // assertion below derives from it (r13 ADVICE — a hardcoded 18
+    // next to a separately-passed 16 fails far from the cause)
+    val evictSlices = 16
+    StreamFeed.mkSrc(spark, all, nEvents, evictDir, evictSlices,
+      byTs = true)
     val eq = {
       val s = spark.readStream.schema(evSchema)
         .option("maxFilesPerTrigger", "1").parquet(evictDir)
@@ -246,9 +251,10 @@ object StreamBench {
     // into `real`, making the plateau assertion vacuous.
     val withData = eq.recentProgress.toSeq
       .filter(p => p.numInputRows > 0 && p.stateOperators.nonEmpty)
-    require(withData.size == 18,
-      s"eviction probe: expected exactly 18 data batches (16 slices " +
-        s"+ 2 sentinels, one file per trigger), got ${withData.size}")
+    require(withData.size == evictSlices + 2,
+      s"eviction probe: expected exactly ${evictSlices + 2} data " +
+        s"batches ($evictSlices slices + 2 sentinels, one file per " +
+        s"trigger), got ${withData.size}")
     val evictCurve =
       withData.map(_.stateOperators.map(_.numRowsTotal).sum)
     // last two data batches are the far-future sentinels (watermark
@@ -283,7 +289,7 @@ object StreamBench {
       s"curve=${evictCurve.mkString(",")}")
     val evictJson =
       s""""interval_join_evict":{"watermark":"30 minutes",""" +
-        s""""slices":16,"peak_state_rows":$evPeak,""" +
+        s""""slices":$evictSlices,"peak_state_rows":$evPeak,""" +
         s""""mid_state_rows":$evMid,"last_real_state_rows":$evLast,""" +
         s""""final_state_rows":${evictCurve.last},""" +
         s""""state_rows_curve":[${evictCurve.mkString(",")}]}"""

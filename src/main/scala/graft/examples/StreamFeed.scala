@@ -63,6 +63,18 @@ object StreamFeed {
         val bucket = least(lit(quarters - 1),
           ((col("ts").cast("long") - lit(lo)) *
             lit(quarters.toLong) / lit(span)).cast("int"))
+        // Assert slice non-emptiness at STAGING time (r13 ADVICE): a
+        // skewed ts distribution that lands a slice empty would stage
+        // a 0-row file → a numInputRows=0 batch → the caller's
+        // data-batch-count assertion fails far from the cause. One
+        // counting aggregation here names the empty slices instead.
+        val present = all.select(bucket.as("q")).groupBy("q").count()
+          .collect().map(r => r.getInt(0)).toSet
+        val emptySlices = (0 until quarters).filterNot(present)
+        require(emptySlices.isEmpty,
+          s"mkSrc(byTs=true): ts slices ${emptySlices.mkString(",")} " +
+            s"of $quarters are empty — the event-time distribution " +
+            "is too skewed for equal-ts-range slicing at this count")
         q => bucket === lit(q)
       } else {
         q => col("event_id") >= lit(q * nEvents / quarters) &&

@@ -1621,6 +1621,23 @@ object Similarity {
     * cap should scale `maxCell` by `probes`. ([[lshDedupPairs]] is
     * different: its b-side is home-only, so it prunes on home counts.)
     *
+    * Engage-policy defaults (r14, closing the r13 ADVICE note):
+    * `blockRows = Int.MaxValue` keeps default callers on the
+    * windowless short-circuit plan — the r12 shape every example
+    * driver measured — so turning chunking on is an explicit opt-in
+    * (the registry gate passes `blockRows = 2048`, the value its
+    * committed numbers were measured at). `autoChunk = false` keeps
+    * the WINDOWED engage; the census route (autoChunk = true) now
+    * persists the celled frame so its count job materializes the
+    * assignment kernel instead of re-running it — the r14 A/B
+    * (DevSemTime ab): census-cached 54.4 s vs window 56.6 s at sf10
+    * (2M vectors, ratio 0.96 — a tie within round noise) and 1.84 s
+    * vs 1.76 s at sf1 (1.05× — the extra eager job is visible where
+    * the query is small). A tie doesn't pay for an extra eager job
+    * plus a corpus-sized cache at every tier, so the window stays
+    * the default and the census stays the documented alternative
+    * for callers that want lshDedupPairs' exact-counts policy.
+    *
     * @return (vec_id, cell, canonical_id, keep) — keep=1 iff the row
     *         is its cluster's canonical (or a singleton)
     */
@@ -1630,7 +1647,7 @@ object Similarity {
                     maxCell: Int = 100000,
                     probes: Int = 1,
                     sizeHint: Option[Long] = None,
-                    blockRows: Int = 2048,
+                    blockRows: Int = Int.MaxValue,
                     autoChunk: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "semanticDedup needs >= 1 centroid")
     require(probes >= 1 && probes <= centroids.length,
@@ -1732,24 +1749,45 @@ object Similarity {
           .where(col("__cnt") <= maxCell)
         chunkForPairJoin(counted,
           Seq("cell"), "id", blockRows, cntCol = Some("__cnt"))
-      } else hotCensus(pairSource, Seq("cell"),
-        Seq(count(lit(1)).as("__cnt")),
-        col("__cnt") > maxCell || col("__cnt") > blockRows) match {
-        case None =>
-          chunkForPairJoin(lowExchange(pairSource, sizeHint,
-            rowsPerItem = probes.toLong,
-            rowBytes = 8L * cts(0).length + 128L, keys = Seq("cell")),
-            Seq("cell"), "id", Int.MaxValue)
-        case Some(hotDf) =>
-          val pruned = pairSource
-            .join(broadcast(hotDf), Seq("cell"), "left")
-            .where(coalesce(col("__cnt") <= maxCell, lit(true)))
-            .withColumn("__cnt", coalesce(col("__cnt"), lit(1L)))
-          lowExchange(chunkForPairJoin(pruned,
-            Seq("cell"), "id", blockRows, cntCol = Some("__cnt")),
-            sizeHint, rowsPerItem = probes.toLong,
-            rowBytes = 8L * cts(0).length + 128L,
-            keys = Seq("cell", "__i", "__j"))
+      } else {
+        // Census route, CACHED (r14, r13 verdict item 4): unlike
+        // lshDedupPairs — whose index kernel is a few percent of the
+        // query — this operator's cell assignment IS the dominant
+        // pass (n·√n·dim mult-adds, ~20 s of 56.5 s at sf10), so an
+        // eager census that re-derived the cells from scratch paid
+        // the kernel twice. Persisting the celled pair source makes
+        // the census's one count job MATERIALIZE the kernel's output;
+        // the self-join sides (and, at probes = 1, the verdict join,
+        // which shares this exact plan) then read cached cells. At
+        // 100-TB widths the cache is n·(8·dim+overhead) bytes,
+        // MEMORY_AND_DISK so overflow spills instead of OOM-ing, and
+        // lineage is kept (an executor loss recomputes, it doesn't
+        // kill the query — the reason this is persist, not
+        // localCheckpoint). The entry stays in the CacheManager until
+        // the plan is GC'd (ContextCleaner) — acceptable for a
+        // terminal operator; callers looping semanticDedup per epoch
+        // should spark.catalog.clearCache() between rounds.
+        val src = pairSource
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hotCensus(src, Seq("cell"),
+          Seq(count(lit(1)).as("__cnt")),
+          col("__cnt") > maxCell || col("__cnt") > blockRows) match {
+          case None =>
+            chunkForPairJoin(lowExchange(src, sizeHint,
+              rowsPerItem = probes.toLong,
+              rowBytes = 8L * cts(0).length + 128L, keys = Seq("cell")),
+              Seq("cell"), "id", Int.MaxValue)
+          case Some(hotDf) =>
+            val pruned = src
+              .join(broadcast(hotDf), Seq("cell"), "left")
+              .where(coalesce(col("__cnt") <= maxCell, lit(true)))
+              .withColumn("__cnt", coalesce(col("__cnt"), lit(1L)))
+            lowExchange(chunkForPairJoin(pruned,
+              Seq("cell"), "id", blockRows, cntCol = Some("__cnt")),
+              sizeHint, rowsPerItem = probes.toLong,
+              rowBytes = 8L * cts(0).length + 128L,
+              keys = Seq("cell", "__i", "__j"))
+        }
       }
     val rawPairs = chunked.as("a").join(chunked.as("b"),
         col("a.cell") === col("b.cell") &&

@@ -430,14 +430,18 @@ object VectorQueries {
     // threshold boundary. The oracle recomputes cells, pairs, AND the
     // transitive closure (recursive CTE), so the hash gate checks
     // blocking, pairing, and clustering at once.
-    // blockRows = 2048 through the WINDOWED per-cell engage — the
-    // r12 pin, now the function default and INTENTIONAL (r12 ADVICE):
-    // the chunk-key join's extra exchange re-ships only the 1× n-row
-    // cell payload, cheap next to the n·√n·dim assignment kernel
-    // that dominates this operator, while the census alternative
-    // (lshDedupPairs' default) would re-run that kernel eagerly just
-    // to make the same per-cell decision the window makes in-plan —
-    // see the semanticDedup body comment for the measured ratio.
+    // blockRows = 2048 through the WINDOWED per-cell engage, passed
+    // EXPLICITLY (r13 ADVICE: the function default is back to the
+    // windowless Int.MaxValue so example drivers keep the plan they
+    // measured; this registry gate is the call site the 2048 numbers
+    // were measured at): the chunk-key join's extra exchange
+    // re-ships only the 1× n-row cell payload, cheap next to the
+    // n·√n·dim assignment kernel that dominates this operator. The
+    // census alternative (lshDedupPairs' default) now caches the
+    // celled frame instead of re-running that kernel, which brings
+    // it to a TIE at sf10 (54.4 vs 56.6 s, DevSemTime ab r14) — not
+    // a win, so the in-plan window keeps the default; see the
+    // semanticDedup scaladoc for the full A/B.
     "semantic_dedup" -> QDef(
       semanticDedupFn(blockRows = 2048), SemanticDedupSql),
     // Forced-ENGAGED sibling (the percentile_scale_dist /

@@ -80,6 +80,17 @@ class PlanShapeSpec extends SparkSpec {
     // guard folds both counts into the self-join's own exchange); the
     // one broadcast is the exact-verify rejoin's small side
     ("dedup_embed_lsh", 3, 1),
+    // the FORCED census-engaged sibling (blockRows=64 trips the eager
+    // census at any tier): the same 3 exchanges — the kernel's
+    // round-robin rebalance + one payload exchange PER SELF-JOIN SIDE
+    // keyed on the full (tbl, bucket, __i, __j) join keys (the b-side
+    // pre-filters to home rows below its exchange, so the sides are
+    // non-identical by design) — and NOT four: a 4th would be the r12
+    // double-shuffle shape (bucket exchange + a second session-width
+    // chunk-key exchange) this route exists to make structurally
+    // impossible. Broadcasts: the census literal + the verify rejoin
+    // (r13 verdict item 5 asked for exactly this pin).
+    ("dedup_embed_lsh_chunked", 3, 1),
     // cluster-blocked SemDeDup: the assignment kernel's rebalance +
     // centroid assign + in-cluster pairing, no broadcast required
     // (pairs co-locate on the cluster key). At fixture scale the
