@@ -343,9 +343,24 @@ object Bench {
             started.await()
             try Await.result(f, c.seconds)
             catch { case _: java.util.concurrent.TimeoutException =>
+              // Streaming gates are not stoppable through the job
+              // group alone: cancel kills the ACTIVE micro-batch job,
+              // but awaitTermination blocks on (and the runner
+              // restarts) the stream itself, so the pure cancel loop
+              // spun forever on a capped streaming query. Stop active
+              // streams too (only the capped query's can be running —
+              // Bench executes one query at a time), and BOUND the
+              // loop: if the thread still won't die (a driver-side
+              // phase between jobs), record the cap and move on —
+              // under EXIT_ON_CAP the JVM exits right after, which
+              // kills any leaked work for real.
               var done = false
-              while (!done) {
+              var attempts = 0
+              while (!done && attempts < 15) {
+                attempts += 1
                 spark.sparkContext.cancelJobGroup(gid)
+                try spark.streams.active.foreach(_.stop())
+                catch { case _: Throwable => () }
                 done =
                   try { Await.ready(f, 2.seconds); true }
                   catch {
@@ -353,6 +368,10 @@ object Bench {
                       false
                   }
               }
+              if (!done) System.err.println(s"[bench] WARNING: capped " +
+                s"query thread did not exit after $attempts cancel " +
+                "rounds — readings after this one are suspect unless " +
+                "EXIT_ON_CAP restarts the JVM")
               throw new RuntimeException(s"$CappedPrefix${c}s")
             }
         }
