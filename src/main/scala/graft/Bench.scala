@@ -21,6 +21,16 @@ object Bench {
     * child greps for it to decide "restart the JVM here". */
   private val CappedPrefix = "capped at "
 
+  /** Core count for the session AND the artifact stamp. Default 32 =
+    * the brief's `local[32]` bench methodology (and what the driver's
+    * graded runs set explicitly). It was 4 until r14, when an sf10
+    * sweep launched without the env var silently ran `local[4]` —
+    * CPU-bound rows read 2-8× high, the ANN family spuriously hit the
+    * 120 s cap, and streaming (wall-bound) rows looked normal, which
+    * masked it for 45 minutes. The value is emitted in every result
+    * line so a mis-set run is diagnosable from the artifact alone. */
+  private def benchCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
   // ---------------------------------------------------------------
   // Multi-JVM orchestration (r13 verdict items 2 + 3). Both modes are
   // OFF-TIER tools — the graded tiers run the plain single-JVM path
@@ -133,7 +143,7 @@ object Bench {
       .map(c => s""","calibration_scan_project":$c""").getOrElse("")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","bench_jvms":$k,"queries":$qs,"runs":$rs,"jvms":$js,"errors":$es$calibJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$benchCpus,"bench_jvms":$k,"queries":$qs,"runs":$rs,"jvms":$js,"errors":$es$calibJson,"sf":"$sfDir"}"""
     // Never the committed graded sidecar by default: this is a dev
     // mode, and a full fanout at an off-tier must not clobber
     // bench_results.json (the r13 copy-then-checkout dance).
@@ -203,7 +213,7 @@ object Bench {
       .map(c => s""","calibration_scan_project":$c""").getOrElse("")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","isolate":"oncap","jvm_restarts":${round - 1},"queries":$qs,"runs":$rs,"errors":$es$calibJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$benchCpus,"isolate":"oncap","jvm_restarts":${round - 1},"queries":$qs,"runs":$rs,"errors":$es$calibJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/tmp/graft_bench_isolate.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -230,7 +240,7 @@ object Bench {
       if (isolate.contains("oncap")) { isolateOnCap(); return }
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = benchCpus
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries —
     // iterating on one query's plan shouldn't cost a full-surface run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -500,7 +510,7 @@ object Bench {
     val calib = ok.collectFirst { case ("scan_project", (mn, _)) => mn }
     val calibJson = calib.map(c => s""","calibration_scan_project":$c""")
       .getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$es$calibJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"runs":$rs,"errors":$es$calibJson,"sf":"$sfDir"}"""
     println(line)
     // The full line ALSO lands in a file: the driver's stdout capture
     // truncated BENCH_r08.json mid-JSON (parsed: null), losing ~90 of
@@ -548,7 +558,7 @@ object Bench {
     // reads). Budget: the window minus sbt's trailing "[success]
     // Total time: …" line (~80 B measured in BENCH_r11.json's tail),
     // minus slack for its variance — 1840 B total line length.
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${ok.size},"nerr":${errs.size}$calibJson,"sf":"$sfDir","full":"$outPath","queries":{"""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpus":$cpus,"n":${ok.size},"nerr":${errs.size}$calibJson,"sf":"$sfDir","full":"$outPath","queries":{"""
     val tailPart = "}}"
     val budget = 1840 - head.length - tailPart.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
