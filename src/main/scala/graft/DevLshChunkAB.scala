@@ -19,9 +19,17 @@ object DevLshChunkAB {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Same override Bench documents: partitions=cpus is right while a
+    // partition's shuffle state fits its memory share; the ≥6M-vector
+    // tiers need more slices (GROWTH_SF10.md's 256-partition note) or
+    // the verify join pays a spill tax the work model doesn't include.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        shufflePartitions)
       .config("spark.sql.files.maxPartitionBytes", "16777216")
       .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
@@ -85,7 +93,15 @@ object DevLshChunkAB {
       val t0 = System.nanoTime()
       q(blockRows, auto).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
+      // Untimed inter-run hygiene (same rationale as Bench's
+      // inter-query GC): a run's shuffle files live until the
+      // ContextCleaner collects the driver-side references, and at the
+      // ≥10M-vector tiers one run writes tens of GB — two runs'
+      // accumulated files exhausted this host's disk before the r14
+      // GC was added. The explicit GC lets the cleaner drop the
+      // previous run's shuffles NOW, bounding peak scratch to ~one run.
+      System.gc()
+      Thread.sleep(2000)
       if (profile) jobs.synchronized {
         println(f"[lsh-chunk-ab] $label wall=$dt%.2f per-job:")
         jobs.values.foreach { j =>
@@ -99,19 +115,38 @@ object DevLshChunkAB {
     // legacy short-circuit (the r12 default) / census auto (the r13
     // default — clean census at this tier ⇒ windowless plan + the
     // eager census job)
+    // Variant selector for tiers where a variant is out of envelope:
+    // SPARK_GRAFT_AB_ONLY=sc,auto skips e.g. the legacy windowed
+    // chunking, whose extra window sort + two non-reusable
+    // vector-bearing exchanges ENOSPC'd a 55 GB scratch disk at the
+    // 10M-vector tier (the short-circuit and census routes, one
+    // reused/payload exchange each, fit the same disk).
+    val abOnly = sys.env.get("SPARK_GRAFT_AB_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    abOnly.foreach { s =>
+      val unknown = s -- Set("chunked", "sc", "auto")
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_AB_ONLY: unknown variant(s) ${unknown.mkString(",")}")
+    }
+    def want(k: String): Boolean = abOnly.forall(_(k))
     var (tC, tU, tA) = (Double.MaxValue, Double.MaxValue, Double.MaxValue)
     for (i <- 1 to 2) {
-      tC = math.min(tC,
+      if (want("chunked")) tC = math.min(tC,
         time(2048, auto = false, s"legacy-chunked#$i", profile = true))
-      tU = math.min(tU, time(Int.MaxValue, auto = false,
+      if (want("sc")) tU = math.min(tU, time(Int.MaxValue, auto = false,
         s"short-circuit#$i", profile = true))
-      tA = math.min(tA,
+      if (want("auto")) tA = math.min(tA,
         time(2048, auto = true, s"census-auto#$i", profile = true))
     }
-    println(f"[lsh-chunk-ab] n=$n legacyChunked(2048)=$tC%.2f s  " +
-      f"shortCircuit(MaxValue)=$tU%.2f s  " +
-      f"censusAuto(block=2048,engage=4096)=$tA%.2f s  " +
-      f"chunked/sc=${tC / tU}%.2f auto/sc=${tA / tU}%.2f")
+    def f(v: Double): String =
+      if (v == Double.MaxValue) "skipped" else f"$v%.2f s"
+    println(s"[lsh-chunk-ab] n=$n legacyChunked(2048)=${f(tC)}  " +
+      s"shortCircuit(MaxValue)=${f(tU)}  " +
+      s"censusAuto(block=2048,engage=4096)=${f(tA)}" +
+      (if (tC != Double.MaxValue && tU != Double.MaxValue)
+        f"  chunked/sc=${tC / tU}%.2f" else "") +
+      (if (tA != Double.MaxValue && tU != Double.MaxValue)
+        f"  auto/sc=${tA / tU}%.2f" else ""))
     spark.stop()
   }
 }
