@@ -54,28 +54,56 @@ object StreamGateQueries {
     // driver testdata). Pin that assumption: a regenerated table with
     // a longer span plus a multi-batch replay could evict state
     // mid-run and fail the gate confusingly — or pass by luck.
-    val mm = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-      .head()
-    val spanMs = mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime
+    // The span aggregate rides the staging write as an Observation —
+    // one pass over events, not a min/max pass plus a write pass (the
+    // staged bytes are the same scan either way; at corpus scale the
+    // second full read is the entire cost of the check).
+    val span = org.apache.spark.sql.Observation()
+    ev.observe(span, min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .write.mode("overwrite").parquet(s"$base/src")
+    val spanMs = span.get("hi").asInstanceOf[java.sql.Timestamp].getTime -
+      span.get("lo").asInstanceOf[java.sql.Timestamp].getTime
     require(spanMs < 45L * 86400000L,
       s"events span ${spanMs / 86400000L} days >= the 45-day gate " +
         "watermark - widen the watermark in StreamGateQueries or the " +
         "no-eviction replay argument no longer holds")
-    ev.write.mode("overwrite").parquet(s"$base/src")
     val src = s.readStream.schema(ev.schema).parquet(s"$base/src")
     (base, src)
   }
 
+  /** Run `body` (a gate's stream start + drain) with trailing no-data
+    * micro-batches disabled, restoring the session default after. The
+    * no-data batch exists to advance the watermark and evict/finalize
+    * state EAGERLY between data arrivals — on a run-to-completion
+    * AvailableNow replay it fires once after the last data batch,
+    * reloads every state store partition, evicts, and emits nothing
+    * the gates read: the inner stream-stream joins emit on match and
+    * dropDuplicatesWithinWatermark emits on first arrival (both
+    * during data batches), and the hourly gate's second sentinel file
+    * guarantees the append-mode flush in a DATA batch by design (see
+    * its comment). Measured per-job (DevJobProfile, sf0.1): the
+    * trailing batch is a whole state reload — 75 CPU·s of the
+    * interval join's 190, 28 of the dedup gate's 49 — all spent
+    * tearing down a checkpoint the replay abandons at exit. */
+  private def withNoDataBatchesOff[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
   private def runToSink(out: DataFrame, base: String): DataFrame = {
-    val q = out.writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    if (!q.awaitTermination(600000))
-      throw new IllegalStateException(
-        s"streaming gate query hung past 600s (checkpoint $base/ckpt)")
+    withNoDataBatchesOff(out.sparkSession) {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(600000))
+        throw new IllegalStateException(
+          s"streaming gate query hung past 600s (checkpoint $base/ckpt)")
+    }
     out.sparkSession.read.parquet(s"$base/out")
   }
 
@@ -221,7 +249,7 @@ object StreamGateQueries {
         // not a tax on every driver bench run.
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val joined =
-          try {
+          try withNoDataBatchesOff(s) {
             s.conf.set("spark.sql.shuffle.partitions", "8")
             val src = s.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "4").parquet(srcDir)
@@ -290,24 +318,34 @@ object StreamGateQueries {
         val srcDir = s"$base/src"
         new java.io.File(srcDir).mkdirs()
         val ev = Tables.load(s, d, "events").where(col("ts").isNotNull)
-        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
         // One file per micro-batch, in mtime order: ALL real events in
         // file 1 (processed under watermark 0 — no real row can be
         // dropped as late by another real row's file landing first),
         // then two sentinel files whose batches advance the watermark
         // past every real window — the second guarantees the flush
-        // even if no trailing no-data batch runs.
+        // even if no trailing no-data batch runs (and the gate runs
+        // with them disabled — see withNoDataBatchesOff).
         def stage(df: DataFrame, name: String, mtime: Long): Unit =
           StreamStage.stageFile(df, srcDir, name, mtime)
-        def sentinel(days: Long) = ev.limit(1).select(
-          lit(-1L).as("event_id"),
-          lit(new java.sql.Timestamp(maxTs.getTime + days * 86400000L))
-            .as("ts"),
-          lit(-1L).as("user_id"),
-          lit("__sentinel").as("event_type"),
-          lit(0.0).as("value"),
-          lit(null).cast("string").as("props"))
-        stage(ev, "a_events", 1000000000000L)
+        // maxTs (the sentinel anchor and the hour_start bound) rides
+        // the staging write as an Observation — one events pass, not
+        // an agg pass plus a write pass.
+        val hi = org.apache.spark.sql.Observation()
+        stage(ev.observe(hi, max(col("ts")).as("hi")), "a_events",
+          1000000000000L)
+        val maxTs = hi.get("hi").asInstanceOf[java.sql.Timestamp]
+        // Sentinels are single literal rows — built driver-side, not
+        // projected off a limit(1) corpus scan (each of those scans
+        // was its own 8-task job at the bench tier; at 100 TB it would
+        // be a file listing + a scan task for one discarded row).
+        def sentinel(days: Long): DataFrame = {
+          import s.implicits._
+          Seq((-1L,
+            new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+            -1L, "__sentinel", 0.0, null: String))
+            .toDF("event_id", "ts", "user_id", "event_type", "value",
+              "props")
+        }
         stage(sentinel(90), "b_sentinel1", 1000000002000L)
         stage(sentinel(180), "c_sentinel2", 1000000004000L)
         val src = s.readStream.schema(ev.schema)
@@ -346,9 +384,31 @@ object StreamGateQueries {
         val ev = Tables.load(s, d, "events").where(col("ts").isNotNull)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
-        for (k <- 0 to 3)
-          StreamStage.stageFile(ev.where(col("event_id") % 4 === k),
-            srcDir, s"part$k", 1000000000000L + k * 2000L)
+        // One partitioned write stages all four slices (the per-slice
+        // stageFile form re-scanned events once per slice — four full
+        // passes for one table; the same single-pass repartition-on-
+        // slice + partitionBy shape the eviction gate stages with).
+        // repartition on __slice puts each slice in exactly one task,
+        // so each __slice=k dir holds exactly one part file, moved
+        // into mtime order below; partitionBy drops __slice from the
+        // files, so the staged schema is ev's five columns unchanged.
+        val stageTmp = s"$base/stage"
+        ev.withColumn("__slice", (col("event_id") % 4).cast("int"))
+          .repartition(4, col("__slice"))
+          .write.partitionBy("__slice").parquet(stageTmp)
+        new java.io.File(srcDir).mkdirs()
+        for (k <- 0 to 3) {
+          val dir = new java.io.File(stageTmp, s"__slice=$k")
+          val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet"))
+          require(parts.length == 1,
+            s"slice $k staged as ${parts.length} files — repartition " +
+              "on __slice must place each (non-empty) slice in one task")
+          val dst = new java.io.File(srcDir, s"part$k.parquet")
+          java.nio.file.Files.move(parts.head.toPath, dst.toPath)
+          require(dst.setLastModified(1000000000000L + k * 2000L),
+            s"could not set mtime on $dst — batch order undefined")
+        }
         val schema = ev.schema
         def start() = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir)
