@@ -464,11 +464,16 @@ object RelationalQueries {
     // dataprep_report.py EDA; full profiling out of scope, SURVEY §2.1).
     // ONE aggregation pass for all profiled columns, reshaped to
     // per-column rows with a constant-width explode — the prior
-    // one-agg-per-column union scanned the fact table once PER COLUMN
-    // (3 Scan / 3 Exchange at 3 columns; an EDA report over a 100-TB
-    // table with 30 numeric columns would be 30 full scans). The
-    // aggregate values are bit-identical (same count/min/max over the
-    // same parquet doubles), so the oracle hash is unchanged.
+    // one-agg-per-column union planned one Scan per column (3 Scan /
+    // 3 Exchange at 3 columns). Column pruning means the union form
+    // read each column's BYTES once too; what the single pass removes
+    // is the per-scan machinery — per-column jobs, file listings,
+    // row-group footer reads, and one pipelined pass over the row
+    // count per column (a 30-column EDA report walks the table's rows
+    // 30 times vs once). Measured: 0.45 → 0.17 s at sf0.1; 0.89 →
+    // 0.76 s at sf10 min-over-2-fresh-JVMs. The aggregate values are
+    // bit-identical (same count/min/max over the same parquet
+    // doubles), so the oracle hash is unchanged.
     "profile_summary" -> QDef(
       (s, d) => {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
