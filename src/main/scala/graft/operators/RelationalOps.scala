@@ -71,22 +71,60 @@ object RelationalOps {
 
   /** Exact stratified split (reference: sklearn `train_test_split(...,
     * stratify=y)`, `cms_preprocess.py:364`). sklearn is exact per stratum,
-    * so we use the window row_number form, not the approximate `sampleBy`.
-    * Adds `is_train` (1/0). `keyCol` must be unique (tie-break + mix seed).
+    * so the result is the window row_number form's, not the
+    * approximate `sampleBy`. SIZE-ROUTED (r14, the groupQuantileValues
+    * doctrine): at or under [[splitCompactBytesLimit]] input leaf
+    * bytes the plan IS the per-label window (one reducer per label —
+    * measured faster below the bound); above it the same rows come
+    * from the [[rangeBucketRank]] prefix-sum machinery, parallel
+    * across label×bucket cells. Route equality is exact by
+    * construction (same rank, same counts, same threshold
+    * arithmetic) — spec-pinned and oracle-gated via
+    * `stratified_split_dist`. Adds `is_train` (1/0). `keyCol` must be
+    * unique (tie-break + mix seed); `labelCol` non-null.
     *
     * Allocation matches sklearn's: the TEST side is rounded up
     * (n_test = ceil((1-frac)·n), n_train = n − n_test) — rounding the
     * train side up instead would let a 3-row stratum at frac 0.8 put all
     * 3 rows in train and starve test, where sklearn reserves 1. */
   def stratifiedSplit(df: DataFrame, labelCol: String, keyCol: String,
-                      trainFrac: Double): DataFrame = {
-    val w = Window.partitionBy(labelCol).orderBy(mixKey(col(keyCol)),
-      col(keyCol))
-    val wAll = Window.partitionBy(labelCol)
-    val n = count("*").over(wAll)
-    df.withColumn("is_train",
-      when(row_number().over(w) <=
-        n - ceil(lit(1.0 - trainFrac) * n), 1).otherwise(0))
+                      trainFrac: Double,
+                      compactBytesLimit: Long = -1L): DataFrame = {
+    val limit = if (compactBytesLimit >= 0L) compactBytesLimit
+                else splitCompactBytesLimit
+    if (leafInputBytes(df) <= BigInt(limit)) {
+      val w = Window.partitionBy(labelCol).orderBy(mixKey(col(keyCol)),
+        col(keyCol))
+      val wAll = Window.partitionBy(labelCol)
+      val n = count("*").over(wAll)
+      df.withColumn("is_train",
+        when(row_number().over(w) <=
+          n - ceil(lit(1.0 - trainFrac) * n), 1).otherwise(0))
+    } else {
+      // Distributed branch (r14): rank-within-label via the shared
+      // prefix-sum core — parallel across label×bucket cells instead
+      // of one reducer per label. __rk EQUALS row_number() OVER
+      // (PARTITION BY label ORDER BY mixKey(key), key) row for row
+      // (rangeBucketRank's contract; ties in the mix share a bucket
+      // and break on the key inside the cell window), and the
+      // per-label totals joined back are the same counts the window
+      // form reads — so the is_train expression below is the SAME
+      // textual arithmetic on the SAME longs: identical output,
+      // oracle-checked by `stratified_split_dist`. Per-label counts
+      // ride a broadcast (few-large-strata contract, like the group
+      // quantile family); label must be non-null (distributedGroupRank
+      // doctrine — a case-when label satisfies it).
+      val (ranked, _) = rangeBucketRank(
+        df.withColumn("__mix", mixKey(col(keyCol))),
+        Seq(labelCol), "__mix", Seq(keyCol), "__rk", "stratifiedSplit")
+      val totals = df.groupBy(labelCol).agg(count(lit(1)).as("__ln"))
+      ranked.join(broadcast(totals), Seq(labelCol))
+        .withColumn("is_train",
+          when(col("__rk") <=
+            col("__ln") - ceil(lit(1.0 - trainFrac) * col("__ln")), 1)
+            .otherwise(0))
+        .select(df.columns.map(col) :+ col("is_train"): _*)
+    }
   }
 
   /** Scale-path stratified split: deterministic, shuffle-free, and
@@ -106,14 +144,32 @@ object RelationalOps {
     * shuffle=True, random_state=42)`, ml_models.ipynb cell 2). Adds `fold`
     * in 1..k via ntile over the mixed key.
     *
-    * Scale note: a global ntile is a single-partition sort. Fine for fold
-    * assignment of model-training sets (≤ millions of rows); for billions
-    * prefer `pmod(mixKey, k)` which is shuffle-free (approximately equal
-    * folds). Both are exposed; the oracle checks the exact form.
+    * SIZE-ROUTED (r14): at or under [[splitCompactBytesLimit]] input
+    * leaf bytes the plan is the global-window ntile (a
+    * single-partition sort — measured faster below the bound); above
+    * it [[distributedNtile]] computes the SAME tiles row for row
+    * without the single reducer. For billions of rows where
+    * approximate fold balance suffices, `pmod(mixKey, k)`
+    * ([[hashFold]]) is shuffle-free; the oracle checks the exact form
+    * on both routes (`kfold_assign`, `kfold_assign_dist`).
     */
-  def kfoldAssign(df: DataFrame, keyCol: String, k: Int): DataFrame =
-    df.withColumn("fold",
-      ntile(k).over(Window.orderBy(mixKey(col(keyCol)), col(keyCol))))
+  def kfoldAssign(df: DataFrame, keyCol: String, k: Int,
+                  compactBytesLimit: Long = -1L): DataFrame = {
+    val limit = if (compactBytesLimit >= 0L) compactBytesLimit
+                else splitCompactBytesLimit
+    if (leafInputBytes(df) <= BigInt(limit))
+      df.withColumn("fold",
+        ntile(k).over(Window.orderBy(mixKey(col(keyCol)), col(keyCol))))
+    else
+      // Distributed branch (r14): NTILE over the mixed order via
+      // [[distributedNtile]] (valueCol = the mix, tie-break = the key
+      // — the exact window order), whose output EQUALS
+      // ntile(k) OVER (ORDER BY mixKey(key), key) row for row; mix
+      // values are < 2^30, inside the machinery's lossless-double
+      // domain. Oracle-checked by `kfold_assign_dist`.
+      distributedNtile(df.withColumn("__mix", mixKey(col(keyCol))),
+        "__mix", keyCol, k, "fold").drop("__mix")
+  }
 
   /** Shuffle-free fold assignment for very large inputs. */
   def hashFold(df: DataFrame, keyCol: String, k: Int): DataFrame =
@@ -388,6 +444,37 @@ object RelationalOps {
     * external sort of 256 MB is ~1-2 s, under the 2-pass route's two
     * scan floors + cells round-trip; past that the pruned route both
     * parallelizes and bounds memory. */
+  /** Optimizer leaf statistics of `df`'s input, in bytes — the size
+    * signal the split/fold route bounds read (file sizes: free, no
+    * job, the same signal Spark's broadcast planning uses). Ignores
+    * column pruning, which only OVERestimates — the safe direction
+    * (routes to the distributed form). */
+  private def leafInputBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+
+  /** Route bound for [[stratifiedSplit]]/[[kfoldAssign]]'s compact
+    * window forms, in input LEAF bytes — the quantile routing doctrine
+    * applied to the exact split family, with its own knob
+    * (`graft.split.compactBytesLimit` system property) because the
+    * compact form here is more serial than the quantile one: a global
+    * NTILE is ONE reducer sorting the whole input, a per-label
+    * row_number is one reducer PER LABEL (2 for a binary label) at
+    * any cluster size. Default 256 MiB: a one-task external sort of
+    * 256 MB is ~1-2 s, under the distributed form's sketch pass +
+    * cells round-trip + ranking pass; past that the prefix-sum route
+    * parallelizes across label×bucket cells (measured at the orders
+    * table: window 12.6/18.4 s vs routed 3-4 s at sf10 where the
+    * leaf reads 287 MB; sf0.1/sf1 leaves are 2.7/29 MB and keep the
+    * measured-faster window plan byte-identical). */
+  private[graft] def splitCompactBytesLimit: Long =
+    sys.props.get("graft.split.compactBytesLimit").map { v =>
+      require(v.nonEmpty && v.forall(_.isDigit),
+        s"graft.split.compactBytesLimit must be a non-negative " +
+          s"integer, got '$v'")
+      v.toLong
+    }.getOrElse(256L << 20)
+
   private[graft] def quantileCompactBytesLimit: Long =
     sys.props.get("graft.quantile.compactBytesLimit").map { v =>
       require(v.nonEmpty && v.forall(_.isDigit),

@@ -376,10 +376,43 @@ object RelationalQueries {
         s"AS is_train FROM (SELECT o_orderkey, $orderLabelSql AS label " +
         "FROM orders)"),
 
+    // O4 forced-distributed witness (r14): stratifiedSplit with the
+    // prefix-sum rank branch FORCED (compactBytesLimit = 0) under the
+    // SAME oracle SQL — at gate scale the size router picks the
+    // per-label window, so without this entry the route a 100-TB
+    // split actually runs would drop out of the per-round DuckDB
+    // gate (the `_dist` contract: percentile_scale_dist,
+    // dedup_components_dist).
+    "stratified_split_dist" -> QDef(
+      (s, d) => stratifiedSplit(
+        t(s, d, "orders").select(col("o_orderkey"), orderLabel.as("label")),
+        "label", "o_orderkey", 0.8, compactBytesLimit = 0L)
+        .select("o_orderkey", "label", "is_train"),
+      "SELECT o_orderkey, label, CASE WHEN " +
+        "row_number() OVER (PARTITION BY label ORDER BY " +
+        "((o_orderkey % 1000000007) * 2654435761) % 1000000007, o_orderkey) <= " +
+        "COUNT(*) OVER (PARTITION BY label) - " +
+        s"CEIL(${1.0 - 0.8} * COUNT(*) OVER (PARTITION BY label)) " +
+        "THEN 1 ELSE 0 END " +
+        s"AS is_train FROM (SELECT o_orderkey, $orderLabelSql AS label " +
+        "FROM orders)"),
+
     // O5: deterministic 5-fold assignment (ref ml_models.ipynb KFold).
     "kfold_assign" -> QDef(
       (s, d) => kfoldAssign(
         t(s, d, "orders").select("o_orderkey"), "o_orderkey", 5)
+        .select("o_orderkey", "fold"),
+      "SELECT o_orderkey, CAST(ntile(5) OVER (ORDER BY " +
+        "((o_orderkey % 1000000007) * 2654435761) % 1000000007, o_orderkey) AS INT) " +
+        "AS fold FROM orders"),
+
+    // O5 forced-distributed witness (r14): kfoldAssign's
+    // distributedNtile branch FORCED under the same oracle SQL —
+    // same `_dist` contract as stratified_split_dist above.
+    "kfold_assign_dist" -> QDef(
+      (s, d) => kfoldAssign(
+        t(s, d, "orders").select("o_orderkey"), "o_orderkey", 5,
+        compactBytesLimit = 0L)
         .select("o_orderkey", "fold"),
       "SELECT o_orderkey, CAST(ntile(5) OVER (ORDER BY " +
         "((o_orderkey % 1000000007) * 2654435761) % 1000000007, o_orderkey) AS INT) " +
