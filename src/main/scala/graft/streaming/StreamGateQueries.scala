@@ -45,7 +45,8 @@ object StreamGateQueries {
     * table only) and left for tmp cleanup — the returned frame still
     * lazily reads the sink, so nothing may delete eagerly here.
     */
-  private def stageEvents(s: SparkSession, d: String): (String, DataFrame) = {
+  private def stageEvents(s: SparkSession, d: String)
+      : (String, DataFrame, Long) = {
     val base = java.nio.file.Files
       .createTempDirectory("graft_streamgate").toString
     val ev = Tables.load(s, d, "events").where(col("ts").isNotNull)
